@@ -1,38 +1,572 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps each implemented operator from SURVEY.md §2 onto the
+driver's star-schema testdata (mapping table: FIXTURES.md §B); every entry
+has an ``oracle_sql()`` twin the driver runs through DuckDB at sf=0.01.
+All computed columns are aliased identically on both sides; floating
+aggregates go through exact decimal sums or explicit rounding so the
+order-insensitive value-hash compare is deterministic across engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dotnetspider_spark.operators.frontier import select_fetch_batch
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the politeness/DFS fetch-batch operator (SURVEY §2.1-2.2)
+    over a URL-shaped frontier derived from sf0.001 events."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(".example/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (F.col("user_id") % 50).cast("string"), F.lit(".example")).alias("host"),
+        F.col("event_id").alias("seq"),
+        F.lit(1).alias("depth"),
+        F.lit(0).alias("retried"),
+    )
+    batch = select_fetch_batch(frontier, dfs=True, per_host_limit=5)
+    return batch.select("host", "url", "seq", "host_rank")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_identity_md5(spark, sf_dir):
+    # request identity = md5(concat) — RequestExtensions.cs:12-17 analog
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.concat_ws("|", "p_brand", "p_type", "p_name")).alias("identity"),
+    )
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    # seen-set dedup push — DuplicateRemovedScheduler.cs:81-98
+    ev = _t(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_id") % 7 == 0).select("event_id")
+    return ev.join(seen, on="event_id", how="left_anti").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_batch_dedup_distinct(spark, sf_dir):
+    # within-batch HashSet<Request> dedup — Page.cs:37 TargetRequests
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+def _rank(spark, sf_dir, dfs: bool):
+    ev = _t(spark, sf_dir, "events")
+    order = (
+        [F.col("ts").desc(), F.col("event_id").desc()]
+        if dfs
+        else [F.col("ts").asc(), F.col("event_id").asc()]
+    )
+    w = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_rank_dfs_lifo(spark, sf_dir):
+    # DFS poll = most recently pushed — QueueDuplicateRemovedScheduler.cs:70-75
+    return _rank(spark, sf_dir, dfs=True)
+
+
+def q_rank_bfs_fifo(spark, sf_dir):
+    # BFS poll = oldest — QueueDuplicateRemovedScheduler.cs:76-81
+    return _rank(spark, sf_dir, dfs=False)
+
+
+def q_politeness_topk(spark, sf_dir):
+    # per-host fetch budget: top-k per key — SURVEY §2.2
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_priority_order(spark, sf_dir):
+    # priority + stable tie-break ordering (Page.cs:9 Priority)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 100)
+        .select("o_orderkey", "o_orderpriority", "rn")
+    )
+
+
+def q_depth_gate_filter(spark, sf_dir):
+    # depth/predicate gates — Page.cs:151-152; pushed to the parquet scan
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 5)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("l_discount") > 0.02)
+    ).select("l_orderkey", "l_linenumber")
+
+
+def q_pattern_filter(spark, sf_dir):
+    # PatternFilter.cs:29-48 — include regex, exclude wins
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").rlike("ECONOMY|SMALL") & ~F.col("p_name").rlike("^red")
+    ).select("p_partkey", "p_type")
+
+
+def q_pager_increment(spark, sf_dir):
+    # AutoIncrementRequestExtractor.cs:35-46 — numeric substring + interval
+    c = _t(spark, sf_dir, "customer")
+    cur = F.regexp_extract(F.col("c_name"), "#(\\d+)", 1).cast("bigint")
+    return c.select(
+        "c_custkey",
+        cur.alias("cur_no"),
+        (cur + F.lit(1)).alias("next_no"),
+    )
+
+
+def q_formatters_string(spark, sf_dir):
+    # TrimFormatter/CharacterCaseFormatter/SplitFormatter/ReplaceFormatter
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.element_at(F.split(F.col("c_name"), "#"), 2).alias("cust_no"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_replaced"),
+    )
+
+
+def q_json_selector(spark, sf_dir):
+    # JsonPathSelector.cs:32-95 — JSONPath over props
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object(F.col("props"), "$.k").alias("k_str")
+    )
+
+
+def q_timestamp_trunc(spark, sf_dir):
+    # EnvironmentSelector time macros / TimeStampFormater — date_trunc
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def q_metrics_agg(spark, sf_dir):
+    # monitor counters — Spider.cs:1500-1518 → groupBy agg
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_broadcast_join_dims(spark, sf_dir):
+    # robots/per-host-header broadcast join analog — SURVEY §2.2
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+def q_skew_salted_agg(spark, sf_dir):
+    # hot-host salting (north rule): two-phase salted agg == plain agg
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )
+
+
+def q_take_slice(spark, sf_dir):
+    # ModelExtractor Take/TakeFromHead (ModelExtractor.cs:52-55)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber").asc())
+    return (
+        li.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "rn")
+    )
+
+
+def q_upsert_last_wins(spark, sf_dir):
+    # DbEntityPipeline InsertNewAndUpdateOld — last write wins per key
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+def q_insert_ignore_first_wins(spark, sf_dir):
+    # DbEntityPipeline InsertAndIgnoreDuplicate — first write wins
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def q_docs_exact_dedup(spark, sf_dir):
+    # exact content dedup: hash-groupBy, keep lowest doc_id
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def q_docs_token_count(spark, sf_dir):
+    # token counting (training-data pipeline op)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def q_docs_quality(spark, sf_dir):
+    # quality scoring: stopword ratio
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("double")
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and)\b")).cast(
+        "double"
+    )
+    return d.select(
+        "doc_id",
+        F.round(n_stop / n_tok, 4).alias("stop_ratio"),
+    )
+
+
+def q_docs_langid(spark, sf_dir):
+    # language-ID heuristic (stopword presence)
+    d = _t(spark, sf_dir, "documents")
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|a|of|and)\b"))
+    return d.select(
+        "doc_id",
+        F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    # document fingerprint: whitespace-normalized content hash
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"),
+    )
+
+
+def q_docs_minhash_signature(spark, sf_dir):
+    # MinHash signature (4 salted permutations) over whitespace tokens
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
+            for i in range(4)
+        ]
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def q_embedding_norm(spark, sf_dir):
+    # vector plumbing: L2 norm over array<float> (cast to double first)
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id", F.round(F.sqrt(_dot(v, v)), 6).alias("l2_norm")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    # brute-force cosine top-k (ANN baseline); query side broadcast
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v"))
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+    cos = _dot(F.col("qv"), F.col("v")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
+    scored = pairs.select("q_vec_id", "vec_id", cos.alias("__cos"))
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("__cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("q_vec_id", "vec_id", "rn", F.round("__cos", 6).alias("cos_sim"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "identity_md5": q_identity_md5,
+        "dedup_anti_join": q_dedup_anti_join,
+        "batch_dedup_distinct": q_batch_dedup_distinct,
+        "rank_dfs_lifo": q_rank_dfs_lifo,
+        "rank_bfs_fifo": q_rank_bfs_fifo,
+        "politeness_topk": q_politeness_topk,
+        "priority_order": q_priority_order,
+        "depth_gate_filter": q_depth_gate_filter,
+        "pattern_filter": q_pattern_filter,
+        "pager_increment": q_pager_increment,
+        "formatters_string": q_formatters_string,
+        "json_selector": q_json_selector,
+        "timestamp_trunc": q_timestamp_trunc,
+        "metrics_agg": q_metrics_agg,
+        "broadcast_join_dims": q_broadcast_join_dims,
+        "skew_salted_agg": q_skew_salted_agg,
+        "take_slice": q_take_slice,
+        "upsert_last_wins": q_upsert_last_wins,
+        "insert_ignore_first_wins": q_insert_ignore_first_wins,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_count": q_docs_token_count,
+        "docs_quality": q_docs_quality,
+        "docs_langid": q_docs_langid,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_signature": q_docs_minhash_signature,
+        "embedding_norm": q_embedding_norm,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "identity_md5": """
+            SELECT p_partkey,
+                   md5(concat_ws('|', p_brand, p_type, p_name)) AS identity
+            FROM part
+        """,
+        "dedup_anti_join": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_id NOT IN (
+                SELECT event_id FROM events WHERE event_id % 7 = 0)
+        """,
+        "batch_dedup_distinct": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "rank_dfs_lifo": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn <= 3
+        """,
+        "rank_bfs_fifo": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events) WHERE rn <= 3
+        """,
+        "politeness_topk": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 2
+        """,
+        "priority_order": """
+            SELECT o_orderkey, o_orderpriority, rn FROM (
+                SELECT o_orderkey, o_orderpriority,
+                       row_number() OVER (
+                           ORDER BY o_orderpriority ASC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 100
+        """,
+        "depth_gate_filter": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_quantity >= 5 AND l_quantity <= 20 AND l_discount > 0.02
+        """,
+        "pattern_filter": """
+            SELECT p_partkey, p_type FROM part
+            WHERE regexp_matches(p_type, 'ECONOMY|SMALL')
+              AND NOT regexp_matches(p_name, '^red')
+        """,
+        "pager_increment": """
+            SELECT c_custkey,
+                   CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS cur_no,
+                   CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) + 1 AS next_no
+            FROM customer
+        """,
+        "formatters_string": """
+            SELECT c_custkey,
+                   upper(trim(c_name)) AS name_upper,
+                   string_split(c_name, '#')[2] AS cust_no,
+                   replace(c_name, 'Customer', 'Cust') AS name_replaced
+            FROM customer
+        """,
+        "json_selector": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_str
+            FROM events
+        """,
+        "timestamp_trunc": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "metrics_agg": """
+            SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "broadcast_join_dims": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "skew_salted_agg": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "take_slice": """
+            SELECT l_orderkey, l_linenumber, rn FROM (
+                SELECT l_orderkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber ASC) AS rn
+                FROM lineitem) WHERE rn <= 2
+        """,
+        "upsert_last_wins": """
+            SELECT user_id, event_type, event_id AS last_event_id,
+                   value AS last_value
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "insert_ignore_first_wins": """
+            SELECT user_id, event_type, event_id AS first_event_id
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   round(CAST(len(regexp_extract_all(lower(text),
+                             '\\b(the|a|of|and)\\b')) AS DOUBLE)
+                         / len(regexp_extract_all(text, '\\S+')), 4) AS stop_ratio
+            FROM documents
+        """,
+        "docs_langid": """
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(lower(text),
+                            '\\b(the|a|of|and)\\b')) > 0
+                        THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "docs_minhash_signature": """
+            SELECT doc_id,
+                   min(md5('s0|' || token)) AS mh0,
+                   min(md5('s1|' || token)) AS mh1,
+                   min(md5('s2|' || token)) AS mh2,
+                   min(md5('s3|' || token)) AS mh3
+            FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents)
+            WHERE token <> ''
+            GROUP BY doc_id
+        """,
+        "embedding_norm": """
+            SELECT vec_id,
+                   round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[]))), 6)
+                       AS l2_norm
+            FROM embeddings
+        """,
+        "ann_cosine_topk": """
+            SELECT q_vec_id, vec_id, rn, round(cos, 6) AS cos_sim FROM (
+                SELECT q.vec_id AS q_vec_id, e.vec_id AS vec_id,
+                       list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[]))))
+                           AS cos,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))
+                                    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                             CAST(q.embedding AS DOUBLE[])))
+                                       * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                               CAST(e.embedding AS DOUBLE[]))))
+                                    DESC, e.vec_id ASC) AS rn
+                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                WHERE q.vec_id < 3)
+            WHERE rn <= 3
+        """,
+    }

@@ -1,0 +1,165 @@
+"""Frontier scheduling operators — the core of the engine.
+
+Re-expresses the reference's scheduler stack as DataFrame programs:
+
+- ``DuplicateRemovedScheduler.Push`` (DuplicateRemovedScheduler.cs:81-98):
+  dedup-then-enqueue -> within-batch ``dropDuplicates('identity')`` + a
+  left-anti join against the ``seen`` table.
+- ``QueueDuplicateRemovedScheduler.Poll`` (QueueDuplicateRemovedScheduler
+  .cs:57-91): DFS pops the most recently pushed (LIFO), BFS the oldest
+  (FIFO) -> ``row_number()`` over a window ordered by the monotone push
+  sequence ``seq`` (desc for DFS, asc for BFS).
+- politeness: the reference sleeps ``SleepTime`` (default 100 ms) per
+  worker thread after every request (Spider.cs:181,805). In BSP terms an
+  iteration of wall-budget W ms may fetch at most
+  ``k = ceil(W / delay_ms(host))`` URLs from one host -> per-host top-k.
+- hot-host skew (north rule): rank within salted sub-groups first, then a
+  cheap exact re-rank of the small per-host survivor set, so one Zipf-hot
+  host never serializes a single task.
+
+Every request carries a total-order key ``seq`` (assigned at creation,
+monotone in push order: seeds get seed index, children get
+``(iter << 40) | (parent_rank << 20) | link_index``-style encodings from
+the crawl loop). Single-threaded reference order is exactly: BFS =
+ascending seq; DFS = descending seq among pushed-so-far (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: frontier columns every operator preserves
+FRONTIER_COLS = [
+    "url", "host", "method", "referer", "origin", "content", "headers",
+    "priority", "depth", "retried", "seq", "iter", "identity",
+]
+
+
+def dedup_push(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    identity_col: str = "identity",
+) -> DataFrame:
+    """Push semantics of DuplicateRemovedScheduler.cs:81-98.
+
+    Within the batch, the FIRST push of an identity wins (the reference
+    processes pushes in order; later duplicates are dropped) — implemented
+    as min-seq-per-identity rather than dropDuplicates so the surviving
+    row is deterministic. Across batches, a left-anti join against the
+    accumulated ``seen`` identities drops anything already crawled.
+
+    Scale note: both sides shuffle on ``identity`` only (narrow key); the
+    anti-join never touches payload columns, and at 10^10 rows the seen
+    side is pre-bucketed by identity so AQE plans a shuffle-free probe of
+    matching buckets. The bloom prefilter (operators.bloom) shrinks the
+    candidate side before this join at scale.
+    """
+    w = Window.partitionBy(identity_col).orderBy(F.col("seq").asc())
+    first = (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if seen is None:
+        return first
+    return first.join(
+        seen.select(F.col(identity_col)).distinct(), on=identity_col, how="left_anti"
+    )
+
+
+def poll_order(dfs: bool = True) -> list[Column]:
+    """LIFO/FIFO ordering key (QueueDuplicateRemovedScheduler.cs:57-91);
+    default traverse strategy is DFS (DuplicateRemovedScheduler.cs:75)."""
+    return [F.col("seq").desc()] if dfs else [F.col("seq").asc()]
+
+
+def politeness_budget(iter_wall_ms: Column | int, delay_ms: Column) -> Column:
+    """Max same-host fetches in one iteration: ceil(wall / delay); a host
+    with delay 0 is uncapped (reference's global SleepTime analog,
+    Spider.cs:181,805 -> per-host per-iteration budget, SURVEY §2.2)."""
+    wall = F.lit(iter_wall_ms) if isinstance(iter_wall_ms, int) else iter_wall_ms
+    return F.when(delay_ms <= 0, F.lit(2_147_483_647)).otherwise(
+        F.ceil(wall / delay_ms).cast("int")
+    )
+
+
+def select_fetch_batch(
+    frontier: DataFrame,
+    dfs: bool = True,
+    per_host_limit: int | None = None,
+    budget_col: str | None = None,
+    salt_buckets: int = 16,
+    salt_threshold: int = 100_000,
+) -> DataFrame:
+    """One iteration's fetch batch: per-host top-k in DFS/BFS order.
+
+    Two-level rank to survive Zipf-hot hosts (north rule): when a host's
+    frontier exceeds ``salt_threshold`` rows, rank first inside
+    ``(host, salt)`` sub-groups (salt = xxhash64(url) mod salt_buckets) and
+    keep only k-per-subgroup survivors, THEN exact-rank the <= k*buckets
+    survivors per host. Result is identical to a direct per-host rank
+    (proof: the true per-host top-k is contained in the union of per-salt
+    top-k), but the expensive first pass parallelizes across salt buckets.
+
+    ``budget_col``: optional per-row int column (from politeness_budget)
+    used as the host's k; else ``per_host_limit``; else unlimited order
+    only.
+    """
+    order = poll_order(dfs)
+    k_expr = (
+        F.col(budget_col)
+        if budget_col
+        else (F.lit(per_host_limit) if per_host_limit is not None else None)
+    )
+    if k_expr is None:
+        w = Window.partitionBy("host").orderBy(*order)
+        return frontier.withColumn("host_rank", F.row_number().over(w))
+
+    cheap_k = per_host_limit if per_host_limit is not None else None
+    salted = frontier.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    )
+    w_salt = Window.partitionBy("host", "__salt").orderBy(*order)
+    pre = (
+        salted.withColumn("__srn", F.row_number().over(w_salt))
+        .filter(F.col("__srn") <= (k_expr if cheap_k is None else F.lit(cheap_k)))
+        .drop("__srn", "__salt")
+    )
+    w_host = Window.partitionBy("host").orderBy(*order)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= k_expr)
+    )
+
+
+def eligible(
+    frontier: DataFrame,
+    max_depth: int | None = None,
+    max_retries: int = 5,
+    robots: DataFrame | None = None,
+) -> DataFrame:
+    """Pre-fetch gates: depth (Page.cs:151-152, Spider.cs:66), retry budget
+    (CycleRetryTimes default 5, Spider.cs:186), robots allow/deny (absent
+    in the reference; required by the north rule — broadcast-joined)."""
+    df = frontier.filter(F.col("retried") <= max_retries)
+    if max_depth is not None:
+        df = df.filter(F.col("depth") <= max_depth)
+    if robots is not None:
+        rules = F.broadcast(robots.select("host", "path_prefix", "allow"))
+        df = (
+            df.join(rules, on="host", how="left")
+            .withColumn(
+                "__rule_hit",
+                F.col("path_prefix").isNotNull()
+                & F.expr("url like concat('http://', host, path_prefix, '%')"),
+            )
+            .withColumn(
+                "__deny", F.col("__rule_hit") & ~F.coalesce(F.col("allow"), F.lit(True))
+            )
+            .groupBy(*[c for c in df.columns])
+            .agg(F.max("__deny").alias("__denied"))
+            .filter(~F.coalesce(F.col("__denied"), F.lit(False)))
+            .drop("__denied")
+        )
+    return df
