@@ -1,0 +1,127 @@
+"""Page parsing — link extraction as an Arrow-batched pandas UDF.
+
+Reference: ``Selectable.Links()`` extracts ``@href`` + ``@src`` attribute
+values (Extraction/Selectable.cs:119-139); the usual crawl path follows
+anchors only (XPathRequestExtractor over ``//a``,
+Core/Processor/RequestExtractor/XPathRequestExtractor.cs:21-38). The
+sandbox has no lxml/selectolax, so we parse with the stdlib
+``html.parser`` — still one Python invocation per Arrow batch (pandas
+UDF), never a row-at-a-time Spark UDF.
+
+``<img src>`` URLs are the *payload* fetch path (the reference's
+file-download branch, Downloader.cs:247-279), kept separate from the
+frontier so image URLs never pollute crawl-ordering semantics.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+class _LinkParser(HTMLParser):
+    def __init__(self, include_src: bool) -> None:
+        super().__init__(convert_charrefs=True)
+        self.include_src = include_src
+        self.hrefs: list[str] = []
+        self.srcs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        d = dict(attrs)
+        if tag == "a" and d.get("href") is not None:
+            self.hrefs.append(d["href"])
+        elif self.include_src and d.get("src") is not None:
+            self.srcs.append(d["src"])
+
+
+def _extract(html: str | None, include_src: bool) -> list[str]:
+    if not html:
+        return []
+    p = _LinkParser(include_src)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # malformed html: keep what parsed so far
+        pass
+    return p.hrefs + p.srcs
+
+
+# pandas_udf parses its DDL return type against the active session, so
+# the udfs are built lazily at first call (after getOrCreate), not import
+
+
+@lru_cache(maxsize=None)
+def _hrefs_udf():
+    @pandas_udf("array<string>")
+    def f(html: pd.Series) -> pd.Series:
+        return html.map(lambda s: _extract(s, include_src=False))
+
+    return f
+
+
+def extract_hrefs_udf(html):
+    """Anchor hrefs in document order (the frontier link path)."""
+    return _hrefs_udf()(html)
+
+
+@lru_cache(maxsize=None)
+def _links_udf():
+    @pandas_udf("array<string>")
+    def f(html: pd.Series) -> pd.Series:
+        return html.map(lambda s: _extract(s, include_src=True))
+
+    return f
+
+
+def extract_links_udf(html):
+    """hrefs + srcs — full ``Links()`` parity (Selectable.cs:119-139)."""
+    return _links_udf()(html)
+
+
+def _css_text(html: pd.Series) -> pd.Series:
+    """First ``<p class="cap">`` text — the caption-extraction analog of a
+    CSS selector (CssSelector.cs:41-87) without external parsers."""
+
+    class _Cap(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.in_cap = False
+            self.done = False
+            self.text: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "p" and not self.done and dict(attrs).get("class") == "cap":
+                self.in_cap = True
+
+        def handle_endtag(self, tag):
+            if tag == "p" and self.in_cap:
+                self.in_cap = False
+                self.done = True
+
+        def handle_data(self, data):
+            if self.in_cap:
+                self.text.append(data)
+
+    def run(s):
+        if not s:
+            return None
+        p = _Cap()
+        try:
+            p.feed(s)
+        except Exception:
+            pass
+        return "".join(p.text) if p.text else None
+
+    return html.map(run)
+
+
+@lru_cache(maxsize=None)
+def _css_text_udf():
+    return pandas_udf(_css_text, "string")
+
+
+def extract_css_text_udf(html):
+    return _css_text_udf()(html)

@@ -19,14 +19,15 @@ Reference behaviors reproduced (reimplemented over columns, not ported):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("string")
-def canonicalize_udf(rel: pd.Series, base: pd.Series) -> pd.Series:
+def _canonicalize(rel: pd.Series, base: pd.Series) -> pd.Series:
     """RFC 3986 join of (possibly relative) url against base page url.
 
     Vectorized over Arrow batches; also lowercases scheme+host and strips
@@ -50,6 +51,16 @@ def canonicalize_udf(rel: pd.Series, base: pd.Series) -> pd.Series:
             return None
 
     return pd.Series(map(canon, zip(rel, base)), dtype="object")
+
+
+@lru_cache(maxsize=None)
+def _canonicalize_udf():
+    # built lazily: pandas_udf parses its DDL type against the live session
+    return pandas_udf(_canonicalize, "string")
+
+
+def canonicalize_udf(rel, base):
+    return _canonicalize_udf()(rel, base)
 
 
 def strip_fragment(url: Column) -> Column:

@@ -1,0 +1,224 @@
+"""Deterministic synthetic web corpus (FIXTURES.md §A1) — no external data.
+
+One pure function :func:`corpus_row` defines every page; the Spark
+generator (``mapInPandas`` over ``spark.range`` — rows are materialized
+executor-side, never on the driver) and the pure-Python oracle
+(:mod:`dotnetspider_spark.pyref`) both call it, so the engine and the
+oracle crawl byte-identical webs.
+
+The web graph is closed (links only target pages < n_pages), Zipf-skewed
+over hosts (hot-host head for the skew-salting path), and deliberately
+messy: relative links, ``javascript:``, fragments, off-domain, empty —
+exercising the reference's canonicalization + junk filters
+(Selectable.cs:229-241, Page.cs:121-127,202-222).
+
+Payload columns follow BASELINE.json input_hint exactly:
+``image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    n_pages: int = 2000
+    n_hosts: int = 20
+    seed: int = 42
+    with_payload: bool = True  # False for huge scheduling-only benches
+    links_per_page: int = 8
+    neardup_every: int = 97  # page i with i % neardup_every == 1 is a near-dup of i-1
+    fail_500_every: int = 53  # transient -> retry path
+    fail_404_every: int = 71  # permanent
+    private_every: int = 37  # lives under /private/ (robots-denied prefix)
+
+
+CORPUS_COLUMNS = [
+    "page_id", "url", "host", "out_links", "html",
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    "status", "crawl_delay_ms",
+]
+
+CORPUS_SCHEMA = (
+    "page_id long, url string, host string, out_links array<string>, "
+    "html string, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, status int, crawl_delay_ms int"
+)
+
+
+def _host_of(i: int, cfg: CorpusConfig) -> int:
+    """Zipf-ish host assignment: square-law head so host 0 is hot."""
+    u = (hashlib.md5(f"{cfg.seed}|host|{i}".encode()).digest()[0] / 255.0) ** 2
+    return min(int(u * cfg.n_hosts), cfg.n_hosts - 1)
+
+
+def page_url(i: int, cfg: CorpusConfig) -> str:
+    h = _host_of(i, cfg)
+    path = "private" if (i % cfg.private_every == 0 and i > 0) else "p"
+    return f"http://host{h}.example/{path}/{i}.html"
+
+
+def host_delay_ms(host: str) -> int:
+    """Per-host politeness delay: 0 / 100 / 500 by stable hash."""
+    d = hashlib.md5(f"delay|{host}".encode()).digest()[0] % 3
+    return (0, 100, 500)[d]
+
+
+def _image(i: int, cfg: CorpusConfig):
+    from dotnetspider_spark.codec.png import encode_fakejpeg, encode_png, phash64
+
+    base_i = i - 1 if (i % cfg.neardup_every == 1 and i > 1) else i
+    rng = np.random.default_rng([cfg.seed, 7, base_i])
+    w = int(8 + rng.integers(0, 25))
+    h = int(8 + rng.integers(0, 25))
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if base_i != i:  # near-duplicate: flip one pixel of the base image
+        px = px.copy()
+        px[0, 0] = (255 - px[0, 0]) % 256
+    fmt = "jpeg" if i % 5 == 0 else "png"
+    data = encode_fakejpeg(px, 90) if fmt == "jpeg" else encode_png(px)
+    return data, w, h, fmt, phash64(px)
+
+
+def corpus_row(i: int, cfg: CorpusConfig) -> dict:
+    """The single source of truth for page i. Pure, deterministic."""
+    url = page_url(i, cfg)
+    host = url.split("/")[2]
+    rng = np.random.default_rng([cfg.seed, 3, i])
+    n_links = int(rng.integers(0, cfg.links_per_page + 1))
+    out_links: list[str] = []
+    for j in range(n_links):
+        tgt = int(rng.integers(0, cfg.n_pages))
+        t_url = page_url(tgt, cfg)
+        style = int(rng.integers(0, 6))
+        if style == 0:
+            out_links.append(t_url)  # absolute
+        elif style == 1:  # host-relative
+            out_links.append("/" + t_url.split("/", 3)[3])
+        elif style == 2:  # document-relative
+            out_links.append("../" + t_url.split("/", 3)[3])
+        elif style == 3:  # protocol-relative
+            out_links.append("//" + t_url.split("/", 2)[2])
+        else:
+            out_links.append(t_url)
+    junk_kind = int(rng.integers(0, 4))
+    junk = ["", "#top", "javascript:void(0)", "mailto:x@example.com"][junk_kind]
+
+    caption = f"Synthetic caption {i}: a {['red','blue','green','ochre'][i % 4]} test card — host {host}."
+    if cfg.with_payload:
+        data, w, h, fmt, ph = _image(i, cfg)
+        image_id = hashlib.sha1(url.encode()).hexdigest()
+    else:
+        data, w, h, fmt, ph, image_id = b"", 1, 1, "png", 0, ""
+
+    anchors = "".join(f'<a href="{u}">l{k}</a>' for k, u in enumerate(out_links))
+    html = (
+        f"<html><body>{anchors}<a href=\"{junk}\">j</a>"
+        f'<img src="/img/{image_id}.{fmt}"/><p class="cap">{caption}</p>'
+        f"</body></html>"
+    )
+
+    status = 200
+    if i > 0 and i % cfg.fail_500_every == 0:
+        status = 500
+    elif i > 0 and i % cfg.fail_404_every == 0:
+        status = 404
+    return {
+        "page_id": i,
+        "url": url,
+        "host": host,
+        "out_links": out_links,
+        "html": html,
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+        "status": status,
+        "crawl_delay_ms": host_delay_ms(host),
+    }
+
+
+def gen_corpus_local(cfg: CorpusConfig) -> list[dict]:
+    """Materialize the whole corpus in-process (oracle / tiny fixtures)."""
+    return [corpus_row(i, cfg) for i in range(cfg.n_pages)]
+
+
+def gen_corpus(spark, cfg: CorpusConfig, parallelism: int = 32):
+    """Distributed corpus as a DataFrame: spark.range -> mapInPandas.
+
+    Scale note: generation is embarrassingly parallel and executor-side;
+    at 10^7+ pages set ``with_payload=False`` (scheduling benches don't
+    read bytes, and the frontier path must never scan them anyway).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [corpus_row(int(i), cfg) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=CORPUS_COLUMNS)
+
+    return (
+        spark.range(0, cfg.n_pages, numPartitions=parallelism)
+        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+    )
+
+
+# ------------------------------------------------------------------ robots
+
+
+def robots_rows(cfg: CorpusConfig) -> list[dict]:
+    """Per-host rules: /private/ denied everywhere; host0 also denies /p/9
+    (a concrete prefix) to exercise rule matching beyond one global rule."""
+    rows = []
+    for h in range(cfg.n_hosts):
+        host = f"host{h}.example"
+        rows.append({"host": host, "path_prefix": "/private/", "allow": False})
+        rows.append({"host": host, "path_prefix": "/p/", "allow": True})
+    return rows
+
+
+def gen_robots(spark, cfg: CorpusConfig):
+    return spark.createDataFrame(
+        robots_rows(cfg), "host string, path_prefix string, allow boolean"
+    )
+
+
+# ------------------------------------------------------------------- seeds
+
+
+def seed_rows(cfg: CorpusConfig, k: int = 10) -> list[dict]:
+    """k seed requests: pages 0..k-1 (depth=1 per Page.cs:47-50)."""
+    return [
+        {
+            "url": page_url(i, cfg),
+            "method": "GET",
+            "referer": None,
+            "origin": None,
+            "content": None,
+            "headers": None,
+            "priority": 0,
+            "depth": 1,
+            "retried": 0,
+            "seq": i,
+        }
+        for i in range(k)
+    ]
+
+
+SEED_SCHEMA = (
+    "url string, method string, referer string, origin string, "
+    "content string, headers map<string,string>, priority int, depth int, "
+    "retried int, seq long"
+)
+
+
+def gen_seeds(spark, cfg: CorpusConfig, k: int = 10):
+    return spark.createDataFrame(seed_rows(cfg, k), SEED_SCHEMA)

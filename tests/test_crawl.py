@@ -1,0 +1,130 @@
+"""Engine-vs-oracle crawl equivalence (SURVEY §5/§7.3).
+
+The pure-Python oracle (tests/test_pyref.py pins it to the reference's
+test semantics) is the ground truth; these tests assert the Spark engine
+reproduces it:
+
+- exact single-threaded poll order, DFS (LIFO) and BFS (FIFO), via
+  ``global_limit=1``;
+- fetched-URL set + final URL-seen identity set equality in batched
+  (politeness) mode — the guarantee the multi-threaded reference itself
+  makes (QueueSchedulerTest.cs:11-32 asserts counts only);
+- politeness invariant: at most k same-host fetches per iteration;
+- kill-and-resume from a parquet snapshot reaches the identical final
+  state (north rule: crawls resume exactly).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+from dotnetspider_spark.pyref.oracle import Request, crawl as pycrawl
+from dotnetspider_spark.testing.datagen import (
+    CorpusConfig,
+    gen_corpus,
+    gen_robots,
+    gen_seeds,
+    seed_rows,
+)
+
+TINY = CorpusConfig(n_pages=60, n_hosts=4)
+SMALL = CorpusConfig(n_pages=300, n_hosts=8)
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    df = gen_corpus(spark, TINY, parallelism=2).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    df = gen_corpus(spark, SMALL, parallelism=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("dfs", [True, False], ids=["dfs", "bfs"])
+def test_exact_poll_order_matches_reference(spark, tiny_corpus, dfs):
+    res = crawl(
+        spark,
+        tiny_corpus,
+        gen_seeds(spark, TINY, k=2),
+        CrawlConfig(dfs=dfs, max_depth=2, global_limit=1, per_host_limit=None),
+        robots=gen_robots(spark, TINY),
+    )
+    pres = pycrawl(
+        TINY, [Request(**r) for r in seed_rows(TINY, 2)], dfs=dfs, max_depth=2
+    )
+    assert res.fetch_order() == pres.fetch_order
+    assert res.fetch_order()  # non-trivial crawl
+
+
+def test_batched_crawl_matches_reference_sets(spark, small_corpus):
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(dfs=True, max_depth=3, per_host_limit=8),
+        robots=gen_robots(spark, SMALL),
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    fetched = res.fetched.select("url", "iter", "rank", "host").collect()
+    assert {r.url for r in fetched} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    # politeness: within an iteration, at most k fetches per host and
+    # ranks are contiguous per (iter, host)
+    per = {}
+    for r in fetched:
+        per.setdefault((r.iter, r.host), []).append(r.rank)
+    for ranks in per.values():
+        assert len(ranks) <= 8
+    # metrics lineage recorded every iteration
+    assert len(res.metrics) == res.iterations
+    assert sum(m["n_ok"] for m in res.metrics) == len(fetched)
+
+
+def test_kill_and_resume_reaches_identical_state(spark, small_corpus, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("ckpt"))
+    shutil.rmtree(ck, ignore_errors=True)
+    seeds = gen_seeds(spark, SMALL, k=5)
+    robots = gen_robots(spark, SMALL)
+    kw = dict(dfs=True, max_depth=3, per_host_limit=8, checkpoint_dir=ck)
+    crawl(spark, small_corpus, seeds, CrawlConfig(max_iterations=3, **kw), robots=robots)
+    res = crawl(
+        spark, small_corpus, seeds, CrawlConfig(**kw), robots=robots, resume=True
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+
+
+def test_retry_cycle_new_identity(spark, tiny_corpus):
+    """A 500-page is retried with retried+1 (new identity) and every retry
+    identity lands in seen (Design.md:17-18 — reference behavior, pinned)."""
+    import pyspark.sql.functions as F
+
+    # pick a 500 page from the tiny corpus and seed it directly
+    bad = tiny_corpus.filter(F.col("status") == 500).select("url").first()
+    if bad is None:
+        pytest.skip("tiny corpus has no 500 page")
+    seeds = spark.createDataFrame([(bad.url,)], "url string")
+    res = crawl(
+        spark,
+        tiny_corpus,
+        seeds,
+        CrawlConfig(dfs=True, per_host_limit=4, cycle_retry_times=3),
+    )
+    # never fetched, but 1 seed + 3 retries = 4 identities seen
+    assert res.fetched.count() == 0
+    assert res.seen.count() == 4
