@@ -70,7 +70,12 @@ def host_delay_ms(host: str) -> int:
 
 
 def _image(i: int, cfg: CorpusConfig):
-    from dotnetspider_spark.codec.png import encode_fakejpeg, encode_png, phash64
+    from dotnetspider_spark.codec.png import (
+        decode_image,
+        encode_fakejpeg,
+        encode_png,
+        phash64,
+    )
 
     base_i = i - 1 if (i % cfg.neardup_every == 1 and i > 1) else i
     rng = np.random.default_rng([cfg.seed, 7, base_i])
@@ -82,7 +87,9 @@ def _image(i: int, cfg: CorpusConfig):
         px[0, 0] = (255 - px[0, 0]) % 256
     fmt = "jpeg" if i % 5 == 0 else "png"
     data = encode_fakejpeg(px, 90) if fmt == "jpeg" else encode_png(px)
-    return data, w, h, fmt, phash64(px)
+    # phash is defined over the DECODED pixels (what a consumer sees), so
+    # recomputing it from `bytes` always round-trips, lossy formats included
+    return data, w, h, fmt, phash64(decode_image(data, fmt))
 
 
 def corpus_row(i: int, cfg: CorpusConfig) -> dict:

@@ -1,0 +1,75 @@
+"""Payload validation tests — PSNR, caption equality, phash near-dups
+(north rule: decoded-pixel PSNR>=40dB + exact caption; banded phash
+near-dup stage)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dotnetspider_spark.operators.validate import (
+    phash_near_duplicates,
+    phash_udf,
+    validate_payloads,
+)
+from dotnetspider_spark.testing.datagen import CorpusConfig, corpus_row, gen_corpus
+
+CFG = CorpusConfig(n_pages=400, n_hosts=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = gen_corpus(spark, CFG, parallelism=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_self_validation_all_valid(spark, corpus):
+    val = validate_payloads(corpus, corpus)
+    assert val.filter(~F.col("valid")).count() == 0
+    assert val.count() == CFG.n_pages
+
+
+def test_phash_recompute_roundtrips(spark, corpus):
+    rec = corpus.select(
+        "phash", phash_udf(F.col("bytes"), F.col("fmt")).alias("ph2")
+    )
+    assert rec.filter(F.col("phash") != F.col("ph2")).count() == 0
+
+
+def test_corrupted_bytes_fail_validation(spark, corpus):
+    corrupt = corpus.withColumn(
+        "bytes",
+        F.when(F.col("page_id") % 10 == 0, F.lit(b"garbage")).otherwise(
+            F.col("bytes")
+        ),
+    )
+    val = validate_payloads(corrupt, corpus)
+    n_corrupt = corpus.filter(F.col("page_id") % 10 == 0).count()
+    assert val.filter(~F.col("valid")).count() == n_corrupt
+
+
+def test_caption_mismatch_fails(spark, corpus):
+    tweaked = corpus.withColumn(
+        "caption",
+        F.when(F.col("page_id") == 3, F.lit("wrong caption")).otherwise(
+            F.col("caption")
+        ),
+    )
+    val = validate_payloads(tweaked, corpus)
+    bad = val.filter(~F.col("valid")).collect()
+    assert len(bad) == 1 and not bad[0].caption_ok and bad[0].pixels_ok
+
+
+def test_phash_near_duplicates_finds_seeded_pairs(spark, corpus):
+    nd = phash_near_duplicates(corpus.select("image_id", "phash"))
+    found = {tuple(sorted((r.id_a, r.id_b))) for r in nd.collect()}
+    expected = set()
+    for i in range(2, CFG.n_pages):
+        if i % CFG.neardup_every == 1:
+            a = corpus_row(i - 1, CFG)["image_id"]
+            b = corpus_row(i, CFG)["image_id"]
+            expected.add(tuple(sorted((a, b))))
+    assert expected  # corpus seeds at least one near-dup pair
+    assert expected <= found
