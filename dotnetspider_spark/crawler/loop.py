@@ -89,6 +89,9 @@ class CrawlConfig:
     per_host_limit: int | None = 8  # politeness budget per iteration (SURVEY §2.2)
     global_limit: int | None = None  # exact-order emulation; 1 = reference poll
     robots_enabled: bool = True  # north-rule addition (absent in reference)
+    use_bloom: bool = False  # bloom-pruned dedup (§7.4 hybrid — exact either way)
+    bloom_expected_per_bucket: int = 1_000_000
+    bloom_n_buckets: int = 32
     max_iterations: int = 100_000
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1  # snapshot cadence (1 = every iteration)
@@ -288,6 +291,15 @@ def crawl(
     """Run the crawl to frontier exhaustion (or max_iterations)."""
     cfg = cfg or CrawlConfig()
     ckpt = Checkpointer(spark, cfg.checkpoint_dir)
+    bloom_params = None
+    blooms = None
+    if cfg.use_bloom:
+        from dotnetspider_spark.operators.bloom import BloomParams
+
+        bloom_params = BloomParams(
+            expected_per_bucket=cfg.bloom_expected_per_bucket,
+            n_buckets=cfg.bloom_n_buckets,
+        )
     # the scheduling path must never scan payload columns: project early
     pages = corpus.select("url", "status", "html")
 
@@ -380,11 +392,28 @@ def crawl(
         candidates = children.select(*_FRONTIER_COLS).unionByName(
             retries.select(*_FRONTIER_COLS)
         )
-        fresh = dedup_push(candidates, seen)
+        if cfg.use_bloom:
+            from dotnetspider_spark.operators.bloom import (
+                build_blooms,
+                dedup_push_bloom,
+            )
+
+            if blooms is None:  # fold the seed identities in on first use
+                blooms = build_blooms(seen, bloom_params).localCheckpoint(eager=True)
+            fresh = dedup_push_bloom(candidates, seen, blooms, bloom_params)
+        else:
+            fresh = dedup_push(candidates, seen)
         frontier_next = rest.select(*_FRONTIER_COLS).unionByName(fresh)
         frontier_next = frontier_next.localCheckpoint(eager=True)
         seen_delta = fresh.select("identity").localCheckpoint(eager=True)
         seen = seen.unionByName(seen_delta).localCheckpoint(eager=True)
+        if cfg.use_bloom and blooms is not None:
+            from dotnetspider_spark.operators.bloom import build_blooms
+
+            # incremental: OR only this iteration's delta into the filters
+            blooms = build_blooms(
+                seen_delta, bloom_params, existing=blooms
+            ).localCheckpoint(eager=True)
 
         fetched_it = success.select(
             *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")

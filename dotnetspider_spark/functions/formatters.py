@@ -12,6 +12,8 @@ order.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -114,12 +116,21 @@ def trim_fmt(col: Column, mode: str = "all") -> Column:
     return {"all": F.trim, "left": F.ltrim, "right": F.rtrim}[mode](col)
 
 
-@pandas_udf("string")
-def html_decode_fmt(s: pd.Series) -> pd.Series:
-    """HtmlDecodeFormatter.cs — entity unescape (no Spark built-in)."""
+def _html_decode(s: pd.Series) -> pd.Series:
     import html
 
     return s.map(lambda v: html.unescape(v) if v is not None else None)
+
+
+@lru_cache(maxsize=None)
+def _html_decode_udf():
+    # lazy: pandas_udf parses its DDL type against the live session
+    return pandas_udf(_html_decode, "string")
+
+
+def html_decode_fmt(col: Column) -> Column:
+    """HtmlDecodeFormatter.cs — entity unescape (no Spark built-in)."""
+    return _html_decode_udf()(col)
 
 
 def url_decode_fmt(col: Column) -> Column:

@@ -92,6 +92,26 @@ def test_batched_crawl_matches_reference_sets(spark, small_corpus):
     assert sum(m["n_ok"] for m in res.metrics) == len(fetched)
 
 
+def test_bloom_crawl_matches_exact_crawl(spark, small_corpus):
+    """use_bloom=True routes dedup through the bloom hybrid; observable
+    crawl output must be identical to the exact path (SURVEY §7.4)."""
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(
+            dfs=True, max_depth=3, per_host_limit=8,
+            use_bloom=True, bloom_expected_per_bucket=10_000, bloom_n_buckets=8,
+        ),
+        robots=gen_robots(spark, SMALL),
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+
+
 def test_kill_and_resume_reaches_identical_state(spark, small_corpus, tmp_path_factory):
     ck = str(tmp_path_factory.mktemp("ckpt"))
     shutil.rmtree(ck, ignore_errors=True)
