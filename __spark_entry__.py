@@ -359,6 +359,264 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_sessionize_gap(spark, sf_dir):
+    # gap-based sessionization (30-min gap): lag + cumulative session index.
+    # The streaming-analytics analog of the reference's per-host pacing.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_sess", F.coalesce(gap, F.lit(0)))
+        .withColumn("session_idx", F.sum("new_sess").over(w).cast("bigint"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    # TPC-H Q1-style pricing summary over lineitem — the heavy-agg classic
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_rollup_counts(spark, sf_dir):
+    # grouping-set coverage: rollup(event_type, day)
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        ev.select("event_type", day)
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_join_agg_revenue(spark, sf_dir):
+    # orders x lineitem join + agg (shuffle-join coverage)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.col("l_linenumber")).alias("n_lines"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_docs_idf(spark, sf_dir):
+    # token document-frequency / IDF — text-pipeline staple
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("token"),
+    ).filter(F.col("token") != "")
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 6).alias("idf"),
+    )
+
+
+def q_docs_charngram_count(spark, sf_dir):
+    # distinct char-5-gram shingles per doc (dedup shingling primitive)
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("i"),
+        F.col("text"),
+    ).select("doc_id", F.expr("substring(text, i, 5)").alias("sh"))
+    return g.groupBy("doc_id").agg(
+        F.count_distinct("sh").cast("bigint").alias("n_shingles")
+    )
+
+
+def q_docs_simhash16(spark, sf_dir):
+    # 16-bit SimHash over whitespace tokens, portable hash = first 4 md5
+    # hex digits (conv base16) — bitwise majority via 16 signed sums
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    hv = F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftrightunsigned(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash16"))
+
+
+def q_docs_minhash_band_pairs(spark, sf_dir):
+    # LSH banding over the 4-perm minhash signature: 2 bands x 2 rows;
+    # docs sharing a band are near-dup candidates (id_a < id_b).
+    # Bounded to doc_id < 100: the synthetic corpus' tiny vocabulary makes
+    # signature collisions common, and the oracle compare is row-exact —
+    # the operator semantics are fully exercised on the bounded set.
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
+            for i in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("b0"), "mh0", "mh1"),
+                F.concat_ws("|", F.lit("b1"), "mh2", "mh3"),
+            )
+        ).alias("band_key"),
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_key").alias("band_key_b")
+    )
+    return (
+        bands.join(
+            right,
+            (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def q_url_host_extract(spark, sf_dir):
+    # host extraction from URL-shaped strings (frontier key derivation)
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://host"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example/e/"), F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.regexp_extract(url, r"^https?://([^/]+)/", 1).alias("host"),
+    )
+
+
+def q_running_budget(spark, sf_dir):
+    # cumulative per-key running total (politeness budget accounting)
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 4).alias(
+            "running_value"
+        ),
+    )
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+# Oracle-free entries: genuinely non-SQL-expressible pipelines (pandas-UDF
+# codecs, iterative crawl). The driver records a rows-only check; full
+# semantics are pinned by tests/ (crawl ordering vs the pure-Python
+# oracle, codec roundtrips, PSNR fail-closed paths).
+
+
+def _tiny_corpus(spark):
+    from dotnetspider_spark.testing.datagen import CorpusConfig, gen_corpus
+
+    return gen_corpus(spark, CorpusConfig(n_pages=300, n_hosts=8), parallelism=8)
+
+
+def q_crawl_schedule_iteration(spark, sf_dir):
+    # one politeness-ranked scheduling iteration over the synthetic corpus
+    from dotnetspider_spark.functions.identity import request_identity
+    from dotnetspider_spark.operators.frontier import dedup_push, select_fetch_batch
+
+    c = _tiny_corpus(spark).select("url", "host", "page_id")
+    frontier = c.select(
+        "url", "host", F.col("page_id").alias("seq"),
+        F.lit(1).alias("depth"), F.lit(0).alias("retried"),
+    ).withColumn("identity", request_identity(F.col("url")))
+    seen = frontier.filter(F.col("seq") % 7 == 0).select("identity")
+    batch = select_fetch_batch(dedup_push(frontier, seen), dfs=True, per_host_limit=5)
+    return batch.select("host", "url", "host_rank").orderBy("host", "host_rank")
+
+
+def q_payload_validate(spark, sf_dir):
+    # PSNR + caption validation of the corpus against itself
+    from dotnetspider_spark.operators.validate import validate_payloads
+
+    c = _tiny_corpus(spark)
+    return (
+        validate_payloads(c, c)
+        .groupBy("valid", "caption_ok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_image_features(spark, sf_dir):
+    # mapInPandas decode + channel stats over binary image payloads
+    from dotnetspider_spark.operators.multimodal import image_features
+
+    c = _tiny_corpus(spark)
+    return image_features(c).select(
+        "image_id", "w", "h", F.round("brightness", 4).alias("brightness"), "decodable"
+    )
+
+
+def q_phash_neardup(spark, sf_dir):
+    # banded phash near-duplicate pairs over the corpus images
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    c = _tiny_corpus(spark)
+    return phash_near_duplicates(c.select("image_id", "phash"))
+
+
+def q_docs_word_jaccard(spark, sf_dir):
+    # word-3-gram Jaccard near-dup pairs (subset: doc_id < 150)
+    from dotnetspider_spark.operators.textdedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_docs_simhash64(spark, sf_dir):
+    # full 64-bit SimHash via array-fold expressions (engine op)
+    from dotnetspider_spark.operators.textdedup import simhash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -388,11 +646,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_signature": q_docs_minhash_signature,
         "embedding_norm": q_embedding_norm,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "sessionize_gap": q_sessionize_gap,
+        "pricing_summary": q_pricing_summary,
+        "rollup_counts": q_rollup_counts,
+        "join_agg_revenue": q_join_agg_revenue,
+        "docs_idf": q_docs_idf,
+        "docs_charngram_count": q_docs_charngram_count,
+        "docs_simhash16": q_docs_simhash16,
+        "docs_minhash_band_pairs": q_docs_minhash_band_pairs,
+        "url_host_extract": q_url_host_extract,
+        "running_budget": q_running_budget,
+        # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
+        "crawl_schedule_iteration": q_crawl_schedule_iteration,
+        "payload_validate": q_payload_validate,
+        "image_features": q_image_features,
+        "phash_neardup": q_phash_neardup,
+        "docs_word_jaccard": q_docs_word_jaccard,
+        "docs_simhash64": q_docs_simhash64,
     }
+
+
+def _simhash16_sql() -> str:
+    sums = ",\n                   ".join(
+        "sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}".format(b=b)
+        for b in range(16)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents),
+        hv AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(token), 1, 4)) AS BIGINT) AS hv
+            FROM tok WHERE token <> ''),
+        sums AS (
+            SELECT doc_id, {sums}
+            FROM hv GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM sums
+    """
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sessionize_gap": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT user_id, event_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM g)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(event_id) AS first_event_id
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rollup_counts": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n
+            FROM events GROUP BY ROLLUP(event_type, day)
+        """,
+        "join_agg_revenue": """
+            SELECT o_orderpriority, count(l_linenumber) AS n_lines,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "docs_idf": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents)
+            SELECT token, count(*) AS df,
+                   round(ln((SELECT count(*) FROM documents) * 1.0 / count(*)), 6)
+                       AS idf
+            FROM tok WHERE token <> '' GROUP BY token
+        """,
+        "docs_charngram_count": """
+            SELECT doc_id,
+                   CAST(count(DISTINCT substr(text, CAST(i AS INT), 5)) AS BIGINT)
+                       AS n_shingles
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, len(text) - 3)) AS i
+                  FROM documents)
+            GROUP BY doc_id
+        """,
+        "docs_simhash16": _simhash16_sql(),
+        "docs_minhash_band_pairs": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents WHERE doc_id < 100),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM tok WHERE token <> '' GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS band_key FROM sig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS band_key FROM sig)
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "url_host_extract": """
+            SELECT event_id,
+                   regexp_extract(
+                       concat('http://host', CAST(user_id % 50 AS VARCHAR),
+                              '.example/e/', CAST(event_id AS VARCHAR)),
+                       '^https?://([^/]+)/', 1) AS host
+            FROM events
+        """,
+        "running_budget": """
+            SELECT user_id, event_id,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS running_value
+            FROM events
+        """,
         "identity_md5": """
             SELECT p_partkey,
                    md5(concat_ws('|', p_brand, p_type, p_name)) AS identity

@@ -51,13 +51,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dotnetspider_spark.crawler.parse import extract_hrefs_udf
+from dotnetspider_spark.crawler.parse import extract_canonical_links_udf
 from dotnetspider_spark.functions.identity import request_identity
-from dotnetspider_spark.functions.urlops import (
-    canonicalize_udf,
-    is_fetchable,
-    url_host,
-)
+from dotnetspider_spark.functions.urlops import is_fetchable, url_host
 from dotnetspider_spark.operators.frontier import (
     dedup_push,
     poll_order,
@@ -175,31 +171,24 @@ def _robots_gate(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
 
 
 def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataFrame:
-    """success(frontier cols + html + __block) -> child frontier rows."""
-    links = success.select(
-        F.col("url").alias("__parent_url"),
+    """success(frontier cols + html + __block) -> child frontier rows.
+
+    Link extraction, the junk gate (Page.cs:121-127), canonicalization
+    (Selectable.cs:229-241) and the within-page first-occurrence dedup
+    (TargetRequests HashSet, Page.cs:37) are FUSED into one pandas UDF
+    (parse.extract_canonical_links_udf): one Python boundary crossing per
+    page instead of one per raw link, and no per-page window shuffle.
+    """
+    canon = success.select(
         F.col("referer").alias("__p_referer"),
         F.col("origin").alias("__p_origin"),
         F.col("headers").alias("__p_headers"),
         F.col("depth").alias("__p_depth"),
         F.col("__block"),
-        F.posexplode(extract_hrefs_udf(F.col("html"))).alias("__pos", "__raw"),
-    )
-    # junk gate pre-canonicalization (Page.cs:121-127): "", "#...", javascript:
-    links = links.filter(
-        F.col("__raw").isNotNull()
-        & (F.col("__raw") != "")
-        & ~F.col("__raw").startswith("#")
-        & ~F.lower(F.col("__raw")).startswith("javascript:")
-    )
-    canon = links.withColumn(
-        "url", canonicalize_udf(F.col("__raw"), F.col("__parent_url"))
+        F.posexplode(
+            extract_canonical_links_udf(F.col("html"), F.col("url"))
+        ).alias("__pos", "url"),
     ).filter(is_fetchable(F.col("url")))
-    # within-page first-occurrence dedup (TargetRequests HashSet, Page.cs:37)
-    w_page = Window.partitionBy("__parent_url", "url").orderBy(F.col("__pos").asc())
-    canon = canon.withColumn("__dup", F.row_number().over(w_page)).filter(
-        F.col("__dup") == 1
-    )
     child = canon.select(
         F.col("url"),
         url_host(F.col("url")).alias("host"),

@@ -125,3 +125,49 @@ def _css_text_udf():
 
 def extract_css_text_udf(html):
     return _css_text_udf()(html)
+
+
+def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
+    """Fused parse→junk-filter→canonicalize→dedup, one boundary crossing.
+
+    Returns the page's accepted child URLs in document order, first
+    occurrence kept (TargetRequests HashSet semantics, Page.cs:37).
+    Fusing matters at scale: the unfused pipeline ships every raw href
+    back to the JVM, explodes, and re-enters Python to canonicalize —
+    ~5x the Arrow traffic plus a window shuffle for the per-page dedup.
+    """
+    import re
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    ok = re.compile(r"^https?://")
+
+    def one(pair):
+        h, b = pair
+        out: list[str] = []
+        seen: set[str] = set()
+        for raw in _extract(h, include_src=False):
+            if not raw or raw.startswith("#") or raw.lower().startswith("javascript:"):
+                continue
+            try:
+                s = urlsplit(urljoin(b or "", raw.strip()))
+            except ValueError:
+                continue
+            canon = urlunsplit(
+                (s.scheme.lower(), s.netloc.lower(), s.path or "/", s.query, "")
+            )
+            if len(canon) < 6 or not ok.match(canon) or canon in seen:
+                continue
+            seen.add(canon)
+            out.append(canon)
+        return out
+
+    return pd.Series(map(one, zip(html, base)), dtype="object")
+
+
+@lru_cache(maxsize=None)
+def _canonical_links_udf():
+    return pandas_udf(_canonical_links, "array<string>")
+
+
+def extract_canonical_links_udf(html, base_url):
+    return _canonical_links_udf()(html, base_url)

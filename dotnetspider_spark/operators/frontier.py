@@ -54,12 +54,19 @@ def dedup_push(
     side is pre-bucketed by identity so AQE plans a shuffle-free probe of
     matching buckets. The bloom prefilter (operators.bloom) shrinks the
     candidate side before this join at scale.
+
+    First-per-key is a ``min_by`` aggregation, not a window: aggregation
+    gets a map-side partial combine (each task pre-reduces its duplicates
+    before the exchange) and skips the per-partition sort a
+    ``row_number()`` window would force — measurably better scaling on
+    wide candidate batches.
     """
-    w = Window.partitionBy(identity_col).orderBy(F.col("seq").asc())
+    others = [c for c in candidates.columns if c != identity_col]
     first = (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        candidates.groupBy(identity_col)
+        .agg(F.min_by(F.struct(*others), F.col("seq")).alias("__r"))
+        .select(identity_col, "__r.*")
+        .select(*candidates.columns)
     )
     if seen is None:
         return first

@@ -1,0 +1,222 @@
+"""Multimodal payload operators — image/audio/video as opaque binary.
+
+Training-data-pipeline stages over binary payload columns with typed
+metadata (driver mandate): decode, feature-extract, resize, frame-sample.
+All Spark-side plumbing is real — schemas, ``mapInPandas`` iterator
+batching, Arrow-bounded batch sizes, partition-friendly shapes. Decoders
+for formats whose codec libraries are absent from this container (real
+JPEG/MP4/WAV-compressed) are STUBBED with a loud ``NotImplementedError``;
+the deterministic stand-in containers below (``FJPG`` in codec/png.py,
+``FVID``/``FAUD`` here) keep every stage executable and testable
+end-to-end, per the driver instruction to stub the codec, not the
+pipeline.
+
+Batch-shape note: payload rows run megabytes each, so these operators
+must ride ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set to 2048
+in session.py) and an input partitioning that keeps per-task byte volume
+bounded — repartition by a key, never coalesce payload partitions wide.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FVID_MAGIC = b"FVID"
+_FAUD_MAGIC = b"FAUD"
+
+
+# ----------------------------------------------------------- containers
+
+
+def encode_fakevideo(frames: np.ndarray) -> bytes:
+    """Deterministic video stand-in: (n, h, w, 3) uint8 -> bytes (STUB
+    container; a real deployment decodes MP4/WebM via PyAV/ffmpeg)."""
+    n, h, w, _ = frames.shape
+    return (
+        _FVID_MAGIC
+        + struct.pack(">HHH", n, w, h)
+        + zlib.compress(frames.tobytes(), 1)
+    )
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    if data[:4] == _FVID_MAGIC:
+        n, w, h = struct.unpack(">HHH", data[4:10])
+        raw = np.frombuffer(zlib.decompress(data[10:]), np.uint8)
+        return raw.reshape(n, h, w, 3)
+    raise NotImplementedError(
+        "real video decode needs PyAV/ffmpeg, absent from this container; "
+        "synthetic corpora use the FVID stand-in"
+    )
+
+
+def encode_fakeaudio(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Deterministic audio stand-in: float32 mono [-1,1] -> bytes."""
+    q = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    return _FAUD_MAGIC + struct.pack(">I", rate) + zlib.compress(q.tobytes(), 1)
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] == _FAUD_MAGIC:
+        (rate,) = struct.unpack(">I", data[4:8])
+        q = np.frombuffer(zlib.decompress(data[8:]), np.int16)
+        return q.astype(np.float32) / 32767.0, rate
+    raise NotImplementedError(
+        "real audio decode needs soundfile/librosa, absent from this "
+        "container; synthetic corpora use the FAUD stand-in"
+    )
+
+
+# ----------------------------------------------------- image operators
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, w int, h int, mean_r double, mean_g double, "
+    "mean_b double, brightness double, decodable boolean"
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + per-channel stats (mapInPandas iterator — one Python
+    worker per partition streams Arrow batches; undecodable rows survive
+    with ``decodable=false`` instead of failing the task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import decode_image
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = decode_image(bytes(r["bytes"]), r["fmt"])
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (r["image_id"], px.shape[1], px.shape[0],
+                         float(m[0]), float(m[1]), float(m[2]),
+                         float(m.mean()), True)
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append((r["image_id"], 0, 0, 0.0, 0.0, 0.0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "mean_r", "mean_g", "mean_b",
+                         "brightness", "decodable"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Nearest-neighbor resize; output re-encoded as PNG (real math on
+    decodable payloads; undecodable rows are dropped with a count
+    observable via the input/output row delta)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import decode_image, encode_png
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = decode_image(bytes(r["bytes"]), r["fmt"])
+                except (NotImplementedError, ValueError):
+                    continue
+                h, w, _ = px.shape
+                yi = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+                xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+                out = px[np.ix_(yi, xi)]
+                rows.append(
+                    (r["image_id"], encode_png(out), target_w, target_h, "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ----------------------------------------------------- video operators
+
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
+    """Sample every Nth frame of each video into PNG rows (the typical
+    pretraining frame-extraction stage). One input row fans out to
+    ceil(n_frames / every_n) output rows — mapInPandas handles the 1->N
+    row multiplication without an explode of materialized frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    frames = decode_video(bytes(r["bytes"]))
+                except NotImplementedError:
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    rows.append(
+                        (r["video_id"], i, encode_png(frames[i]),
+                         frames.shape[2], frames.shape[1], "png")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_idx", "bytes", "w", "h", "fmt"],
+            )
+
+    return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+# ----------------------------------------------------- audio operators
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, rate int, n_samples long, rms double, peak double, "
+    "windows array<double>"
+)
+
+
+def audio_features(audio: DataFrame, window_s: float = 0.5) -> DataFrame:
+    """Per-clip RMS/peak + windowed RMS energies (vectorized numpy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    samples, rate = decode_audio(bytes(r["bytes"]))
+                except NotImplementedError:
+                    continue
+                win = max(1, int(rate * window_s))
+                n = len(samples) // win * win
+                w_rms = (
+                    np.sqrt((samples[:n].reshape(-1, win) ** 2).mean(axis=1))
+                    if n
+                    else np.array([])
+                )
+                rows.append(
+                    (r["audio_id"], rate, len(samples),
+                     float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
+                     float(np.abs(samples).max()) if len(samples) else 0.0,
+                     [float(x) for x in w_rms])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "rate", "n_samples", "rms", "peak", "windows"],
+            )
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -1,0 +1,168 @@
+"""Text deduplication operators — the training-data-pipeline suite.
+
+Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard over a documents
+table (driver mandate; the reference itself has no content dedup — its
+only dedup is the request-identity seen set, SURVEY §2.1). Everything
+here is pure built-in expressions (codegen, shuffle-friendly), designed
+so each op has a DuckDB-expressible twin in ``__spark_entry__``.
+
+Scale shapes:
+- shingling explodes ~L tokens/doc -> the self-joins key on the shingle/
+  band hash, the classic high-cardinality shuffle; hot shingles (stop
+  phrases) are the skew risk — mitigate by dropping top-frequency
+  shingles (``max_shingle_freq``) before joining, the standard trick.
+- SimHash reduces each doc to one 64-bit int; near-dup candidates come
+  from band-equality self-joins like phash (operators/validate.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ("a b c")."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+
+
+def _hash64(s: Column) -> Column:
+    """Deterministic 60-bit hash both Spark and DuckDB can compute
+    identically: the first 15 hex chars of md5 as a BIGINT — 60 bits
+    keeps every value inside signed-int64 range on both engines.
+    (xxhash64 exists only Spark-side; md5 is portable.)"""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(text: Column, n_bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per-token 64-bit hash, bitwise
+    majority vote across tokens. Pure expressions: aggregate() folds the
+    token array into ``n_bits`` per-bit counters held as an array<int>.
+    Bit positions are Python-loop constants (shiftrightunsigned requires
+    a literal shift), so the expression tree is wide but codegen'd once."""
+    tok_hashes = F.transform(tokens(text), _hash64)
+    zero = F.array_repeat(F.lit(0), n_bits)
+
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(n_bits)
+            ]
+        )
+
+    counts = F.aggregate(
+        tok_hashes, zero, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v)
+    )
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # bit 63 = sign bit of int64
+        out = out.bitwiseOR(
+            F.when(F.element_at(counts, b + 1) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """k-permutation MinHash signature via salted md5 minima (one shuffle:
+    explode tokens -> groupBy doc)."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become
+    candidate pairs (id_a < id_b, deduped)."""
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col).alias("id"), F.explode(bands).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    right = exploded.select(
+        F.col("id").alias("id_b"), F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+    )
+    pairs = exploded.join(
+        right,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("key") == F.col("key_b"))
+        & (F.col("id") < F.col("id_b")),
+    )
+    return pairs.select(F.col("id").alias("id_a"), "id_b").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity >= threshold.
+
+    Distinct shingles per doc -> self-join on shingle -> intersection
+    counts -> |A∪B| = |A|+|B|-|A∩B|. ``max_shingle_freq`` drops ubiquitous
+    shingles before the join (skew guard; slightly conservative, standard
+    practice)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+        sh = sh.join(freq.filter(F.col("f") <= max_shingle_freq), "sh", "inner").select(
+            "id", "sh"
+        )
+    right = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        sh.join(right, (F.col("sh") == F.col("sh_b")) & (F.col("id") < F.col("id_b")))
+        .groupBy("id", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "id").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select(
+        F.col("id").alias("id_a"), "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

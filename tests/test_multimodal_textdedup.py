@@ -1,0 +1,142 @@
+"""Multimodal payload operators + text-dedup operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from dotnetspider_spark.operators.multimodal import (
+    audio_features,
+    decode_audio,
+    decode_video,
+    encode_fakeaudio,
+    encode_fakevideo,
+    frame_sample,
+    image_features,
+    resize_images,
+)
+from dotnetspider_spark.operators.textdedup import (
+    minhash_band_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from dotnetspider_spark.testing.datagen import CorpusConfig, gen_corpus
+
+CFG = CorpusConfig(n_pages=60, n_hosts=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = gen_corpus(spark, CFG, parallelism=2).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_image_features_decodes_all(spark, corpus):
+    feats = image_features(corpus).collect()
+    assert len(feats) == CFG.n_pages
+    assert all(r.decodable for r in feats)
+    assert all(0 <= r.brightness <= 255 for r in feats)
+    dims = {(r.image_id): (r.w, r.h) for r in feats}
+    src = {(r.image_id): (r.w, r.h) for r in corpus.select("image_id", "w", "h").collect()}
+    assert dims == src
+
+
+def test_image_features_survives_garbage(spark, corpus):
+    broken = corpus.withColumn(
+        "bytes", F.when(F.col("page_id") < 5, F.lit(b"xx")).otherwise(F.col("bytes"))
+    )
+    feats = image_features(broken)
+    assert feats.filter(~F.col("decodable")).count() == 5
+
+
+def test_resize_images_roundtrip(spark, corpus):
+    from dotnetspider_spark.codec.png import decode_png
+
+    out = resize_images(corpus, 16, 16).collect()
+    assert len(out) == CFG.n_pages
+    for r in out[:5]:
+        px = decode_png(bytes(r.bytes))
+        assert px.shape == (16, 16, 3)
+
+
+def test_video_codec_and_frame_sample(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    for vid in range(4):
+        frames = rng.integers(0, 256, (23, 8, 10, 3), dtype=np.uint8)
+        rows.append((f"v{vid}", bytearray(encode_fakevideo(frames))))
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    sampled = frame_sample(df, every_n=10).collect()
+    # 23 frames, every 10th -> idx 0,10,20 per video
+    assert len(sampled) == 12
+    assert {r.frame_idx for r in sampled} == {0, 10, 20}
+    assert all(r.w == 10 and r.h == 8 for r in sampled)
+    # real container decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42" + b"0" * 32)
+
+
+def test_audio_codec_and_features(spark):
+    t = np.linspace(0, 1, 16000, dtype=np.float32)
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    data = encode_fakeaudio(wave, 16000)
+    back, rate = decode_audio(data)
+    assert rate == 16000 and np.abs(back - wave).max() < 1e-3
+    df = spark.createDataFrame(
+        [("a0", bytearray(data))], "audio_id string, bytes binary"
+    )
+    feats = audio_features(df, window_s=0.25).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert abs(r.rms - 0.3535) < 0.01  # sine rms = amp/sqrt(2)
+    assert len(r.windows) == 4
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF0000WAVE" + b"0" * 16)
+
+
+# ------------------------------------------------------------- textdedup
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 0
+        (2, "completely different content about spark shuffles and joins"),
+        (3, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_simhash_near_for_neardups_far_for_distinct(spark):
+    d = _docs(spark)
+    sims = {r.doc_id: r.sh for r in d.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert sims[0] == sims[3]  # identical text, identical simhash
+    assert ham(sims[0], sims[1]) <= 12  # 9/10 shared tokens
+    assert ham(sims[0], sims[2]) > 16
+
+
+def test_ngram_jaccard_pairs_finds_neardups(spark):
+    d = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_minhash_lsh_candidates(spark):
+    d = _docs(spark)
+    sig = minhash_signature(d, "doc_id", "text", k=8)
+    cand = {(r.id_a, r.id_b) for r in minhash_band_pairs(sig, "doc_id", k=8).collect()}
+    assert (0, 3) in cand  # exact dups always collide
+    assert not any({a, b} == {0, 2} for a, b in cand)
