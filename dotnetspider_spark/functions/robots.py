@@ -1,0 +1,140 @@
+"""robots.txt parsing — text -> broadcastable rules table.
+
+The reference has NO robots handling anywhere (grep over src/**/*.cs = 0
+hits, SURVEY §2.2); the north rule adds it. This module parses raw
+robots.txt documents (one row per host) into the engine's rules schema
+``(host, path_prefix, allow, crawl_delay_ms)`` which
+``crawler.loop._robots_gate`` broadcast-joins against the frontier.
+
+Parsing follows the de-facto standard (REP, RFC 9309 subset):
+- ``User-agent`` groups; a group applies if it names our agent or ``*``
+  (most-specific agent match wins: exact name > ``*``),
+- ``Allow`` / ``Disallow`` path prefixes (empty Disallow = allow all),
+- ``Crawl-delay`` seconds -> ``crawl_delay_ms``,
+- longest-prefix-wins precedence is applied at MATCH time by the gate
+  (loop.py orders matches by prefix length), so the table just carries
+  every rule of the winning group.
+
+Wildcards (``*``/``$``) inside paths are out of scope for the prefix
+gate; rows containing them are conservatively truncated at the first
+``*`` (a shorter prefix only ever blocks MORE — fail-safe, never
+fail-open for Disallow; Allow rows with wildcards are dropped entirely
+for the same reason).
+
+Parsing runs in ``mapInPandas`` over ``(host, robots_txt)`` rows — one
+Python pass per Arrow batch, one output row per rule.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RULES_SCHEMA = "host string, path_prefix string, allow boolean, crawl_delay_ms int"
+
+
+def parse_robots_txt(text: str, agent: str = "dotnetspider") -> list[dict]:
+    """Parse one robots.txt into rule dicts for our agent (pure function)."""
+    agent = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: float | None = None
+    in_group_body = False
+
+    def flush():
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            cur_rules.append((key, val))
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                cur_delay = float(val)
+            except ValueError:
+                pass
+    flush()
+
+    # most-specific agent match: exact name beats '*'
+    chosen = None
+    for agents, rules, delay in groups:
+        if agent in agents:
+            chosen = (rules, delay)
+            break
+    if chosen is None:
+        for agents, rules, delay in groups:
+            if "*" in agents:
+                chosen = (rules, delay)
+                break
+    if chosen is None:
+        return []
+    rules, delay = chosen
+    delay_ms = int(delay * 1000) if delay is not None else None
+
+    out: list[dict] = []
+    for kind, path in rules:
+        allow = kind == "allow"
+        if path == "":
+            if allow:
+                continue  # empty Allow is a no-op
+            # empty Disallow = everything allowed; emit an allow-all marker
+            out.append(
+                {"host": None, "path_prefix": "/", "allow": True,
+                 "crawl_delay_ms": delay_ms}
+            )
+            continue
+        if "*" in path or path.endswith("$"):
+            trunc = path.split("*", 1)[0].rstrip("$")
+            if allow:
+                continue  # wildcard Allow dropped (fail-safe)
+            if not trunc:
+                trunc = "/"
+            path = trunc  # truncated Disallow blocks more — fail-safe
+        out.append(
+            {"host": None, "path_prefix": path, "allow": allow,
+             "crawl_delay_ms": delay_ms}
+        )
+    if not out and delay_ms is not None:
+        out.append(
+            {"host": None, "path_prefix": "/", "allow": True,
+             "crawl_delay_ms": delay_ms}
+        )
+    return out
+
+
+def robots_rules_table(
+    robots_docs: DataFrame, agent: str = "dotnetspider"
+) -> DataFrame:
+    """(host, robots_txt) rows -> rules table (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for rule in parse_robots_txt(r["robots_txt"], agent):
+                    rule = dict(rule)
+                    rule["host"] = r["host"]
+                    rows.append(rule)
+            yield pd.DataFrame(
+                rows, columns=["host", "path_prefix", "allow", "crawl_delay_ms"]
+            )
+
+    return robots_docs.select("host", "robots_txt").mapInPandas(run, RULES_SCHEMA)

@@ -1,0 +1,163 @@
+"""Spider — the user-facing facade mirroring the reference's API.
+
+The reference's programmatic surface (SURVEY §3.1-3.2):
+
+    var spider = new Spider();           spider.AddRequests(urls);
+    spider.Scheduler = ...;              spider.AddPageProcessor(p);
+    spider.AddPipeline(pipeline);        spider.Depth = 3;
+    spider.Run();
+
+maps 1:1 onto:
+
+    spider = Spider(spark).add_seeds(urls).set_corpus(corpus_df)
+    spider.traverse(dfs=True).depth(3).retry_times(5)
+    spider.add_robots(robots_df)
+    spider.add_entity_model(model)                  # AddEntityType<T>
+    spider.add_pipeline(table, mode="insert_ignore")  # AddPipeline
+    result = spider.run()                           # Run()
+
+``run()`` drives the BSP crawl loop (crawler/loop.py), then compiles
+each registered entity model into a projection over the fetched pages
+(extraction/model.py) and writes the items through each pipeline's
+write mode (sinks/tables.py) — the reference's
+download -> process -> pipeline chain, batched.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dotnetspider_spark.crawler.loop import CrawlConfig, CrawlRunResult, crawl
+from dotnetspider_spark.extraction.model import EntityModel, extract
+from dotnetspider_spark.sinks.tables import ParquetTable
+from dotnetspider_spark.testing.datagen import SEED_SCHEMA
+
+
+@dataclass
+class SpiderResult:
+    crawl: CrawlRunResult
+    items: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class Spider:
+    """Fluent crawl builder over the BSP engine."""
+
+    def __init__(self, spark: SparkSession, config: CrawlConfig | None = None):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self._seed_rows: list[dict] = []
+        self._seed_df: DataFrame | None = None
+        self._corpus: DataFrame | None = None
+        self._robots: DataFrame | None = None
+        self._models: list[EntityModel] = []
+        self._pipelines: list[tuple[ParquetTable, str]] = []
+
+    # ------------------------------------------------------------ seeds
+
+    def add_seeds(self, urls: list[str], depth: int = 1) -> "Spider":
+        """AddRequests (Spider.cs:607-621); seed depth=1 (Page.cs:47-50)."""
+        base = len(self._seed_rows)
+        for i, u in enumerate(urls):
+            self._seed_rows.append(
+                {
+                    "url": u, "method": "GET", "referer": None, "origin": None,
+                    "content": None, "headers": None, "priority": 0,
+                    "depth": depth, "retried": 0, "seq": base + i,
+                }
+            )
+        return self
+
+    def add_seed_df(self, df: DataFrame) -> "Spider":
+        self._seed_df = df
+        return self
+
+    # ----------------------------------------------------------- config
+
+    def traverse(self, dfs: bool = True) -> "Spider":
+        """TraverseStrategy (default Dfs, DuplicateRemovedScheduler.cs:75)."""
+        self.config = replace(self.config, dfs=dfs)
+        return self
+
+    def depth(self, max_depth: int) -> "Spider":
+        """Spider.Depth (Spider.cs:66)."""
+        self.config = replace(self.config, max_depth=max_depth)
+        return self
+
+    def retry_times(self, n: int) -> "Spider":
+        """CycleRetryTimes (Spider.cs:186)."""
+        self.config = replace(self.config, cycle_retry_times=n)
+        return self
+
+    def politeness(self, per_host_limit: int) -> "Spider":
+        """Per-iteration per-host fetch budget (SleepTime analog)."""
+        self.config = replace(self.config, per_host_limit=per_host_limit)
+        return self
+
+    def checkpoint(self, path: str) -> "Spider":
+        self.config = replace(self.config, checkpoint_dir=path)
+        return self
+
+    def use_bloom(self, expected_per_bucket: int = 1_000_000, n_buckets: int = 32) -> "Spider":
+        self.config = replace(
+            self.config, use_bloom=True,
+            bloom_expected_per_bucket=expected_per_bucket,
+            bloom_n_buckets=n_buckets,
+        )
+        return self
+
+    # ---------------------------------------------------------- sources
+
+    def set_corpus(self, corpus: DataFrame) -> "Spider":
+        """The fetch source (CorpusFetcher / FakeDownloader analog)."""
+        self._corpus = corpus
+        return self
+
+    def add_robots(self, robots: DataFrame) -> "Spider":
+        """Rules table (host, path_prefix, allow); see functions.robots
+        for parsing raw robots.txt documents into this shape."""
+        self._robots = robots
+        return self
+
+    # ------------------------------------------------- extraction/sinks
+
+    def add_entity_model(self, model: EntityModel) -> "Spider":
+        """AddEntityType<T> (EntitySpider.cs:39-58)."""
+        self._models.append(model)
+        return self
+
+    def add_pipeline(self, table: ParquetTable, mode: str = "insert_ignore") -> "Spider":
+        """AddPipeline; mode = insert | insert_ignore | upsert
+        (DbEntityPipeline write modes, DbEntityPipeline.cs:105-138)."""
+        assert mode in ("insert", "insert_ignore", "upsert")
+        self._pipelines.append((table, mode))
+        return self
+
+    # --------------------------------------------------------------- run
+
+    def run(self, resume: bool = False) -> SpiderResult:
+        if self._corpus is None:
+            raise ValueError("set_corpus() required (no network in sandbox)")
+        seeds = self._seed_df
+        if seeds is None:
+            if not self._seed_rows:
+                raise ValueError("no seeds")
+            seeds = self.spark.createDataFrame(self._seed_rows, SEED_SCHEMA)
+        res = crawl(
+            self.spark, self._corpus, seeds, self.config,
+            robots=self._robots, resume=resume,
+        )
+        items: dict[str, DataFrame] = {}
+        if self._models:
+            # re-join fetched urls to the corpus html (the loop's fetched
+            # table carries frontier cols; content lives in the corpus)
+            pages = res.fetched.select("url", "depth", "iter", "rank").join(
+                self._corpus.select("url", "html"), "url", "inner"
+            )
+            for model in self._models:
+                out = extract(model, pages, content_col="html", page_key="url")
+                items[model.name] = out
+                for table, mode in self._pipelines:
+                    getattr(table, mode)(out)
+        return SpiderResult(crawl=res, items=items)

@@ -1,0 +1,125 @@
+"""Spider facade + robots parser + content handlers + fetchers tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dotnetspider_spark.extraction.model import EntityModel, Field
+from dotnetspider_spark.functions import handlers as H
+from dotnetspider_spark.functions.robots import parse_robots_txt, robots_rules_table
+from dotnetspider_spark.sinks.tables import ParquetTable
+from dotnetspider_spark.sources.fetchers import CorpusFetcher, HttpFetcher
+from dotnetspider_spark.spider import Spider
+from dotnetspider_spark.testing.datagen import CorpusConfig, gen_corpus, gen_robots, page_url
+
+CFG = CorpusConfig(n_pages=200, n_hosts=6)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = gen_corpus(spark, CFG, parallelism=2).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_spider_end_to_end(spark, corpus, tmp_path):
+    table = ParquetTable(spark, str(tmp_path / "cards"), ["page_no"])
+    model = EntityModel(
+        name="card",
+        fields=(
+            Field("page_no", "regex", r"/(\d+)\.html", dtype="bigint", source="url"),
+            Field("caption", "css-cap", ""),
+        ),
+    )
+    result = (
+        Spider(spark)
+        .add_seeds([page_url(i, CFG) for i in range(4)])
+        .set_corpus(corpus)
+        .add_robots(gen_robots(spark, CFG))
+        .traverse(dfs=True)
+        .depth(3)
+        .politeness(6)
+        .add_entity_model(model)
+        .add_pipeline(table, mode="insert_ignore")
+        .run()
+    )
+    n_fetched = result.crawl.fetched.count()
+    assert n_fetched > 0
+    assert result.items["card"].count() == n_fetched
+    stored = table.read()
+    assert stored.count() == stored.select("page_no").distinct().count()
+    cap = stored.filter(F.col("caption").isNotNull()).count()
+    assert cap == stored.count()
+
+
+ROBOTS_TXT = """
+# comments ignored
+User-agent: googlebot
+Disallow: /only-google/
+
+User-agent: *
+Crawl-delay: 1.5
+Disallow: /private/
+Disallow: /tmp*/x
+Allow: /private/ok/
+Disallow:
+"""
+
+
+def test_parse_robots_txt_groups_and_rules():
+    rules = parse_robots_txt(ROBOTS_TXT, agent="dotnetspider")
+    by_prefix = {r["path_prefix"]: r for r in rules}
+    assert by_prefix["/private/"]["allow"] is False
+    assert by_prefix["/private/ok/"]["allow"] is True
+    # wildcard Disallow truncated at '*' (fail-safe: blocks more)
+    assert by_prefix["/tmp"]["allow"] is False
+    # empty Disallow -> allow-all marker
+    assert by_prefix["/"]["allow"] is True
+    assert all(r["crawl_delay_ms"] == 1500 for r in rules)
+    # exact agent group wins over '*'
+    g = parse_robots_txt(ROBOTS_TXT, agent="googlebot")
+    assert {r["path_prefix"] for r in g} == {"/only-google/"}
+
+
+def test_robots_rules_table(spark):
+    docs = spark.createDataFrame(
+        [("h1.example", ROBOTS_TXT), ("h2.example", "User-agent: *\nDisallow: /x/")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(docs).collect()
+    hosts = {r.host for r in rules}
+    assert hosts == {"h1.example", "h2.example"}
+    h2 = [r for r in rules if r.host == "h2.example"]
+    assert len(h2) == 1 and h2[0].path_prefix == "/x/" and not h2[0].allow
+
+
+def test_content_handlers(spark):
+    df = spark.createDataFrame(
+        [("<html><script>var x=1;</script><b>Hello</b> <i>world</i> BLOCKED</html>",)],
+        "content string",
+    )
+    out = df.select(
+        H.plain_text_handler(F.col("content")).alias("plain"),
+        H.cutout_handler(F.col("content"), "<b>", "</b>", 3, 0).alias("cut"),
+        H.regex_handler(F.col("content"), r"<b>\w+</b>").alias("rx"),
+        H.skip_when_contains(F.col("content"), "BLOCKED").alias("bypass"),
+        H.retry_when_contains(F.col("content"), "RATELIMIT").alias("retry"),
+        H.to_upper_handler(F.lit("ab")).alias("up"),
+    ).first()
+    assert out.plain == "Hello world BLOCKED"
+    assert out.cut == "Hello"
+    assert out.rx == "<b>Hello</b>"
+    assert out.bypass is True and out.retry is False
+    assert out.up == "AB"
+
+
+def test_corpus_fetcher_and_http_stub(spark, corpus):
+    batch = corpus.select("url").limit(10)
+    fetched = CorpusFetcher(corpus).fetch(batch)
+    assert fetched.filter(F.col("status") == 200).count() > 0
+    missing = spark.createDataFrame([("http://nowhere.example/x",)], "url string")
+    assert CorpusFetcher(corpus).fetch(missing).first().status == 404
+    with pytest.raises(NotImplementedError):
+        HttpFetcher().fetch(batch)
