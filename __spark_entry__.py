@@ -617,6 +617,18 @@ def q_docs_simhash64(spark, sf_dir):
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF-bucketed ANN (scale path; rows-only — kmeans training +
+    # batch-matmul pandas UDFs are not SQL-expressible). Recall vs the
+    # brute-force baseline is pinned by tests/test_ann.py.
+    from dotnetspider_spark.operators.ann import ann_search, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, k=8, iterations=2)
+    queries_df = e.filter(F.col("vec_id") < 3)
+    return ann_search(e, queries_df, cents, k=3, nprobe=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -663,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "docs_word_jaccard": q_docs_word_jaccard,
         "docs_simhash64": q_docs_simhash64,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

@@ -41,49 +41,76 @@ FRONTIER_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_FRONTIER", "2000000"))
 
 
 def bench_frontier_iteration(spark) -> tuple[float, int]:
-    """One full scheduling iteration over a synthetic Zipf-skewed frontier.
-
-    Everything is generated executor-side from spark.range — the driver
-    never materializes a row. Measures: candidate identity (md5, JVM),
-    within-batch first-push dedup, anti-join vs seen, politeness-ranked
-    per-host fetch batch (salted two-level rank).
+    """One full crawl iteration in the engine's real shape (the same job
+    tools/bench_scaling.py measures at two levels): politeness-ranked
+    batch over a Zipf frontier -> fetch join against a synthetic corpus
+    with real HTML -> fused parse/canonicalize pandas UDF -> child
+    identity -> child dedup + anti-join vs the iteration's seen delta.
+    Everything generated executor-side from spark.range.
     """
     from pyspark.sql import functions as F
 
+    from dotnetspider_spark.crawler.parse import extract_canonical_links_udf
     from dotnetspider_spark.functions.identity import request_identity
+    from dotnetspider_spark.functions.urlops import is_fetchable
     from dotnetspider_spark.operators.frontier import dedup_push, select_fetch_batch
 
     n = FRONTIER_ROWS
-    # Zipf-ish host skew: host = floor(2^(16 * u)) gives a heavy head
-    base = (
-        spark.range(n)
-        .withColumn("u", F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20)))
-        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), F.col("u") * 14)).cast("long"))
+    parts = 64
+
+    def zipf_host():
+        return (
+            F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20))
+        )
+
+    frontier = (
+        spark.range(n, numPartitions=parts)
+        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), zipf_host() * 14)).cast("long"))
         .withColumn("host", F.concat(F.lit("host"), F.col("hostnum"), F.lit(".example")))
-        .withColumn(
-            "url",
-            F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")),
-        )
+        .withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")))
         .withColumn("seq", F.col("id"))
-        .withColumn("depth", F.lit(1))
-        .withColumn("retried", F.lit(0))
-        .drop("u", "hostnum")
+        .drop("hostnum")
     )
-    candidates = base.withColumn(
-        "identity", request_identity(F.col("url"), retried=F.col("retried"))
+    anchor = lambda s: F.concat(
+        F.lit('<a href="/p/'), F.pmod(F.xxhash64("id", F.lit(s)), F.lit(n)),
+        F.lit('.html">l</a>'),
     )
-    seen = (
-        spark.range(0, n, 5)
-        .withColumn("host", F.concat(F.lit("hostX"), F.col("id")))
+    corpus = (
+        spark.range(n, numPartitions=parts)
+        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), zipf_host() * 14)).cast("long"))
+        .withColumn("curl", F.concat(F.lit("http://host"), F.col("hostnum"), F.lit(".example/p/"), F.col("id")))
         .withColumn(
-            "identity", F.md5(F.concat_ws("|", F.lit("seenmarker"), F.col("id")))
+            "html",
+            F.concat(
+                F.lit("<html><body>"), anchor(1), anchor(2), anchor(3), anchor(4),
+                F.lit('<a href="#f">j</a><img src="/i/x.png"/><p class="cap">c '),
+                F.col("id"), F.lit("</p></body></html>"),
+            ),
         )
-        .select("identity")
+        .select("curl", "html")
     )
     t0 = time.monotonic()
-    fresh = dedup_push(candidates, seen)
-    batch = select_fetch_batch(fresh, dfs=True, per_host_limit=64)
-    scheduled = batch.count()
+    batch = select_fetch_batch(frontier, dfs=True, per_host_limit=256)
+    fetched = (
+        batch.join(corpus, batch["url"] == F.col("curl"), "inner")
+        .select("url", "html")
+        .repartition(parts)
+    )
+    children = (
+        fetched.select(
+            F.posexplode(
+                extract_canonical_links_udf(F.col("html"), F.col("url"))
+            ).alias("pos", "curl2")
+        )
+        .filter(is_fetchable(F.col("curl2")))
+        .select(F.col("curl2").alias("url"), F.xxhash64("curl2").alias("seq"))
+        .withColumn("identity", request_identity(F.col("url")))
+    )
+    seen_delta = spark.range(0, n, 5).select(
+        F.md5(F.concat_ws("|", F.lit("seen"), F.col("id"))).alias("identity")
+    )
+    fresh = dedup_push(children, F.broadcast(seen_delta))
+    scheduled = fresh.count()
     dt = time.monotonic() - t0
     return dt, scheduled
 

@@ -56,6 +56,7 @@ from dotnetspider_spark.functions.identity import request_identity
 from dotnetspider_spark.functions.urlops import is_fetchable, url_host
 from dotnetspider_spark.operators.frontier import (
     dedup_push,
+    politeness_budget,
     poll_order,
     select_fetch_batch,
 )
@@ -83,6 +84,7 @@ class CrawlConfig:
     max_depth: int | None = None  # Spider.cs:66 default int.MaxValue
     cycle_retry_times: int = 5  # Spider.cs:186
     per_host_limit: int | None = 8  # politeness budget per iteration (SURVEY §2.2)
+    iter_wall_ms: int = 1000  # iteration wall budget for delay-derived k
     global_limit: int | None = None  # exact-order emulation; 1 = reference poll
     robots_enabled: bool = True  # north-rule addition (absent in reference)
     use_bloom: bool = False  # bloom-pruned dedup (§7.4 hybrid — exact either way)
@@ -220,6 +222,16 @@ def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataF
     )
 
 
+def _with_block(batch: DataFrame) -> DataFrame:
+    """Parent block id: scale-safe (host-hash, rank) encoding — no global
+    barrier; used as the high bits of child seq numbers."""
+    return batch.withColumn(
+        "__block",
+        F.pmod(F.xxhash64("host"), F.lit(1 << (_BLOCK_BITS - 6))) * (1 << 6)
+        + F.least(F.col("rank"), F.lit(63)),
+    )
+
+
 class Checkpointer:
     """Parquet snapshot layout + atomic manifest (Iceberg stand-in)."""
 
@@ -275,9 +287,16 @@ def crawl(
     seeds: DataFrame,
     cfg: CrawlConfig | None = None,
     robots: DataFrame | None = None,
+    host_delays: DataFrame | None = None,
     resume: bool = False,
 ) -> CrawlRunResult:
-    """Run the crawl to frontier exhaustion (or max_iterations)."""
+    """Run the crawl to frontier exhaustion (or max_iterations).
+
+    ``host_delays``: optional (host, crawl_delay_ms) table — per-host
+    politeness budgets k=⌈iter_wall/delay⌉ (the reference's SleepTime
+    made per-host, SURVEY §2.2); hosts without a row are capped only by
+    ``per_host_limit``. Broadcast-joined (config-sized table).
+    """
     cfg = cfg or CrawlConfig()
     ckpt = Checkpointer(spark, cfg.checkpoint_dir)
     bloom_params = None
@@ -331,18 +350,27 @@ def crawl(
                 .filter(F.col("rank") <= cfg.global_limit)
                 .withColumn("__block", F.col("rank"))
             )
+        elif host_delays is not None:
+            delays = F.broadcast(host_delays.select("host", "crawl_delay_ms"))
+            budget = politeness_budget(
+                cfg.iter_wall_ms, F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+            )
+            if cfg.per_host_limit is not None:
+                budget = F.least(budget, F.lit(cfg.per_host_limit))
+            fr_b = frontier.join(delays, "host", "left").withColumn(
+                "__budget", budget
+            ).drop("crawl_delay_ms")
+            batch = select_fetch_batch(
+                fr_b, dfs=cfg.dfs, budget_col="__budget",
+                salt_buckets=cfg.salt_buckets,
+            ).withColumnRenamed("host_rank", "rank").drop("__budget")
+            batch = _with_block(batch)
         else:
             batch = select_fetch_batch(
                 frontier, dfs=cfg.dfs, per_host_limit=cfg.per_host_limit,
                 salt_buckets=cfg.salt_buckets,
             ).withColumnRenamed("host_rank", "rank")
-            # parent block: scale-safe (host-hash, rank) encoding, no barrier
-            batch = batch.withColumn(
-                "__block",
-                F.pmod(F.xxhash64("host"), F.lit(1 << (_BLOCK_BITS - 6)))
-                * (1 << 6)
-                + F.least(F.col("rank"), F.lit(63)),
-            )
+            batch = _with_block(batch)
         rest = frontier.join(batch.select("identity"), "identity", "left_anti")
 
         # --- 2. robots gate (denied rows are consumed) ---------------

@@ -1,0 +1,200 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Driver mandate (training-data pipeline): brute-force cosine top-k is the
+baseline (``__spark_entry__.q_ann_cosine_topk``, oracle-checked); this
+module is the SCALE path — IVF (inverted-file) coarse quantization:
+
+1. ``train_centroids``: k-means over the embedding column — deterministic
+   hash-based init, a few distributed Lloyd iterations (assignment via
+   batch numpy matmul in a pandas UDF; centroid update via groupBy mean).
+   Centroid table is tiny (k×d) and broadcasts.
+2. ``assign_buckets``: every vector gets its nearest-centroid id — the
+   partition key for the index. At 10^10 rows this is the bucketed
+   layout on disk; queries only touch matching buckets.
+3. ``ann_search``: queries probe their ``nprobe`` nearest centroids, join
+   candidates on bucket id (a fraction ~nprobe/k of the base), exact
+   cosine re-rank inside the candidate set.
+
+Recall/latency trade is nprobe/k, the standard IVF contract. All linear
+algebra runs as numpy matmuls over whole Arrow batches — no per-row
+Python. A random-hyperplane LSH bucketing (``lsh_bucket``) is included
+as the alternative family (hash-based, no training pass).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _mat(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 4,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Distributed k-means; returns k centroids (small: k×d floats).
+
+    Init: the k vectors with the smallest ``xxhash64(id, seed)`` — a
+    deterministic pseudo-random sample with no driver-side RNG. Each
+    Lloyd iteration: broadcast centroids into the assignment UDF (numpy
+    argmax of cosine), then ``groupBy(bucket).avg`` per dimension via
+    ``posexplode`` — both shuffle-light (k groups).
+    """
+    id_col = F.monotonically_increasing_id()
+    base = embeddings.select(F.col(vec_col).alias("v"), id_col.alias("__id"))
+    init = (
+        base.withColumn("__h", F.xxhash64("__id", F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = _norm_rows(_mat(pd.Series([r.v for r in init])))
+
+    for _ in range(iterations):
+        assign = assign_buckets(base, centroids, vec_col="v")
+        summed = (
+            assign.select("bucket", F.posexplode(F.col("v")).alias("dim", "x"))
+            .groupBy("bucket", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("bucket")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", (F.col("s") / F.col("n")).alias("m")))
+                ).alias("dims")
+            )
+            .select("bucket", F.col("dims.m").alias("centroid"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in summed:
+            new[r.bucket] = np.asarray(r.centroid, dtype=np.float64)
+        centroids = _norm_rows(new)
+    return [list(map(float, c)) for c in centroids]
+
+
+def _bucket_udf(centroids: np.ndarray):
+    c = _norm_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def f(vecs: pd.Series) -> pd.Series:
+        m = _norm_rows(_mat(vecs))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return f
+
+
+def assign_buckets(
+    embeddings: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``bucket`` = argmax-cosine centroid id (batch matmul UDF)."""
+    udf = _bucket_udf(np.asarray(centroids, dtype=np.float64))
+    return embeddings.withColumn(
+        "bucket", udf(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    c = _norm_rows(np.asarray(centroids, dtype=np.float64))
+
+    @pandas_udf("array<int>")
+    def f(vecs: pd.Series) -> pd.Series:
+        m = _norm_rows(_mat(vecs))
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return f
+
+
+def ann_search(
+    base: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe nprobe buckets per query, exact cosine re-rank.
+
+    ``base`` is bucketed once (``assign_buckets``) — at scale, persisted
+    bucketed-by-``bucket``; each query joins only ~nprobe/k of it.
+    Result: (q_vec_id, vec_id, rn, cos_sim) — same shape as the
+    brute-force baseline so recall is directly comparable.
+    """
+    from pyspark.sql import Window
+
+    c = np.asarray(centroids, dtype=np.float64)
+    indexed = assign_buckets(
+        base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        c, vec_col="v",
+    )
+    probes = queries.select(
+        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "bucket", F.explode(_probe_udf(c, nprobe)(F.col("qv").cast("array<double>")))
+    )
+    cand = probes.join(indexed, "bucket").filter(F.col("q_vec_id") != F.col("vec_id"))
+    vd = F.transform(F.col("v"), lambda x: x.cast("double"))
+    qd = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(qd, vd, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.zip_with(col, col, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = cand.select(
+        "q_vec_id", "vec_id", (dot / (norm(qd) * norm(vd))).alias("cos")
+    ).dropDuplicates(["q_vec_id", "vec_id"])
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_vec_id", "vec_id", "rn", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def lsh_bucket(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (sign pattern of n_planes dots).
+    Training-free alternative to IVF; same join-on-bucket search shape."""
+
+    @pandas_udf("long")
+    def f(vecs: pd.Series) -> pd.Series:
+        m = _mat(vecs)
+        # deterministic hyperplanes derived from (seed, d) per batch —
+        # regeneration is trivially cheap next to the matmul
+        rng = np.random.default_rng([seed, m.shape[1], n_planes])
+        p = rng.standard_normal((n_planes, m.shape[1]))
+        bits = (m @ p.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for b in range(n_planes):
+            out |= bits[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return embeddings.withColumn(
+        "lsh_bucket", f(F.col(vec_col).cast("array<double>"))
+    )

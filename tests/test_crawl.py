@@ -129,6 +129,38 @@ def test_kill_and_resume_reaches_identical_state(spark, small_corpus, tmp_path_f
     assert {r.identity for r in res.seen.collect()} == pres.seen
 
 
+def test_delay_derived_politeness_budget(spark, small_corpus):
+    """crawl_delay_ms -> per-iteration per-host budget k=ceil(wall/delay)
+    (SleepTime made per-host, SURVEY §2.2). With wall=1000ms: delay 500
+    -> <=2 fetches/host/iter; delay 100 -> <=10; delay 0 -> uncapped."""
+    import pyspark.sql.functions as F
+
+    delays = (
+        small_corpus.select("host").distinct()
+        .withColumn(
+            "crawl_delay_ms",
+            F.when(F.col("host").endswith("0.example"), 500).otherwise(100),
+        )
+    )
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(dfs=True, max_depth=3, per_host_limit=None, iter_wall_ms=1000),
+        robots=gen_robots(spark, SMALL),
+        host_delays=delays,
+    )
+    fetched = res.fetched.select("url", "iter", "host").collect()
+    per = {}
+    for r in fetched:
+        per.setdefault((r.iter, r.host), 0)
+        per[(r.iter, r.host)] += 1
+    for (it, host), n in per.items():
+        cap = 2 if host.endswith("0.example") else 10
+        assert n <= cap, f"iter {it} host {host}: {n} > {cap}"
+    assert fetched  # crawl actually ran
+
+
 def test_retry_cycle_new_identity(spark, tiny_corpus):
     """A 500-page is retried with retried+1 (new identity) and every retry
     identity lands in seen (Design.md:17-18 — reference behavior, pinned)."""
