@@ -364,8 +364,9 @@ def q_sessionize_gap(spark, sf_dir):
     # The streaming-analytics analog of the reference's per-host pacing.
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.unix_timestamp(F.col("ts"))
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        epoch - F.lag(epoch).over(w) > 1800,
         F.lit(1),
     ).otherwise(F.lit(0))
     return (

@@ -95,6 +95,7 @@ class CrawlConfig:
     checkpoint_every: int = 1  # snapshot cadence (1 = every iteration)
     salt_buckets: int = 16
     max_link_pos: int = (1 << _POS_BITS) - 2
+    verbose: bool = False  # print each iteration's metrics row
 
 
 @dataclass
@@ -232,25 +233,23 @@ def _with_block(batch: DataFrame) -> DataFrame:
     )
 
 
-class Checkpointer:
-    """Parquet snapshot layout + atomic manifest (Iceberg stand-in)."""
 
-    def __init__(self, spark: SparkSession, root: str | None):
+class Checkpointer:
+    """Manifest + metrics writer over the parquet snapshot layout.
+
+    The crawl loop itself writes the state tables (frontier/seen/blooms/
+    fetched as ``<root>/<table>/iter=N`` parquet dirs); this class adds
+    the atomically-renamed ``_MANIFEST.json`` marking the last COMPLETE
+    iteration (written after that iteration's state dirs, so a crash
+    mid-iteration resumes from the previous consistent snapshot) and the
+    per-host lineage/metrics rows (north rule: per-partition lineage).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
 
-    def save_init(self, seen0) -> None:
-        """Seed identities — the seen-set's iteration-(-1) delta."""
-        if self.root is None:
-            return
-        seen0.write.mode("overwrite").parquet(f"{self.root}/seen/init")
-
-    def save(self, it: int, frontier, seen_delta, fetched, metrics_rows):
-        if self.root is None:
-            return
-        frontier.write.mode("overwrite").parquet(f"{self.root}/frontier/iter={it}")
-        seen_delta.write.mode("overwrite").parquet(f"{self.root}/seen/iter={it}")
-        fetched.write.mode("overwrite").parquet(f"{self.root}/fetched/iter={it}")
+    def save_metrics_and_manifest(self, it: int, metrics_rows: list[dict]) -> None:
         if metrics_rows:
             self.spark.createDataFrame(metrics_rows).write.mode("overwrite").parquet(
                 f"{self.root}/metrics/iter={it}"
@@ -261,24 +260,11 @@ class Checkpointer:
         os.replace(tmp, f"{self.root}/_MANIFEST.json")
 
     def last_iter(self) -> int | None:
-        if self.root is None:
-            return None
         try:
             with open(f"{self.root}/_MANIFEST.json") as f:
                 return json.load(f)["last_iter"]
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None
-
-    def load(self, it: int):
-        frontier = self.spark.read.parquet(f"{self.root}/frontier/iter={it}")
-        # only deltas <= it count (a crashed iter it+1 may have partials)
-        seen_parts = [f"{self.root}/seen/init"] + [
-            f"{self.root}/seen/iter={j}"
-            for j in range(it + 1)
-            if os.path.isdir(f"{self.root}/seen/iter={j}")
-        ]
-        seen = self.spark.read.parquet(*seen_parts).select("identity")
-        return frontier, seen
 
 
 def crawl(
@@ -296,13 +282,28 @@ def crawl(
     politeness budgets k=⌈iter_wall/delay⌉ (the reference's SleepTime
     made per-host, SURVEY §2.2); hosts without a row are capped only by
     ``per_host_limit``. Broadcast-joined (config-sized table).
+
+    State model: cross-iteration state (frontier, seen deltas, blooms,
+    fetched) lives in parquet snapshot tables under ``checkpoint_dir``
+    (or a temp dir) — NOT in checkpointed RDDs. Spark 4's
+    ``localCheckpoint`` copies the pre-checkpoint plan's statistics onto
+    the truncated node (``LogicalRDD.rewriteStatsAndConstraints``), so
+    size estimates compound multiplicatively across iterations until the
+    driver stalls multiplying million-digit BigIntegers (observed via
+    jstack; iteration walls grew ~3x per iteration). Parquet round-trips
+    reset stats to file-size reality and ARE the engine's table design
+    anyway (Iceberg snapshots in production). ``localCheckpoint`` is
+    still used WITHIN an iteration, where plans are bounded.
     """
+    import tempfile
+
     cfg = cfg or CrawlConfig()
-    ckpt = Checkpointer(spark, cfg.checkpoint_dir)
+    root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="spark-crawl-state-")
+    ckpt = Checkpointer(spark, root)
     bloom_params = None
     blooms = None
     if cfg.use_bloom:
-        from dotnetspider_spark.operators.bloom import BloomParams
+        from dotnetspider_spark.operators.bloom import BloomParams, build_blooms
 
         bloom_params = BloomParams(
             expected_per_bucket=cfg.bloom_expected_per_bucket,
@@ -311,29 +312,42 @@ def crawl(
     # the scheduling path must never scan payload columns: project early
     pages = corpus.select("url", "status", "html")
 
-    fetched_acc: DataFrame | None = None
     metrics: list[dict] = []
     start_iter = 0
+    seen_paths: list[str]
+    fetched_paths: list[str]
 
     if resume:
         last = ckpt.last_iter()
         if last is None:
-            raise ValueError(f"no manifest under {cfg.checkpoint_dir}")
-        frontier, seen = ckpt.load(last)
+            raise ValueError(f"no manifest under {root}")
         start_iter = last + 1
-        parts = [
-            f"{cfg.checkpoint_dir}/fetched/iter={j}"
+        frontier = spark.read.parquet(f"{root}/frontier/iter={last}")
+        seen_paths = [f"{root}/seen/init"] + [
+            f"{root}/seen/iter={j}"
             for j in range(last + 1)
-            if os.path.isdir(f"{cfg.checkpoint_dir}/fetched/iter={j}")
+            if os.path.isdir(f"{root}/seen/iter={j}")
         ]
-        fetched_acc = spark.read.parquet(*parts) if parts else None
+        fetched_paths = [
+            f"{root}/fetched/iter={j}"
+            for j in range(last + 1)
+            if os.path.isdir(f"{root}/fetched/iter={j}")
+        ]
     else:
-        frontier = seeds_to_frontier(seeds).localCheckpoint(eager=True)
-        seen = frontier.select("identity").localCheckpoint(eager=True)
-        ckpt.save_init(seen)
+        seeds_to_frontier(seeds).write.mode("overwrite").parquet(
+            f"{root}/frontier/init"
+        )
+        frontier = spark.read.parquet(f"{root}/frontier/init")
+        frontier.select("identity").write.mode("overwrite").parquet(
+            f"{root}/seen/init"
+        )
+        seen_paths = [f"{root}/seen/init"]
+        fetched_paths = []
+    seen = spark.read.parquet(*seen_paths).select("identity")
 
     it = start_iter
-    while it < cfg.max_iterations:
+    exhausted = False
+    while it < cfg.max_iterations and not exhausted:
         t0 = time.monotonic()
         n_frontier = frontier.count()
         if n_frontier == 0:
@@ -377,7 +391,8 @@ def crawl(
         allowed = _robots_gate(batch, robots if cfg.robots_enabled else None)
 
         # --- 3. fetch (sandbox: corpus join; production: mapInPandas
-        #        HTTP per host-partition) -----------------------------
+        #        HTTP per host-partition). In-iteration checkpoint: the
+        #        result is re-read by stages 4-7 --------------------------
         fetched_raw = allowed.join(pages, "url", "left").withColumn(
             "status", F.coalesce(F.col("status"), F.lit(404))
         )
@@ -416,32 +431,48 @@ def crawl(
             )
 
             if blooms is None:  # fold the seed identities in on first use
-                blooms = build_blooms(seen, bloom_params).localCheckpoint(eager=True)
+                build_blooms(seen, bloom_params).write.mode("overwrite").parquet(
+                    f"{root}/blooms/iter={it}"
+                )
+                blooms = spark.read.parquet(f"{root}/blooms/iter={it}")
             fresh = dedup_push_bloom(candidates, seen, blooms, bloom_params)
         else:
             fresh = dedup_push(candidates, seen)
+        fresh = fresh.localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+
+        # --- 7. persist next state as parquet snapshots --------------
+        if n_fresh > 0:
+            fresh.select("identity").write.mode("overwrite").parquet(
+                f"{root}/seen/iter={it}"
+            )
+            seen_paths.append(f"{root}/seen/iter={it}")
+            seen = spark.read.parquet(*seen_paths).select("identity")
+            if cfg.use_bloom:
+                delta = spark.read.parquet(f"{root}/seen/iter={it}")
+                build_blooms(
+                    delta, bloom_params, existing=blooms
+                ).write.mode("overwrite").parquet(f"{root}/blooms/iter={it + 1}")
+                blooms = spark.read.parquet(f"{root}/blooms/iter={it + 1}")
+
         frontier_next = rest.select(*_FRONTIER_COLS).unionByName(fresh)
-        frontier_next = frontier_next.localCheckpoint(eager=True)
-        seen_delta = fresh.select("identity").localCheckpoint(eager=True)
-        seen = seen.unionByName(seen_delta).localCheckpoint(eager=True)
-        if cfg.use_bloom and blooms is not None:
-            from dotnetspider_spark.operators.bloom import build_blooms
+        n_next = frontier_next.count()
+        if n_next > 0:
+            frontier_next.write.mode("overwrite").parquet(
+                f"{root}/frontier/iter={it}"
+            )
+            frontier = spark.read.parquet(f"{root}/frontier/iter={it}")
+        else:
+            exhausted = True
 
-            # incremental: OR only this iteration's delta into the filters
-            blooms = build_blooms(
-                seen_delta, bloom_params, existing=blooms
-            ).localCheckpoint(eager=True)
+        n_ok = success.count()
+        if n_ok > 0:
+            success.select(
+                *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")
+            ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
+            fetched_paths.append(f"{root}/fetched/iter={it}")
 
-        fetched_it = success.select(
-            *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")
-        ).localCheckpoint(eager=True)
-        fetched_acc = (
-            fetched_it
-            if fetched_acc is None
-            else fetched_acc.unionByName(fetched_it).localCheckpoint(eager=True)
-        )
-
-        # --- 7. metrics: per-host lineage + iteration aggregates -----
+        # --- 8. metrics: per-host lineage + iteration aggregates -----
         outcome_counts = (
             fetched_raw.groupBy("host")
             .agg(
@@ -452,7 +483,6 @@ def crawl(
             )
             .collect()
         )
-        n_fresh = seen_delta.count()
         row = {
             "iter": it,
             "n_frontier": n_frontier,
@@ -465,19 +495,21 @@ def crawl(
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
         metrics.append(row)
-        if cfg.checkpoint_dir and (it % cfg.checkpoint_every == 0):
-            ckpt.save(
-                it, frontier_next, seen_delta, fetched_it,
+        if cfg.verbose:
+            print(f"[crawl] {row}", flush=True)
+        if it % cfg.checkpoint_every == 0:
+            ckpt.save_metrics_and_manifest(
+                it,
                 [{**row, "host": r.host, "host_ok": int(r.n_ok)} for r in outcome_counts],
             )
-        frontier = frontier_next
         it += 1
 
     empty = spark.createDataFrame([], FRONTIER_SCHEMA + ", status int, rank int, iter int")
+    empty_frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
     return CrawlRunResult(
-        fetched=fetched_acc if fetched_acc is not None else empty,
+        fetched=spark.read.parquet(*fetched_paths) if fetched_paths else empty,
         seen=seen,
-        frontier=frontier,
+        frontier=frontier if not exhausted else empty_frontier,
         metrics=metrics,
         iterations=it - start_iter,
     )

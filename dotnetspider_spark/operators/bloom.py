@@ -132,7 +132,18 @@ def build_blooms(
             }
         )
 
-    return lanes.groupBy("__bucket").applyInPandas(fold, BLOOM_SCHEMA)
+    folded = lanes.groupBy("__bucket").applyInPandas(fold, BLOOM_SCHEMA)
+    if existing is not None:
+        # groupBy only emits buckets present in the DELTA — carry prior
+        # filters of untouched buckets forward unchanged, or incremental
+        # maintenance silently forgets them (measured: a late-crawl
+        # iteration with a 2-row delta wiped 6 of 8 buckets and the
+        # dedup re-admitted seen URLs -> non-terminating crawl)
+        untouched = existing.join(
+            folded.select("bucket"), "bucket", "left_anti"
+        )
+        folded = folded.unionByName(untouched.select(*folded.columns))
+    return folded
 
 
 def probe_blooms(
@@ -191,6 +202,10 @@ def dedup_push_bloom(
 
     first = dedup_push(candidates, seen=None, identity_col=identity_col)
     probed = probe_blooms(first, blooms, params, identity_col)
+    # materialization barrier: both branches below re-read the probe
+    # result, and in iterative loops the un-truncated plan feeds
+    # Catalyst's multiplicative size estimation (see session.py notes)
+    probed = probed.localCheckpoint(eager=True)
     fast_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     checked = maybe.join(

@@ -195,7 +195,14 @@ def build_cuckoo(
             }
         )
 
-    return lanes.groupBy("__bucket").applyInPandas(fold, CUCKOO_SCHEMA)
+    folded = lanes.groupBy("__bucket").applyInPandas(fold, CUCKOO_SCHEMA)
+    if existing is not None:
+        # carry prior filters of buckets untouched by this delta forward
+        # (groupBy emits only buckets present in the delta — same
+        # forgotten-bucket hazard as bloom.build_blooms)
+        untouched = existing.join(folded.select("bucket"), "bucket", "left_anti")
+        folded = folded.unionByName(untouched.select(*folded.columns))
+    return folded
 
 
 def probe_cuckoo(

@@ -30,6 +30,13 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
+    # iterative loops build plans whose leaves are localCheckpointed
+    # LogicalRDDs with UNKNOWN size; Catalyst's default stats visitor
+    # multiplies child sizes, and unknown defaults to Long.MaxValue —
+    # deep plans then produce million-digit BigInteger size estimates and
+    # the driver burns minutes in BigInteger.multiply (observed via
+    # jstack). A finite default keeps estimates sane.
+    "spark.sql.defaultSizeInBytes": str(64 * 1024 * 1024),
 }
 
 

@@ -161,6 +161,47 @@ def test_delay_derived_politeness_budget(spark, small_corpus):
     assert fetched  # crawl actually ran
 
 
+def test_t2_closure_crawl_bloom_matches_oracle(spark):
+    """Larger-corpus crawl to closure (no depth cap) through the bloom
+    path: exact fetched-URL-set + seen-set equality vs the oracle, and
+    NO per-iteration wall blow-up (regression: Spark 4 localCheckpoint
+    carries pre-checkpoint stats onto the truncated plan; size estimates
+    compounded ~3x per iteration into million-digit BigIntegers until
+    the driver stalled — state now lives in parquet snapshot tables).
+
+    NB: with a max_depth cap, batched and sequential crawls legitimately
+    trim different subtrees (first-discovery depth is order-dependent),
+    so set equality is asserted without a cap (closure) or in exact-order
+    mode only.
+    """
+    import time as _time
+
+    cfg = CorpusConfig(n_pages=1000, n_hosts=12)
+    corpus = gen_corpus(spark, cfg, parallelism=4).cache()
+    corpus.count()
+    res = crawl(
+        spark,
+        corpus,
+        gen_seeds(spark, cfg, k=10),
+        CrawlConfig(
+            dfs=True, max_depth=None, per_host_limit=32, max_iterations=80,
+            use_bloom=True, bloom_expected_per_bucket=20_000, bloom_n_buckets=8,
+        ),
+        robots=gen_robots(spark, cfg),
+    )
+    pres = pycrawl(
+        cfg, [Request(**r) for r in seed_rows(cfg, 10)], dfs=True, max_depth=None
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    # iteration walls must stay flat: last three <= 4x median of first five
+    walls = [m["wall_ms"] for m in res.metrics]
+    if len(walls) >= 10:
+        med = sorted(walls[:5])[2]
+        assert max(walls[-3:]) <= 4 * med, walls
+    corpus.unpersist()
+
+
 def test_retry_cycle_new_identity(spark, tiny_corpus):
     """A 500-page is retried with retried+1 (new identity) and every retry
     identity lands in seen (Design.md:17-18 — reference behavior, pinned)."""

@@ -67,6 +67,27 @@ def test_bloom_incremental_build_matches_full(spark, seen):
     assert a == b == 20_000  # every seen id flagged by both
 
 
+def test_bloom_incremental_keeps_untouched_buckets(spark, seen):
+    """A tiny delta must not wipe buckets it doesn't touch (regression:
+    incremental build forgot absent buckets -> seen URLs re-admitted ->
+    non-terminating crawl)."""
+    base = build_blooms(seen, P)
+    one = seen.limit(1)  # hits at most one bucket
+    inc = build_blooms(one, P, existing=base)
+    assert inc.count() == base.count()
+    # every originally-seen id still flagged after the tiny delta
+    probed = probe_blooms(_ids(spark, 0, 20_000), inc, P)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_incremental_keeps_untouched_buckets(spark, seen):
+    base = build_cuckoo(seen, CP)
+    inc = build_cuckoo(seen.limit(1), CP, existing=base)
+    assert inc.count() == base.count()
+    probed = probe_cuckoo(_ids(spark, 0, 20_000), inc, CP)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_cuckoo_roundtrip_and_delete_incore():
     import numpy as np
 
