@@ -618,6 +618,43 @@ def q_docs_simhash64(spark, sf_dir):
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+def q_content_handlers(spark, sf_dir):
+    # after-download content handlers as column transforms
+    # (AfterDownloadCompleteHandlers/*.cs): replace / regex-keep / case
+    from dotnetspider_spark.functions.handlers import (
+        regex_handler,
+        replace_handler,
+        to_upper_handler,
+        trim_handler,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        replace_handler(F.col("text"), "the", "THE").alias("replaced"),
+        regex_handler(F.col("text"), r"b[a-z]+").alias("kept"),
+        to_upper_handler(trim_handler(F.col("text"))).alias("upper_trim"),
+    )
+
+
+def q_outbound_domain_filter(spark, sf_dir):
+    # RemoveOutboundLinks (Selectable.cs:270-298): keep links whose
+    # 2-label registrable domain matches the page's
+    ev = _t(spark, sf_dir, "events")
+    page_host = F.concat(
+        F.lit("www.site"), (F.col("user_id") % 7).cast("string"), F.lit(".com")
+    )
+    link_host = F.concat(
+        F.lit("cdn.site"), (F.col("event_id") % 7).cast("string"), F.lit(".com")
+    )
+    dom = lambda h: F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return ev.select(
+        "event_id",
+        page_host.alias("page_host"),
+        link_host.alias("link_host"),
+    ).filter(dom(F.col("page_host")) == dom(F.col("link_host")))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # IVF-bucketed ANN (scale path; rows-only — kmeans training +
     # batch-matmul pandas UDFs are not SQL-expressible). Recall vs the
@@ -669,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_band_pairs": q_docs_minhash_band_pairs,
         "url_host_extract": q_url_host_extract,
         "running_budget": q_running_budget,
+        "content_handlers": q_content_handlers,
+        "outbound_domain_filter": q_outbound_domain_filter,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -785,6 +824,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "content_handlers": """
+            SELECT doc_id,
+                   replace(text, 'the', 'THE') AS replaced,
+                   coalesce(array_to_string(regexp_extract_all(text, 'b[a-z]+'), ''), '')
+                       AS kept,
+                   upper(trim(text)) AS upper_trim
+            FROM documents
+        """,
+        "outbound_domain_filter": """
+            SELECT event_id,
+                   concat('www.site', CAST(user_id % 7 AS VARCHAR), '.com')
+                       AS page_host,
+                   concat('cdn.site', CAST(event_id % 7 AS VARCHAR), '.com')
+                       AS link_host
+            FROM events
+            WHERE regexp_extract(concat('www.site', CAST(user_id % 7 AS VARCHAR), '.com'),
+                                 '([^.]+\\.[^.]+)$', 1)
+                = regexp_extract(concat('cdn.site', CAST(event_id % 7 AS VARCHAR), '.com'),
+                                 '([^.]+\\.[^.]+)$', 1)
         """,
         "url_host_extract": """
             SELECT event_id,
