@@ -441,7 +441,9 @@ def crawl(
         fresh = fresh.localCheckpoint(eager=True)
         n_fresh = fresh.count()
 
-        # --- 7. persist next state as parquet snapshots --------------
+        # --- 7. persist next state as parquet snapshots. Writes run
+        #        once; read-back counts are parquet-footer metadata
+        #        lookups, so each state transition costs ONE job ------
         if n_fresh > 0:
             fresh.select("identity").write.mode("overwrite").parquet(
                 f"{root}/seen/iter={it}"
@@ -456,21 +458,18 @@ def crawl(
                 blooms = spark.read.parquet(f"{root}/blooms/iter={it + 1}")
 
         frontier_next = rest.select(*_FRONTIER_COLS).unionByName(fresh)
-        n_next = frontier_next.count()
-        if n_next > 0:
-            frontier_next.write.mode("overwrite").parquet(
-                f"{root}/frontier/iter={it}"
-            )
-            frontier = spark.read.parquet(f"{root}/frontier/iter={it}")
-        else:
+        frontier_next.write.mode("overwrite").parquet(f"{root}/frontier/iter={it}")
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
+            f"{root}/frontier/iter={it}"
+        )
+        n_next = frontier.count()  # footer metadata, no scan
+        if n_next == 0:
             exhausted = True
 
-        n_ok = success.count()
-        if n_ok > 0:
-            success.select(
-                *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")
-            ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
-            fetched_paths.append(f"{root}/fetched/iter={it}")
+        success.select(
+            *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")
+        ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
+        fetched_paths.append(f"{root}/fetched/iter={it}")
 
         # --- 8. metrics: per-host lineage + iteration aggregates -----
         outcome_counts = (
@@ -504,10 +503,14 @@ def crawl(
             )
         it += 1
 
-    empty = spark.createDataFrame([], FRONTIER_SCHEMA + ", status int, rank int, iter int")
+    fetched_schema = FRONTIER_SCHEMA + ", status int, rank int, iter int"
+    empty = spark.createDataFrame([], fetched_schema)
     empty_frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
     return CrawlRunResult(
-        fetched=spark.read.parquet(*fetched_paths) if fetched_paths else empty,
+        # explicit schema: iteration dirs may be empty (no part files)
+        fetched=spark.read.schema(fetched_schema).parquet(*fetched_paths)
+        if fetched_paths
+        else empty,
         seen=seen,
         frontier=frontier if not exhausted else empty_frontier,
         metrics=metrics,
