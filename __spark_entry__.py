@@ -443,9 +443,15 @@ def q_docs_idf(spark, sf_dir):
 def q_docs_charngram_count(spark, sf_dir):
     # distinct char-5-gram shingles per doc (dedup shingling primitive)
     d = _t(spark, sf_dir, "documents")
+    # texts shorter than 5 chars: sequence(1, len-4) would DESCEND (Spark
+    # sequence is bidirectional) and emit bogus shingles where DuckDB's
+    # range(1, len-3) is empty — guard to match the oracle's empty range.
+    idx = F.when(
+        F.length("text") >= 5, F.sequence(F.lit(1), F.length("text") - 4)
+    ).otherwise(F.array().cast("array<int>"))
     g = d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 4)).alias("i"),
+        F.explode(idx).alias("i"),
         F.col("text"),
     ).select("doc_id", F.expr("substring(text, i, 5)").alias("sh"))
     return g.groupBy("doc_id").agg(
@@ -745,15 +751,15 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_gap": """
             WITH g AS (
                 SELECT user_id, event_id, ts,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       CASE WHEN floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
                 SELECT user_id, event_id,
-                       sum(new_sess) OVER (PARTITION BY user_id
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
                 FROM g)
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(event_id) AS first_event_id

@@ -127,8 +127,12 @@ def next_page_url(url: Column, pagination_str: str, interval: int = 1) -> Column
     import re as _re
 
     esc = _re.escape(pagination_str).replace(r"\*", r"(\d+)")
-    # pagination_str like "p/*" or "_*.html": '*' marks the page number
-    cur = F.regexp_extract(url, esc, 1).cast("long")
+    # pagination_str like "p/*" or "_*.html": '*' marks the page number.
+    # regexp_extract yields '' (not NULL) on non-matching URLs; nullif
+    # before the cast — under ANSI mode ''::BIGINT throws. A URL without
+    # the pagination substring yields no next page, matching
+    # AutoIncrementRequestExtractor.cs:35-46 (returns null, never throws).
+    cur = F.nullif(F.regexp_extract(url, esc, 1), F.lit("")).cast("long")
     nxt = (cur + F.lit(interval)).cast("string")
     old = F.regexp_extract(url, esc, 0)
     new = F.concat(

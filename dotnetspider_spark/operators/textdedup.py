@@ -27,12 +27,20 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings ("a b c")."""
+    """Word n-gram shingles as strings ("a b c").
+
+    Docs with fewer than ``n`` tokens yield an empty array: Spark's
+    sequence(0, -1) is DESCENDING [0, -1] (not empty), which would feed
+    slice() a negative start and throw INVALID_PARAMETER_VALUE.START —
+    guard so the sequence is only built when size(toks) >= n."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _hash64(s: Column) -> Column:

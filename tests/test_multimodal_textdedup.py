@@ -134,6 +134,27 @@ def test_ngram_jaccard_pairs_finds_neardups(spark):
     assert not any({a, b} == {0, 2} for a, b in pairs)
 
 
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    # Regression: sequence(0, size-n) DESCENDS for docs with < n tokens
+    # (Spark sequence is bidirectional), which fed slice() a negative
+    # start and threw INVALID_PARAMETER_VALUE.START. Short docs must
+    # yield an empty shingle array, matching DuckDB's empty range.
+    from dotnetspider_spark.operators.textdedup import shingles
+
+    rows = [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"),
+            (4, "one two three four")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r.sh for r in d.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert out[3] == ["one two three"]
+    assert out[4] == ["one two three", "two three four"]
+    # and the pair op itself survives a corpus containing short docs:
+    # only (3,4) share a shingle; the short docs contribute nothing
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs == {(3, 4): 0.5}
+
+
 def test_minhash_lsh_candidates(spark):
     d = _docs(spark)
     sig = minhash_signature(d, "doc_id", "text", k=8)
