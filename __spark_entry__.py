@@ -550,6 +550,105 @@ def q_running_budget(spark, sf_dir):
     )
 
 
+def q_entity_rows_xpath(spark, sf_dir):
+    # multi-node entity extraction (ModelExtractor.cs:40-67): row selector
+    # -> N rows per page, relative xpath fields, INDEX env field. HTML is
+    # constructed from customer rows so DuckDB can predict every value.
+    from dotnetspider_spark.extraction.model import (
+        INDEX,
+        EntityModel,
+        Field,
+        extract_rows,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    html = F.concat(
+        F.lit("<ul><li class='it'><a href='/c/"), key, F.lit("/1'>"),
+        F.col("c_name"), F.lit(" one</a></li><li class='it'><a href='/c/"),
+        key, F.lit("/2'>"), F.col("c_name"), F.lit(" two</a></li></ul>"),
+    )
+    pages = c.select("c_custkey", html.alias("html"))
+    model = EntityModel(
+        name="row",
+        selector="//li[@class='it']",
+        fields=(
+            Field("link", "xpath", "./a/@href"),
+            Field("label", "xpath", "./a", value_option="inner_text"),
+            Field("idx", "env", INDEX, dtype="int"),
+        ),
+    )
+    return extract_rows(model, pages, keep_cols=("c_custkey",))
+
+
+def q_css_selector_extract(spark, sf_dir):
+    # general CSS selector (CssSelector.cs:41-87): attr extraction,
+    # InnerText value, FieldOptions.Count
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+
+    p = _t(spark, sf_dir, "part")
+    html = F.concat(
+        F.lit("<div class='card'><span id='b' data-brand='"), F.col("p_brand"),
+        F.lit("'>"), F.col("p_type"),
+        F.lit("</span><ul><li>x</li><li>y</li></ul></div>"),
+    )
+    pages = p.select("p_partkey", html.alias("html"))
+    model = EntityModel(
+        name="page",
+        fields=(
+            Field("p_partkey", "column", "p_partkey", dtype="bigint"),
+            Field("brand", "css", "div.card span#b", attr="data-brand"),
+            Field("ptype", "css", "span#b", value_option="inner_text"),
+            Field("n_li", "css", "div.card ul li", value_option="count", dtype="int"),
+        ),
+    )
+    return extract(model, pages, page_key="p_partkey")
+
+
+def q_xpath_value_options(spark, sf_dir):
+    # ValueOption semantics (AbstractSelectable.cs:140-188): node default
+    # = InnerHtml; OuterHtml / InnerText on request; text() node test
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+
+    n = _t(spark, sf_dir, "nation")
+    html = F.concat(
+        F.lit("<div id='x'><b>"), F.col("n_name"), F.lit("</b> region</div>")
+    )
+    pages = n.select("n_nationkey", html.alias("html"))
+    model = EntityModel(
+        name="page",
+        fields=(
+            Field("n_nationkey", "column", "n_nationkey", dtype="bigint"),
+            Field("inner_h", "xpath", "//div[@id='x']"),  # default -> InnerHtml
+            Field("outer_h", "xpath", "//div[@id='x']", value_option="outer_html"),
+            Field("txt", "xpath", "//div/b", value_option="inner_text"),
+        ),
+    )
+    return extract(model, pages, page_key="n_nationkey")
+
+
+def q_content_type_detect(spark, sf_dir):
+    # DetectContentType (Downloader.cs:281-306): header 'json' substring
+    # -> Json else Html; no header -> JSON try-parse; null body -> Auto
+    from dotnetspider_spark.functions.content import detect_content_type
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string")).otherwise(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('{"k": '), F.col("doc_id").cast("string"), F.lit("}")),
+        ).otherwise(F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")))
+    )
+    header = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("application/json; charset=utf-8"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("text/html"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id", detect_content_type(body, header).alias("content_type")
+    )
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 # Oracle-free entries: genuinely non-SQL-expressible pipelines (pandas-UDF
 # codecs, iterative crawl). The driver records a rows-only check; full
@@ -714,13 +813,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_budget": q_running_budget,
         "content_handlers": q_content_handlers,
         "outbound_domain_filter": q_outbound_domain_filter,
+        "entity_rows_xpath": q_entity_rows_xpath,
+        "css_selector_extract": q_css_selector_extract,
+        "xpath_value_options": q_xpath_value_options,
+        "content_type_detect": q_content_type_detect,
+        "docs_word_jaccard": q_docs_word_jaccard,
+        "docs_simhash64": q_docs_simhash64,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
-        "docs_word_jaccard": q_docs_word_jaccard,
-        "docs_simhash64": q_docs_simhash64,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 
@@ -746,8 +849,99 @@ def _simhash16_sql() -> str:
     """
 
 
+def _simhash64_sql() -> str:
+    # 60 effective bits: the portable hash is the first 15 md5 hex chars
+    # (< 2^60), so bits 60-63 are never set — every vote for them is -1
+    # and their contribution is provably 0 on both engines.
+    sums = ",\n                   ".join(
+        "sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}".format(b=b)
+        for b in range(60)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents WHERE doc_id < 300),
+        hv AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS hv
+            FROM tok WHERE token <> ''),
+        sums AS (
+            SELECT doc_id, {sums}
+            FROM hv GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "entity_rows_xpath": """
+            SELECT c_custkey,
+                   '/c/' || CAST(c_custkey AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+                       AS link,
+                   c_name || CASE WHEN i = 1 THEN ' one' ELSE ' two' END AS label,
+                   CAST(i - 1 AS INTEGER) AS idx
+            FROM customer CROSS JOIN (SELECT unnest([1, 2]) AS i) t
+        """,
+        "css_selector_extract": """
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                   p_brand AS brand,
+                   p_type AS ptype,
+                   CAST(2 AS INTEGER) AS n_li
+            FROM part
+        """,
+        "xpath_value_options": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   '<b>' || n_name || '</b> region' AS inner_h,
+                   '<div id="x"><b>' || n_name || '</b> region</div>' AS outer_h,
+                   n_name AS txt
+            FROM nation
+        """,
+        "content_type_detect": """
+            SELECT doc_id,
+                   CASE WHEN hdr IS NOT NULL AND trim(hdr) <> '' THEN
+                            CASE WHEN lower(hdr) LIKE '%json%'
+                                 THEN 'Json' ELSE 'Html' END
+                        WHEN body IS NULL THEN 'Auto'
+                        WHEN json_valid(body) THEN 'Json'
+                        ELSE 'Html' END AS content_type
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN NULL
+                            WHEN doc_id % 3 = 0
+                                THEN '{"k": ' || CAST(doc_id AS VARCHAR) || '}'
+                            ELSE '<p>' || text || '</p>' END AS body,
+                       CASE WHEN doc_id % 5 = 0
+                                THEN 'application/json; charset=utf-8'
+                            WHEN doc_id % 5 = 1 THEN 'text/html' END AS hdr
+                FROM documents)
+        """,
+        "docs_simhash64": _simhash64_sql(),
+        "docs_word_jaccard": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 150),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - 1)) AS i
+                      FROM t)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(CAST(n_inter AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
         "sessionize_gap": """
             WITH g AS (
                 SELECT user_id, event_id, ts,

@@ -127,6 +127,44 @@ def extract_css_text_udf(html):
     return _css_text_udf()(html)
 
 
+@lru_cache(maxsize=None)
+def _region_links_udf(xpaths: tuple[str, ...]):
+    """Region-scoped link extraction (XPathRequestExtractor.cs:21-38):
+    links are gathered only from nodes matched by the region XPaths —
+    ``XPath(x).Links().GetValues()`` then UrlDecode + HtmlDecode per
+    link. One parse per page (DOM engine), Arrow-batched."""
+    import html as _htmllib
+    from urllib.parse import unquote
+
+    @pandas_udf("array<string>")
+    def f(content: pd.Series) -> pd.Series:
+        from dotnetspider_spark.extraction import dom
+
+        def one(s):
+            if not s:
+                return []
+            root = dom.parse_html(s)
+            out: list[str] = []
+            seen: set[str] = set()
+            for xp in xpaths:
+                nodes = [n for n in dom.xpath_all(root, xp) if not isinstance(n, str)]
+                for link in dom.links(nodes):
+                    link = _htmllib.unescape(unquote(link))
+                    if link not in seen:
+                        seen.add(link)
+                        out.append(link)
+            return out
+
+        return content.map(one)
+
+    return f
+
+
+def extract_region_links_udf(html, xpaths: tuple[str, ...]):
+    """Links from region XPaths only (XPathRequestExtractor parity)."""
+    return _region_links_udf(tuple(xpaths))(html)
+
+
 def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
     """Fused parse→junk-filter→canonicalize→dedup, one boundary crossing.
 

@@ -8,39 +8,82 @@ interpreted per page by ``ModelExtractor.Extract``
 chain (:132-149), ``NotNull`` row drop (:87-90), typed coercion via
 ``Convert.ChangeType`` (:178-233).
 
-Spark re-expression: a model is a plain dataclass; ``extract()`` compiles
-it into one ``select()`` projection over a fetched-pages DataFrame —
-selectors become built-in expressions (``regexp_extract``,
-``get_json_object``) or the stdlib-parser pandas UDF for CSS-ish
-selection; formatters are the column factories in
-``functions.formatters``; ``NotNull`` is a filter; ``Take`` a per-page
-rank. Supported dtypes mirror TableInfo.cs:128-167 (int/long/float/
-double/decimal/bool/timestamp/string — the reference has no nested
-types anywhere, SURVEY §1.4).
+Spark re-expression: a model is a plain dataclass.
+
+- ``extract()`` (single-node, one row per page) compiles into one
+  ``select()`` projection — selectors become built-in expressions
+  (``regexp_extract``, ``get_json_object``) or the stdlib DOM engine
+  (extraction/dom.py) behind Arrow-batched pandas UDFs for
+  xpath/css selection; formatters are the column factories in
+  ``functions.formatters``; ``NotNull`` is a filter; ``Take`` a rank.
+- ``extract_rows()`` (multi-node, the reference's row-selector path,
+  ModelExtractor.cs:40-67) parses each page ONCE in a pandas UDF,
+  selects the N region nodes, evaluates every DOM field relative to its
+  region, and returns ``array<struct<...>>`` -> ``posexplode`` — so the
+  per-page Python cost is one parse regardless of field count, and the
+  result is a distributed DataFrame (no driver loop).
+
+Supported dtypes mirror TableInfo.cs:128-167 (int/long/float/double/
+decimal/bool/timestamp/string — the reference has no nested types
+anywhere, SURVEY §1.4).
 """
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Callable
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
+from functools import lru_cache
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 _DTYPES = {
     "int", "bigint", "float", "double", "boolean", "string", "timestamp",
     "date", "decimal(18,6)",
 }
 
+#: Selectable.Environment time macros (Selectable.cs:83-113). Spark-side
+#: expressions over current_timestamp; format mirrors the reference's
+#: "yyyy/MM/dd hh:mm:ss" (12-hour, as written there).
+_TIME_MACROS = {
+    "now": lambda: F.date_format(F.current_timestamp(), "yyyy/MM/dd hh:mm:ss"),
+    "today": lambda: F.date_format(
+        F.date_trunc("day", F.current_timestamp()), "yyyy/MM/dd hh:mm:ss"
+    ),
+    "monday": lambda: F.date_format(
+        F.date_trunc("week", F.current_timestamp()), "yyyy/MM/dd hh:mm:ss"
+    ),
+    "monthly": lambda: F.date_format(
+        F.date_trunc("month", F.current_timestamp()), "yyyy/MM/dd hh:mm:ss"
+    ),
+}
+
+#: EnviromentFields.Index (EnvironmentSelector.cs:7-9): the row's index
+#: within its page's node list.
+INDEX = "INDEX"
+
 
 @dataclass(frozen=True)
 class Field:
     """One ``[Field]`` declaration.
 
-    kind: 'regex' (expr=pattern, uses group), 'jsonpath' (expr=$.path),
-    'css-cap' (caption-class CSS demo selector), 'column' (expr=existing
-    column name), 'const' (expr=literal). ``FieldOptions.Count``
-    (ModelExtractor.cs:127-129) is modeled by kind='regex-count'.
+    kind:
+      'xpath'    expr = XPath (trailing /@attr selects the attribute —
+                 XPathSelector.cs:24-29); value_option applies to nodes
+      'css'      expr = CSS selector; ``attr`` optionally names the
+                 attribute to read (CssSelector.cs:30-34)
+      'regex'    expr = pattern, uses ``group``
+      'regex-count'  FieldOptions.Count analog for regex
+      'jsonpath' expr = $.path (get_json_object subset)
+      'env'      EnvironmentSelector: expr = property column name, time
+                 macro (now/today/monday/monthly), or INDEX
+      'column'   expr = existing column name
+      'const'    expr = literal
+    value_option: 'auto' (node -> InnerHtml), 'inner_html', 'outer_html',
+      'inner_text', or 'count' (FieldOptions.Count — number of matches).
     """
 
     name: str
@@ -54,16 +97,72 @@ class Field:
     #: that column instead (EnvironmentSelector over request properties,
     #: EnvironmentSelector.cs:20-36)
     source: str | None = None
+    attr: str | None = None
+    value_option: str = "auto"
 
 
 @dataclass(frozen=True)
 class EntityModel:
-    """One ``[Entity]`` declaration over a content column."""
+    """One ``[Entity]`` declaration over a content column.
+
+    ``selector`` is the row selector ([Entity(Expression=...)],
+    ModelDefinition.cs:29-40): when set, ``extract_rows`` emits one row
+    per matched node; when None the page itself is the single row
+    (ModelExtractor.cs:40,68-75).
+    """
 
     name: str
     fields: tuple[Field, ...]
     take: int | None = None  # ModelDefinition Take (ModelDefinition.cs:76-84)
     take_from_head: bool = True  # TakeFromHead
+    selector: str | None = None
+    selector_kind: str = "xpath"  # 'xpath' | 'css'
+
+
+_DOM_KINDS = ("xpath", "css")
+
+
+def _eval_dom_field(node, f: Field):
+    """Evaluate one xpath/css field against a DOM node -> str | None.
+    Runs inside pandas UDFs; mirrors ModelExtractor.ExtractField
+    (ModelExtractor.cs:100-152)."""
+    from dotnetspider_spark.extraction import dom
+
+    if f.kind == "xpath":
+        items = dom.xpath_all(node, f.expr)
+    else:
+        items = dom.css_all(node, f.expr)
+        if f.attr is not None:
+            vals = []
+            for n in items:
+                v = n.attrs.get(f.attr)
+                if v is not None and v.strip():
+                    vals.append(v.strip())
+            items = vals
+    if f.value_option == "count":
+        return str(len(items))
+    if not items:
+        return None
+    return dom.node_value(items[0], f.value_option)
+
+
+@lru_cache(maxsize=None)
+def _dom_first_udf(kind: str, expr: str, attr: str | None, option: str):
+    """Single-value DOM selection over a content column (page = context)."""
+    probe = Field(name="_", kind=kind, expr=expr, attr=attr, value_option=option)
+
+    @pandas_udf("string")
+    def f(content: pd.Series) -> pd.Series:
+        from dotnetspider_spark.extraction import dom
+
+        def one(s):
+            if s is None:
+                return None
+            return _eval_dom_field(dom.parse_html(s), probe)
+
+        return content.map(one)
+
+    return f
 
 
 def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
@@ -76,7 +175,11 @@ def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
         raw = F.regexp_count(content, F.lit(f.expr))
     elif f.kind == "jsonpath":
         raw = F.get_json_object(content, f.expr)
-    elif f.kind == "css-cap":
+    elif f.kind in _DOM_KINDS:
+        raw = _dom_first_udf(f.kind, f.expr, f.attr, f.value_option)(content)
+    elif f.kind == "env":
+        raw = _env_col(f, df, idx_col=None)
+    elif f.kind == "css-cap":  # legacy demo selector, kept for compat
         from dotnetspider_spark.crawler.parse import extract_css_text_udf
 
         raw = extract_css_text_udf(content)
@@ -94,6 +197,22 @@ def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
     return raw.alias(f.name)
 
 
+def _env_col(f: Field, df: DataFrame, idx_col: str | None) -> Column:
+    """EnvironmentSelector resolution (ModelExtractor.cs:107-126 +
+    Selectable.Environment, Selectable.cs:83-113): INDEX -> row index,
+    time macros -> clock expressions, else request-property column."""
+    if f.expr == INDEX:
+        if idx_col is None:
+            return F.lit(0).cast("string")  # single-node path: index 0
+        return F.col(idx_col).cast("string")
+    macro = _TIME_MACROS.get(f.expr.lower())
+    if macro is not None:
+        return macro()
+    if f.expr in df.columns:
+        return df[f.expr].cast("string")
+    return F.lit(None).cast("string")
+
+
 def extract(
     model: EntityModel,
     pages: DataFrame,
@@ -101,16 +220,19 @@ def extract(
     page_key: str | None = "url",
     auto_timestamp: bool = False,
 ) -> DataFrame:
-    """Compile the model to a projection and run it.
+    """Single-node path: one output row per input page (the reference's
+    behavior when the entity has no row selector, ModelExtractor.cs:68-75).
 
-    One output row per input page (the reference's row-selector multiplies
-    rows per page; for page-per-row corpora the selector is the page
-    itself). ``NotNull`` fields drop the row when null
-    (ModelExtractor.cs:87-90); ``take`` keeps the first/last N rows in
-    page order (ModelExtractor.cs:52-55) — per the whole frame here,
-    ranked by ``page_key`` for determinism. ``auto_timestamp`` appends
+    ``NotNull`` fields drop the row when null (ModelExtractor.cs:87-90);
+    ``take`` keeps the first/last N rows in page order
+    (ModelExtractor.cs:52-55) — per the whole frame here, ranked by
+    ``page_key`` for determinism. ``auto_timestamp`` appends
     ``creation_time`` like MySqlEntityPipeline.cs:86-89.
     """
+    if model.selector is not None:
+        return extract_rows(
+            model, pages, content_col=content_col, auto_timestamp=auto_timestamp
+        )
     content = F.col(content_col)
     cols = [_field_col(f, content, pages) for f in model.fields]
     if page_key is not None:
@@ -129,6 +251,120 @@ def extract(
             .drop("__rn")
         )
     out = out.drop("__pk")
+    if auto_timestamp:
+        out = out.withColumn("creation_time", F.current_timestamp())
+    return out
+
+
+def _sql_ident(name: str) -> str:
+    assert _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name), name
+    return name
+
+
+@lru_cache(maxsize=None)
+def _rows_udf(model: EntityModel):
+    """Per-page row extraction: parse once, select region nodes, apply
+    Take to the NODE LIST (ModelExtractor.cs:52-55 — before field
+    extraction), evaluate each DOM field relative to its region node.
+    Returns array<struct<one string per DOM field>>."""
+    dom_fields = tuple(f for f in model.fields if f.kind in _DOM_KINDS)
+    regex_fields = tuple(f for f in model.fields if f.kind == "regex")
+    names = [f.name for f in dom_fields] + [f.name for f in regex_fields]
+    schema = "array<struct<{}>>".format(
+        ",".join(f"{_sql_ident(n)}:string" for n in names)
+    )
+    regexes = {f.name: _re.compile(f.expr) for f in regex_fields}
+
+    @pandas_udf(schema)
+    def f(content: pd.Series) -> pd.Series:
+        from dotnetspider_spark.extraction import dom
+
+        def one(s):
+            if s is None:
+                return None  # list==null -> no rows (ModelExtractor.cs:46-49)
+            root = dom.parse_html(s)
+            if model.selector_kind == "css":
+                nodes = dom.css_all(root, model.selector)
+            else:
+                nodes = [
+                    n
+                    for n in dom.xpath_all(root, model.selector)
+                    if not isinstance(n, str)
+                ]
+            if model.take is not None and len(nodes) > model.take:
+                nodes = (
+                    nodes[: model.take]
+                    if model.take_from_head
+                    else nodes[-model.take :]
+                )
+            rows = []
+            for n in nodes:
+                vals = {fl.name: _eval_dom_field(n, fl) for fl in dom_fields}
+                outer = None
+                if regex_fields:
+                    outer = n.outer_html
+                for fl in regex_fields:
+                    m = regexes[fl.name].search(outer or "")
+                    vals[fl.name] = m.group(fl.group) if m else None
+                rows.append(vals)
+            return rows
+
+        return content.map(one)
+
+    return f
+
+
+def extract_rows(
+    model: EntityModel,
+    pages: DataFrame,
+    content_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
+    auto_timestamp: bool = False,
+) -> DataFrame:
+    """Multi-node path (ModelExtractor.cs:40-67): N entity rows per page.
+
+    One fused Arrow crossing per page batch; the explode happens JVM-side
+    (posexplode over the returned array<struct>), so output rows are
+    distributed and never concentrated on the driver. ``keep_cols`` are
+    carried page columns (url, depth, ...). Env/column/const fields are
+    evaluated Spark-side; INDEX resolves to the row's position within its
+    page (EnviromentFields.Index, ModelExtractor.cs:110-115).
+    """
+    assert model.selector is not None, "extract_rows requires a row selector"
+    raw = pages.withColumn("__rows", _rows_udf(model)(F.col(content_col)))
+    # carry every page column an env/column field reads, plus keep_cols
+    need = set(keep_cols)
+    for f in model.fields:
+        if f.kind in ("env", "column") and f.expr in pages.columns:
+            need.add(f.expr)
+    carried = [c for c in pages.columns if c in need]
+    ex = raw.select(
+        *carried, F.posexplode("__rows").alias("__idx", "__row")
+    )
+    cols: list[Column] = []
+    for f in model.fields:
+        if f.kind in _DOM_KINDS or f.kind == "regex":
+            raw_col = F.col(f"__row.{f.name}")
+        elif f.kind == "env":
+            raw_col = _env_col(f, ex, idx_col="__idx")
+        elif f.kind == "column":
+            raw_col = ex[f.expr]
+        elif f.kind == "const":
+            raw_col = F.lit(f.expr)
+        elif f.kind == "jsonpath":
+            raw_col = F.get_json_object(F.col(f"__row.{f.name}"), f.expr)
+        else:
+            raise ValueError(f"unsupported kind in multi-node path: {f.kind!r}")
+        for fmt in f.formatters:
+            raw_col = fmt(raw_col)
+        if f.dtype != "string":
+            assert f.dtype in _DTYPES, f.dtype
+            raw_col = raw_col.cast(f.dtype)
+        cols.append(raw_col.alias(f.name))
+    out = ex.select(*keep_cols, *cols)
+    for f in model.fields:
+        if f.not_null:
+            out = out.filter(F.col(f.name).isNotNull())
     if auto_timestamp:
         out = out.withColumn("creation_time", F.current_timestamp())
     return out

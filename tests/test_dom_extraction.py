@@ -1,0 +1,221 @@
+"""DOM engine + XPath/CSS selectors + multi-node entity extraction.
+
+Ports the reference's Extraction.Test cases:
+- SelectorTest.cs:9-58 (Regex/Css/Xpath over the same html strings)
+- EntityExtractorTest.cs:14-38 (row selector -> N entity rows, env
+  fields, relative xpath fields, positional predicates)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dotnetspider_spark.extraction.dom import (
+    css_all,
+    links,
+    node_value,
+    parse_html,
+    xpath_all,
+)
+from dotnetspider_spark.extraction.model import (
+    INDEX,
+    EntityModel,
+    Field,
+    extract,
+    extract_rows,
+)
+
+# SelectorTest.cs:9 — the exact html strings from the reference test
+HTML = '<div><h1>test<a href="xxx">aabbcc</a></h1></div>'
+HTML2 = (
+    "<div><a href='http://whatever.com/aaa'></a></div>"
+    "<div><a href='http://whatever.com/bbb'></a></div>"
+)
+
+
+# ------------------------------------------------------------ pure engine
+
+
+def test_xpath_selector_cases():
+    root = parse_html(HTML)
+    # Selectors.XPath("//a/@href").Select(_html) == "xxx" (SelectorTest.cs:55-58)
+    assert xpath_all(root, "//a/@href") == ["xxx"]
+    r2 = parse_html(HTML2)
+    assert xpath_all(r2, "//a/@href") == [
+        "http://whatever.com/aaa",
+        "http://whatever.com/bbb",
+    ]
+    # positional predicate selects per-parent position
+    assert xpath_all(r2, "/div[2]/a/@href") == ["http://whatever.com/bbb"]
+    # attribute-equality and contains predicates
+    h = "<div><p class='cap big'>one</p><p class='cap'>two</p></div>"
+    r = parse_html(h)
+    assert [node_value(n, "inner_text") for n in xpath_all(r, "//p[@class='cap']")] == ["two"]
+    assert [node_value(n, "inner_text") for n in xpath_all(r, "//p[contains(@class,'cap')]")] == ["one", "two"]
+    assert xpath_all(r, "//p/text()") == ["one", "two"]
+    assert [node_value(n, "inner_text") for n in xpath_all(r, "//p[last()]")] == ["two"]
+
+
+def test_css_selector_cases():
+    root = parse_html(HTML)
+    # Selectors.Css("div h1 a").Select(_html).OuterHtml (SelectorTest.cs:46-52)
+    nodes = css_all(root, "div h1 a")
+    assert nodes[0].outer_html == '<a href="xxx">aabbcc</a>'
+    assert nodes[0].inner_html == "aabbcc"
+    # Selectors.Css("div h1 a", "href").Select(_html) == "xxx"
+    assert nodes[0].attrs["href"] == "xxx"
+    # combinators + attr selectors
+    h = (
+        '<div id="top"><span class="a b" data-x="foo">s1</span>'
+        '<p><span class="a">s2</span></p></div>'
+    )
+    r = parse_html(h)
+    assert [n.inner_text for n in css_all(r, "#top > span")] == ["s1"]
+    assert [n.inner_text for n in css_all(r, "span.a")] == ["s1", "s2"]
+    assert [n.inner_text for n in css_all(r, "span.a.b")] == ["s1"]
+    assert [n.inner_text for n in css_all(r, "[data-x^=fo]")] == ["s1"]
+    assert [n.inner_text for n in css_all(r, "p span, #top > span")] == ["s1", "s2"]
+
+
+def test_dom_forgiving_parse_and_values():
+    # unclosed <li>, void elements, entity refs
+    r = parse_html("<ul><li>a<li>b</ul><img src='i.png'><p>x &amp; y</p>")
+    assert [n.inner_text for n in xpath_all(r, "//li")] == ["a", "b"]
+    assert xpath_all(r, "//img/@src") == ["i.png"]
+    assert xpath_all(r, "//p")[0].inner_text == "x & y"
+    assert xpath_all(r, "//p")[0].inner_html == "x &amp; y"
+    # Links(): descendant-or-self @href + @src (Selectable.cs:119-139)
+    assert links(xpath_all(r, "//ul")) == []
+    assert links([r]) == ["i.png"]
+    # whitespace-only attr values are skipped (XPathSelector.cs:70-85)
+    r2 = parse_html("<a href='  '>x</a><a href=' ok '>y</a>")
+    assert xpath_all(r2, "//a/@href") == ["ok"]
+
+
+# JD-style list page (EntityExtractorTest.cs shape, 3 rows)
+_LIST_PAGE = """<ul>
+<li class='gl-item'><div class='j-sku-item first' data-sku='100' venderid='v0'>
+ <div><a href='http://item/100'>i0</a></div>
+ <div class='p-shop' data-shop_name='shop0'></div>
+ <div class='p-name'><a><em>product zero</em></a></div></div></li>
+<li class='gl-item'><div class='j-sku-item' data-sku='101' venderid='v1'>
+ <div><a href='http://item/101'>i1</a></div>
+ <div class='p-shop' data-shop_name='shop1'></div>
+ <div class='p-name'><a><em>product one</em></a></div></div></li>
+<li class='gl-item'><div class='j-sku-item' data-sku='102'>
+ <div><a href='http://item/102'>i2</a></div>
+ <div class='p-shop'></div>
+ <div class='p-name'><a><em>product two</em></a></div></div></li>
+</ul>"""
+
+_MODEL = EntityModel(
+    name="product",
+    selector="//li[@class='gl-item']/div[contains(@class,'j-sku-item')]",
+    fields=(
+        Field("sku", "xpath", "./@data-sku", dtype="bigint"),
+        Field("url2", "xpath", "./div[1]/a/@href"),
+        Field("shop", "xpath", ".//div[@class='p-shop']/@data-shop_name"),
+        Field("pname", "xpath", ".//div[@class='p-name']/a/em", value_option="inner_text"),
+        Field("cat", "env", "cat"),
+        Field("idx", "env", INDEX, dtype="int"),
+    ),
+)
+
+
+@pytest.fixture()
+def list_pages(spark):
+    return spark.createDataFrame(
+        [("p1", _LIST_PAGE, "phones")], "url string, html string, cat string"
+    )
+
+
+def test_extract_rows_multi_node(spark, list_pages):
+    out = extract_rows(_MODEL, list_pages, keep_cols=("url",)).collect()
+    assert len(out) == 3  # one row per region node (ModelExtractor.cs:57-66)
+    assert [r.sku for r in out] == [100, 101, 102]
+    assert [r.idx for r in out] == [0, 1, 2]  # EnviromentFields.Index
+    assert out[0].url2 == "http://item/100"
+    assert out[1].shop == "shop1"
+    assert out[2].shop is None  # missing attr -> null
+    assert out[0].pname == "product zero"
+    assert all(r.cat == "phones" for r in out)  # env property column
+
+
+def test_extract_rows_take_and_notnull(spark, list_pages):
+    # Take slices the NODE LIST before extraction (ModelExtractor.cs:52-55)
+    head = EntityModel(
+        name="p", selector=_MODEL.selector, take=2, take_from_head=True,
+        fields=(Field("sku", "xpath", "./@data-sku", dtype="bigint"),),
+    )
+    assert [r.sku for r in extract_rows(head, list_pages).collect()] == [100, 101]
+    tail = EntityModel(
+        name="p", selector=_MODEL.selector, take=2, take_from_head=False,
+        fields=(Field("sku", "xpath", "./@data-sku", dtype="bigint"),),
+    )
+    assert [r.sku for r in extract_rows(tail, list_pages).collect()] == [101, 102]
+    # NotNull drops the row when the field is null (ModelExtractor.cs:87-90)
+    nn = EntityModel(
+        name="p", selector=_MODEL.selector,
+        fields=(
+            Field("sku", "xpath", "./@data-sku", dtype="bigint"),
+            Field("shop", "xpath", ".//div[@class='p-shop']/@data-shop_name",
+                  not_null=True),
+        ),
+    )
+    assert [r.sku for r in extract_rows(nn, list_pages).collect()] == [100, 101]
+
+
+def test_extract_rows_css_selector_and_count(spark, list_pages):
+    m = EntityModel(
+        name="p", selector="li.gl-item div.j-sku-item", selector_kind="css",
+        fields=(
+            Field("sku", "css", "", attr="data-sku", dtype="bigint"),
+            Field("n_divs", "xpath", ".//div", value_option="count", dtype="int"),
+        ),
+    )
+    # css "" selects nothing; use the self-attr via xpath instead
+    m = EntityModel(
+        name="p", selector="li.gl-item div.j-sku-item", selector_kind="css",
+        fields=(
+            Field("sku", "xpath", "./@data-sku", dtype="bigint"),
+            Field("link", "css", "div a", attr="href"),
+            Field("n_divs", "xpath", ".//div", value_option="count", dtype="int"),
+        ),
+    )
+    out = extract_rows(m, list_pages).collect()
+    assert [r.sku for r in out] == [100, 101, 102]
+    assert out[0].link == "http://item/100"
+    assert all(r.n_divs == 3 for r in out)
+
+
+def test_extract_single_node_xpath_css(spark, list_pages):
+    m = EntityModel(
+        name="page",
+        fields=(
+            Field("first_sku", "xpath", "//div[contains(@class,'j-sku-item')]/@data-sku"),
+            Field("first_name", "css", "div.p-name a em", value_option="inner_text"),
+            Field("outer", "css", "div.p-name a em", value_option="outer_html"),
+        ),
+    )
+    r = extract(m, list_pages).collect()[0]
+    assert r.first_sku == "100"
+    assert r.first_name == "product zero"
+    assert r.outer == "<em>product zero</em>"
+
+
+def test_region_links_udf(spark):
+    from dotnetspider_spark.crawler.parse import extract_region_links_udf
+
+    html = (
+        "<div class='nav'><a href='/next?page=2&amp;x=%20y'>n</a>"
+        "<img src='sprite.png'></div>"
+        "<div class='ads'><a href='/spam'>ad</a></div>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(
+        extract_region_links_udf(F.col("html"), ("//div[@class='nav']",)).alias("l")
+    ).collect()[0].l
+    # UrlDecode + HtmlDecode applied (XPathRequestExtractor.cs:29-34);
+    # the ads region is never scanned
+    assert out == ["/next?page=2&x= y", "sprite.png"]
