@@ -12,14 +12,22 @@ iteration (SURVEY §3.1/§7):
     (children ∪ retries) ──dedup_push vs seen──► frontier(i+1) ∪ rest
 
 State lives in two tables — ``frontier`` (live requests) and ``seen``
-(identities) — checkpointed as parquet snapshots per iteration
-(``ckpt/frontier/iter=N``, ``ckpt/seen/iter=N`` deltas,
-``ckpt/fetched/iter=N``, ``ckpt/metrics/iter=N``) with an
-atomically-renamed ``_MANIFEST.json`` recording the last complete
-iteration, so a killed crawl resumes exactly (north rule: snapshot +
+(identities) — kept as DELTA parquet snapshots: the frontier is the
+union of additive parts (``frontier/init``/``frontier/compact=N``
+plus ``fresh/iter=N`` appends) anti-joined against consumed batch
+identities (``consumed/iter=N``), compacted every ``compact_every``
+iterations. Per-iteration I/O is therefore O(batch + new links), not
+O(frontier) — the property that matters at the 10^10-row design point,
+where rewriting the whole remaining frontier each iteration would be
+the dominant cost. ``seen/iter=N`` deltas, ``fetched/iter=N``,
+``errors/iter=N`` (the failing.log analog, Spider.cs:993-994) and
+``metrics/iter=N`` (per-host lineage rows, written DISTRIBUTED — never
+collected) complete the snapshot set; an atomically-renamed
+``_MANIFEST.json`` records the last complete iteration plus the live
+part lists, so a killed crawl resumes exactly (north rule: snapshot +
 per-partition lineage; Iceberg in production — the sandbox ships no
-Iceberg runtime jar, so the snapshot layout emulates its
-manifest/snapshot model over plain parquet).
+Iceberg runtime jar, so the delta layout emulates its
+manifest/snapshot/delete-file model over plain parquet).
 
 Ordering fidelity (SURVEY §7.3): every request carries a monotone
 total-order key ``seq``. ``global_limit=1`` reproduces the reference's
@@ -93,9 +101,20 @@ class CrawlConfig:
     max_iterations: int = 100_000
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1  # snapshot cadence (1 = every iteration)
+    compact_every: int = 8  # frontier delta-compaction cadence (iterations)
     salt_buckets: int = 16
     max_link_pos: int = (1 << _POS_BITS) - 2
     verbose: bool = False  # print each iteration's metrics row
+    #: SkipTargetRequestsWhenResultIsEmpty (Spider.cs:397,1155): when a
+    #: processor reports zero result items for a page, do not extract its
+    #: target links. Only meaningful with a ``processor``.
+    skip_targets_when_result_empty: bool = False
+
+
+ERRORS_SCHEMA = (
+    "url string, host string, identity string, depth int, retried int, "
+    "status int, reason string, iter int"
+)
 
 
 @dataclass
@@ -103,6 +122,7 @@ class CrawlRunResult:
     fetched: DataFrame  # fetched pages: frontier cols + iter, rank, status
     seen: DataFrame  # identity strings
     frontier: DataFrame  # remaining (empty when converged)
+    errors: DataFrame | None = None  # failing.log analog (ERRORS_SCHEMA)
     metrics: list[dict] = field(default_factory=list)
     iterations: int = 0
 
@@ -112,6 +132,44 @@ class CrawlRunResult:
             r.url
             for r in self.fetched.orderBy("iter", "rank", "url").select("url").collect()
         ]
+
+
+def _dense_seq_by_url(df: DataFrame) -> DataFrame:
+    """Dense 0-based seq in url order WITHOUT a single-partition window.
+
+    Range-partition on url (partition ids ascend with the range), rank
+    within each partition, then add per-partition offsets computed from
+    the partition counts (a collect of at most #partitions rows — the
+    scalable zip-with-index). Equivalent to
+    ``row_number().over(Window.orderBy(url)) - 1`` but every stage is
+    distributed; at the 10^10-seed design point the old global window
+    funnelled the entire seed set through one task.
+    """
+    ranged = df.repartitionByRange(F.col("url"))
+    withpid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("url")
+    # pin the partitioning: the count collect below and the final result
+    # must see the SAME range boundaries (range partitioning samples)
+    ranked = withpid.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    counts = sorted(
+        ranked.groupBy("__pid").agg(F.count("*").alias("__n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offset = {}
+    acc = 0
+    for r in counts:
+        offset[r["__pid"]] = acc
+        acc += r["__n"]
+    if not offset:
+        return df.withColumn("seq", F.lit(0).cast("long"))
+    omap = F.create_map(
+        *[F.lit(x) for pid, off in offset.items() for x in (pid, off)]
+    )
+    return ranked.withColumn(
+        "seq", (omap[F.col("__pid")] + F.col("__rn") - 1).cast("long")
+    ).drop("__pid", "__rn")
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
@@ -128,9 +186,7 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         if col not in df.columns:
             df = df.withColumn(col, default)
     if "seq" not in df.columns:
-        df = df.withColumn(
-            "seq", F.row_number().over(Window.orderBy("url")).cast("long") - 1
-        )
+        df = _dense_seq_by_url(df)
     df = df.withColumn("host", url_host(F.col("url"))).withColumn(
         "identity",
         request_identity(
@@ -142,12 +198,14 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     return dedup_push(df.select(*_FRONTIER_COLS), seen=None)
 
 
-def _robots_gate(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop rows any matching deny-rule forbids. Rules are tiny config
+def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Annotate each row with boolean ``__allowed``. Rules are tiny config
     (host, path_prefix, allow) — broadcast; most-specific longest prefix
-    wins like real robots matchers; no rule = allow."""
+    wins like real robots matchers; no rule = allow. Denied rows are kept
+    (flagged) so the loop can consume them AND log them to the errors
+    table (failing.log analog) without recomputing the gate."""
     if robots is None:
-        return batch
+        return batch.withColumn("__allowed", F.lit(True))
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     rules = F.broadcast(
         robots.select(
@@ -168,9 +226,16 @@ def _robots_gate(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
     return (
         joined.withColumn("__rr", F.row_number().over(best))
         .filter(F.col("__rr") == 1)
-        .filter(F.coalesce(F.col("__allow"), F.lit(True)))
+        .withColumn("__allowed", F.coalesce(F.col("__allow"), F.lit(True)))
         .drop("__rhost", "__prefix", "__allow", "__path", "__rr")
     )
+
+
+def _robots_gate(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Filtering wrapper over :func:`_robots_flag` (kept for plan tests)."""
+    if robots is None:
+        return batch
+    return _robots_flag(batch, robots).filter(F.col("__allowed")).drop("__allowed")
 
 
 def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataFrame:
@@ -235,36 +300,39 @@ def _with_block(batch: DataFrame) -> DataFrame:
 
 
 class Checkpointer:
-    """Manifest + metrics writer over the parquet snapshot layout.
+    """Manifest writer over the parquet delta-snapshot layout.
 
-    The crawl loop itself writes the state tables (frontier/seen/blooms/
-    fetched as ``<root>/<table>/iter=N`` parquet dirs); this class adds
-    the atomically-renamed ``_MANIFEST.json`` marking the last COMPLETE
-    iteration (written after that iteration's state dirs, so a crash
-    mid-iteration resumes from the previous consistent snapshot) and the
-    per-host lineage/metrics rows (north rule: per-partition lineage).
+    The crawl loop writes the state tables (fresh/consumed/seen/blooms/
+    fetched/errors/metrics as ``<root>/<table>/iter=N`` parquet dirs,
+    frontier compactions as ``frontier/compact=N``); this class adds the
+    atomically-renamed ``_MANIFEST.json`` marking the last COMPLETE
+    iteration plus the live state-part lists (written after that
+    iteration's state dirs, so a crash mid-iteration resumes from the
+    previous consistent snapshot) — the Iceberg-manifest analog.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
 
-    def save_metrics_and_manifest(self, it: int, metrics_rows: list[dict]) -> None:
-        if metrics_rows:
-            self.spark.createDataFrame(metrics_rows).write.mode("overwrite").parquet(
-                f"{self.root}/metrics/iter={it}"
-            )
+    def save_manifest(self, it: int, state: dict) -> None:
         tmp = f"{self.root}/_MANIFEST.json.tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_iter": it, "ts": time.time()}, f)
+            json.dump({"last_iter": it, "ts": time.time(), **state}, f)
         os.replace(tmp, f"{self.root}/_MANIFEST.json")
 
-    def last_iter(self) -> int | None:
+    def load_manifest(self) -> dict | None:
         try:
             with open(f"{self.root}/_MANIFEST.json") as f:
-                return json.load(f)["last_iter"]
+                m = json.load(f)
+            m["last_iter"]
+            return m
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return None
+
+    def last_iter(self) -> int | None:
+        m = self.load_manifest()
+        return None if m is None else m["last_iter"]
 
 
 def crawl(
@@ -275,6 +343,7 @@ def crawl(
     robots: DataFrame | None = None,
     host_delays: DataFrame | None = None,
     resume: bool = False,
+    processor=None,
 ) -> CrawlRunResult:
     """Run the crawl to frontier exhaustion (or max_iterations).
 
@@ -283,17 +352,39 @@ def crawl(
     made per-host, SURVEY §2.2); hosts without a row are capped only by
     ``per_host_limit``. Broadcast-joined (config-sized table).
 
-    State model: cross-iteration state (frontier, seen deltas, blooms,
-    fetched) lives in parquet snapshot tables under ``checkpoint_dir``
-    (or a temp dir) — NOT in checkpointed RDDs. Spark 4's
-    ``localCheckpoint`` copies the pre-checkpoint plan's statistics onto
-    the truncated node (``LogicalRDD.rewriteStatsAndConstraints``), so
-    size estimates compound multiplicatively across iterations until the
-    driver stalls multiplying million-digit BigIntegers (observed via
-    jstack; iteration walls grew ~3x per iteration). Parquet round-trips
-    reset stats to file-size reality and ARE the engine's table design
-    anyway (Iceberg snapshots in production). ``localCheckpoint`` is
-    still used WITHIN an iteration, where plans are bounded.
+    ``processor``: optional ``Callable[[DataFrame], DataFrame]`` — given
+    the success rows (frontier cols + ``html``), must return them with
+    two added columns: ``n_results int`` (items the page processor
+    yielded) and ``proc_error boolean`` (processor threw). Mirrors the
+    reference's page-processor hook (Spider.cs:1129-1163):
+    ``proc_error`` rows cycle-retry with retried+1 ⇒ new identity (like
+    a transient fetch) and land in the errors table once retries are
+    exhausted; ``n_results == 0`` rows skip target-link extraction when
+    ``cfg.skip_targets_when_result_empty`` (SpiderTest.cs:162-174).
+
+    State model: cross-iteration state lives in parquet DELTA snapshot
+    tables under ``checkpoint_dir`` (or a temp dir) — NOT in checkpointed
+    RDDs. Spark 4's ``localCheckpoint`` copies the pre-checkpoint plan's
+    statistics onto the truncated node
+    (``LogicalRDD.rewriteStatsAndConstraints``), so size estimates
+    compound multiplicatively across iterations until the driver stalls
+    multiplying million-digit BigIntegers (observed via jstack; iteration
+    walls grew ~3x per iteration). Parquet round-trips reset stats to
+    file-size reality and ARE the engine's table design anyway (Iceberg
+    snapshots in production). ``localCheckpoint`` is still used WITHIN an
+    iteration, where plans are bounded.
+
+    Delta layout: the live frontier is ``union(frontier_parts) ANTI JOIN
+    union(consumed_parts)`` where frontier_parts = seeds (or last
+    compaction) + per-iteration ``fresh/iter=N`` appends and
+    consumed_parts = per-iteration batch identities. Per-iteration write
+    volume is O(batch + new links), not O(frontier); every
+    ``cfg.compact_every`` iterations the view is materialized to
+    ``frontier/compact=N`` and both part lists reset, bounding plan
+    depth. ``seen`` is ``seen/init`` + the identity column of every
+    fresh part (column-pruned parquet read — no second write). The
+    frontier size is tracked arithmetically (n - consumed + fresh), so
+    no per-iteration count scan of the frontier exists at all.
     """
     import tempfile
 
@@ -314,44 +405,52 @@ def crawl(
 
     metrics: list[dict] = []
     start_iter = 0
-    seen_paths: list[str]
-    fetched_paths: list[str]
 
     if resume:
-        last = ckpt.last_iter()
-        if last is None:
+        m = ckpt.load_manifest()
+        if m is None:
             raise ValueError(f"no manifest under {root}")
-        start_iter = last + 1
-        frontier = spark.read.parquet(f"{root}/frontier/iter={last}")
-        seen_paths = [f"{root}/seen/init"] + [
-            f"{root}/seen/iter={j}"
-            for j in range(last + 1)
-            if os.path.isdir(f"{root}/seen/iter={j}")
-        ]
-        fetched_paths = [
-            f"{root}/fetched/iter={j}"
-            for j in range(last + 1)
-            if os.path.isdir(f"{root}/fetched/iter={j}")
-        ]
+        start_iter = m["last_iter"] + 1
+        frontier_parts = list(m["frontier_parts"])
+        consumed_parts = list(m["consumed_parts"])
+        seen_parts = list(m["seen_parts"])
+        fetched_paths = list(m["fetched_paths"])
+        errors_paths = list(m.get("errors_paths", []))
+        n_frontier = int(m["n_frontier"])
     else:
         seeds_to_frontier(seeds).write.mode("overwrite").parquet(
             f"{root}/frontier/init"
         )
-        frontier = spark.read.parquet(f"{root}/frontier/init")
-        frontier.select("identity").write.mode("overwrite").parquet(
-            f"{root}/seen/init"
-        )
-        seen_paths = [f"{root}/seen/init"]
+        init = spark.read.schema(FRONTIER_SCHEMA).parquet(f"{root}/frontier/init")
+        frontier_parts = [f"{root}/frontier/init"]
+        consumed_parts = []
+        seen_parts = [f"{root}/frontier/init"]
         fetched_paths = []
-    seen = spark.read.parquet(*seen_paths).select("identity")
+        errors_paths = []
+        n_frontier = init.count()  # parquet footer metadata, no scan
+
+    def frontier_view() -> DataFrame:
+        fr = spark.read.schema(FRONTIER_SCHEMA).parquet(*frontier_parts)
+        if consumed_parts:
+            cons = spark.read.schema("identity string").parquet(*consumed_parts)
+            fr = fr.join(cons, "identity", "left_anti")
+        return fr
+
+    def seen_view() -> DataFrame:
+        # seen/identity lives inside frontier-schema parts: explicit
+        # 1-column schema = column-pruned footer+identity read only
+        return spark.read.schema("identity string").parquet(*seen_parts)
+
+    seen = seen_view()
+    robots_cfg = robots if cfg.robots_enabled else None
 
     it = start_iter
     exhausted = False
     while it < cfg.max_iterations and not exhausted:
         t0 = time.monotonic()
-        n_frontier = frontier.count()
         if n_frontier == 0:
             break
+        frontier = frontier_view()
         iter_base = F.lit((it + 1) << _ITER_SHIFT)
 
         # --- 1. poll: select this iteration's batch ------------------
@@ -385,14 +484,25 @@ def crawl(
                 salt_buckets=cfg.salt_buckets,
             ).withColumnRenamed("host_rank", "rank")
             batch = _with_block(batch)
-        rest = frontier.join(batch.select("identity"), "identity", "left_anti")
+        batch = batch.localCheckpoint(eager=True)
+        n_consumed = batch.count()
 
-        # --- 2. robots gate (denied rows are consumed) ---------------
-        allowed = _robots_gate(batch, robots if cfg.robots_enabled else None)
+        # --- 2. consume: batch identities leave the frontier (delta
+        #        anti-join part — O(batch) write, the frontier itself is
+        #        NOT rewritten) --------------------------------------
+        batch.select("identity").write.mode("overwrite").parquet(
+            f"{root}/consumed/iter={it}"
+        )
+        consumed_parts.append(f"{root}/consumed/iter={it}")
 
-        # --- 3. fetch (sandbox: corpus join; production: mapInPandas
+        # --- 3. robots gate (denied rows are consumed AND logged) ----
+        flagged = _robots_flag(batch, robots_cfg)
+        allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
+        denied = flagged.filter(~F.col("__allowed")).drop("__allowed")
+
+        # --- 4. fetch (sandbox: corpus join; production: mapInPandas
         #        HTTP per host-partition). In-iteration checkpoint: the
-        #        result is re-read by stages 4-7 --------------------------
+        #        result is re-read by later stages --------------------
         fetched_raw = allowed.join(pages, "url", "left").withColumn(
             "status", F.coalesce(F.col("status"), F.lit(404))
         )
@@ -402,8 +512,28 @@ def crawl(
         transient = fetched_raw.filter(F.col("status") >= 500)
         retryable = transient.filter(F.col("retried") < cfg.cycle_retry_times)
 
-        # --- 4. retry candidates: retried+1 => NEW identity ----------
-        retries = retryable.select(
+        # --- 5. page processor hook (Spider.cs:1129-1163) ------------
+        if processor is not None:
+            proc = processor(success).localCheckpoint(eager=True)
+            proc_failed = proc.filter(F.col("proc_error"))
+            success = proc.filter(~F.col("proc_error"))
+            proc_retryable = proc_failed.filter(
+                F.col("retried") < cfg.cycle_retry_times
+            )
+            linkable = success
+            if cfg.skip_targets_when_result_empty:
+                # SkipTargetRequestsWhenResultIsEmpty (Spider.cs:397,1155)
+                linkable = success.filter(F.col("n_results") > 0)
+        else:
+            proc_failed = None
+            proc_retryable = None
+            linkable = success
+
+        # --- 6. retry candidates: retried+1 => NEW identity ----------
+        retry_src = retryable if proc_retryable is None else retryable.unionByName(
+            proc_retryable, allowMissingColumns=True
+        )
+        retries = retry_src.select(
             "url", "host", "method", "referer", "origin", "content", "headers",
             "priority", "depth",
             (F.col("retried") + 1).alias("retried"),
@@ -417,10 +547,10 @@ def crawl(
             ),
         )
 
-        # --- 5. link discovery from successes ------------------------
-        children = _discover_children(success, cfg, iter_base)
+        # --- 7. link discovery from successes ------------------------
+        children = _discover_children(linkable, cfg, iter_base)
 
-        # --- 6. dedup-push into next frontier ------------------------
+        # --- 8. dedup-push into next frontier ------------------------
         candidates = children.select(*_FRONTIER_COLS).unionByName(
             retries.select(*_FRONTIER_COLS)
         )
@@ -441,29 +571,23 @@ def crawl(
         fresh = fresh.localCheckpoint(eager=True)
         n_fresh = fresh.count()
 
-        # --- 7. persist next state as parquet snapshots. Writes run
-        #        once; read-back counts are parquet-footer metadata
-        #        lookups, so each state transition costs ONE job ------
+        # --- 9. persist deltas. Writes run once; read-back counts are
+        #        parquet-footer metadata lookups ----------------------
         if n_fresh > 0:
-            fresh.select("identity").write.mode("overwrite").parquet(
-                f"{root}/seen/iter={it}"
-            )
-            seen_paths.append(f"{root}/seen/iter={it}")
-            seen = spark.read.parquet(*seen_paths).select("identity")
+            fresh.write.mode("overwrite").parquet(f"{root}/fresh/iter={it}")
+            frontier_parts.append(f"{root}/fresh/iter={it}")
+            seen_parts.append(f"{root}/fresh/iter={it}")
+            seen = seen_view()
             if cfg.use_bloom:
-                delta = spark.read.parquet(f"{root}/seen/iter={it}")
+                delta = spark.read.schema("identity string").parquet(
+                    f"{root}/fresh/iter={it}"
+                )
                 build_blooms(
                     delta, bloom_params, existing=blooms
                 ).write.mode("overwrite").parquet(f"{root}/blooms/iter={it + 1}")
                 blooms = spark.read.parquet(f"{root}/blooms/iter={it + 1}")
-
-        frontier_next = rest.select(*_FRONTIER_COLS).unionByName(fresh)
-        frontier_next.write.mode("overwrite").parquet(f"{root}/frontier/iter={it}")
-        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(
-            f"{root}/frontier/iter={it}"
-        )
-        n_next = frontier.count()  # footer metadata, no scan
-        if n_next == 0:
+        n_frontier = n_frontier - n_consumed + n_fresh
+        if n_frontier == 0:
             exhausted = True
 
         success.select(
@@ -471,35 +595,111 @@ def crawl(
         ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
         fetched_paths.append(f"{root}/fetched/iter={it}")
 
-        # --- 8. metrics: per-host lineage + iteration aggregates -----
-        outcome_counts = (
-            fetched_raw.groupBy("host")
-            .agg(
-                F.count("*").alias("n_batch"),
-                F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
-                F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
-                F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
+        # --- 10. errors table: the failing.log analog ----------------
+        #         (Spider.cs:993-994) — failed rows PERSISTED, not just
+        #         counted: denied / missing / retries-exhausted /
+        #         unclassified status / processor-exception ----------
+        reason = (
+            F.when(F.col("status") == 404, F.lit("missing"))
+            .when(
+                (F.col("status") >= 500)
+                & (F.col("retried") >= cfg.cycle_retry_times),
+                F.lit("retries_exhausted"),
             )
-            .collect()
+            .when(
+                (F.col("status") != 200) & (F.col("status") < 500),
+                F.concat(F.lit("http_"), F.col("status").cast("string")),
+            )
         )
+        err_cols = [
+            "url", "host", "identity", "depth", "retried", "status", "reason",
+        ]
+        errs = (
+            fetched_raw.withColumn("reason", reason)
+            .filter(F.col("reason").isNotNull())
+            .select(*err_cols)
+        )
+        errs = errs.unionByName(
+            denied.select(
+                "url", "host", "identity", "depth", "retried",
+                F.lit(None).cast("int").alias("status"),
+                F.lit("robots_denied").alias("reason"),
+            )
+        )
+        if proc_failed is not None:
+            errs = errs.unionByName(
+                proc_failed.filter(
+                    F.col("retried") >= cfg.cycle_retry_times
+                ).select(
+                    "url", "host", "identity", "depth", "retried", "status",
+                    F.lit("processor_exception").alias("reason"),
+                )
+            )
+        errs.withColumn("iter", F.lit(it)).write.mode("overwrite").parquet(
+            f"{root}/errors/iter={it}"
+        )
+        errors_paths.append(f"{root}/errors/iter={it}")
+
+        # --- 11. metrics: per-host lineage written DISTRIBUTED (north
+        #         rule: per-partition lineage; never collected — at
+        #         10^6+ hosts a collect here is a driver bottleneck);
+        #         iteration scalars via ONE single-row agg ------------
+        fetched_raw.groupBy("host").agg(
+            F.count("*").alias("n_batch"),
+            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+            F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
+            F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
+        ).withColumn("iter", F.lit(it)).write.mode("overwrite").parquet(
+            f"{root}/metrics/iter={it}"
+        )
+        scal = fetched_raw.agg(
+            F.count("*").alias("n_fetch"),
+            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+            F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
+            F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
+            F.countDistinct("host").alias("n_hosts"),
+        ).collect()[0]
+        n_fetch = int(scal.n_fetch or 0)
+        n_ok = int(scal.n_ok or 0)
+        n_tr = int(scal.n_transient or 0)
+        n_miss = int(scal.n_missing or 0)
         row = {
             "iter": it,
-            "n_frontier": n_frontier,
-            "n_batch": sum(r.n_batch for r in outcome_counts),
-            "n_ok": sum(r.n_ok for r in outcome_counts),
-            "n_transient": sum(r.n_transient for r in outcome_counts),
-            "n_missing": sum(r.n_missing for r in outcome_counts),
+            "n_frontier": n_frontier + n_consumed - n_fresh,  # at iteration start
+            "n_batch": n_fetch,
+            "n_ok": n_ok,
+            "n_transient": n_tr,
+            "n_missing": n_miss,
+            # unclassified statuses (3xx/4xx≠404) — previously silent
+            "n_other": n_fetch - n_ok - n_tr - n_miss,
+            "n_denied": n_consumed - n_fetch,
             "n_new": n_fresh,
-            "n_hosts": len(outcome_counts),
+            "n_hosts": int(scal.n_hosts or 0),
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
         metrics.append(row)
         if cfg.verbose:
             print(f"[crawl] {row}", flush=True)
+
+        # --- 12. compaction: bound the part-list / plan depth --------
+        if (it + 1) % cfg.compact_every == 0 and not exhausted:
+            frontier_view().write.mode("overwrite").parquet(
+                f"{root}/frontier/compact={it}"
+            )
+            frontier_parts = [f"{root}/frontier/compact={it}"]
+            consumed_parts = []
+
         if it % cfg.checkpoint_every == 0:
-            ckpt.save_metrics_and_manifest(
+            ckpt.save_manifest(
                 it,
-                [{**row, "host": r.host, "host_ok": int(r.n_ok)} for r in outcome_counts],
+                {
+                    "frontier_parts": frontier_parts,
+                    "consumed_parts": consumed_parts,
+                    "seen_parts": seen_parts,
+                    "fetched_paths": fetched_paths,
+                    "errors_paths": errors_paths,
+                    "n_frontier": n_frontier,
+                },
             )
         it += 1
 
@@ -512,7 +712,10 @@ def crawl(
         if fetched_paths
         else empty,
         seen=seen,
-        frontier=frontier if not exhausted else empty_frontier,
+        frontier=frontier_view() if not exhausted else empty_frontier,
+        errors=spark.read.schema(ERRORS_SCHEMA).parquet(*errors_paths)
+        if errors_paths
+        else spark.createDataFrame([], ERRORS_SCHEMA),
         metrics=metrics,
         iterations=it - start_iter,
     )

@@ -139,6 +139,8 @@ class CrawlResult:
     success: int = 0
     error: int = 0
     fetched_pages: dict[str, int] = field(default_factory=dict)  # url -> depth
+    #: failing.log analog (Spider.cs:993-994): (url, retried, reason)
+    errors: list[tuple[str, int, str]] = field(default_factory=list)
 
 
 def crawl(
@@ -148,8 +150,18 @@ def crawl(
     max_depth: int | None = None,
     cycle_retry_times: int = 5,
     robots_deny_prefix: str | None = "/private/",
+    processor=None,
+    skip_targets_when_result_empty: bool = False,
 ) -> CrawlResult:
-    """Single-threaded reference crawl over the synthetic corpus."""
+    """Single-threaded reference crawl over the synthetic corpus.
+
+    ``processor``: optional ``Callable[[str, dict], int]`` given
+    (url, corpus page) returning the processor's result-item count; a
+    raise models a processor exception -> cycle retry like a transient
+    fetch (Spider.cs:1129-1140). With ``skip_targets_when_result_empty``
+    a zero return suppresses link extraction for that page
+    (Spider.cs:397,1155; SpiderTest.cs:162-174).
+    """
     corpus = {r["url"]: r for r in gen_corpus_local(cfg)}
     sched = QueueDuplicateRemovedScheduler(dfs=dfs)
     res = CrawlResult()
@@ -157,6 +169,26 @@ def crawl(
 
     for s in seeds:
         sched.push(s)
+
+    def cycle_retry(req: Request) -> bool:
+        """Re-push with retried+1 (NEW identity); False when exhausted."""
+        nonlocal seq_counter
+        if req.retried >= cycle_retry_times:
+            return False
+        retry = Request(
+            url=req.url,
+            method=req.method,
+            referer=req.referer,
+            origin=req.origin,
+            content=req.content,
+            headers=req.headers,
+            depth=req.depth,
+            retried=req.retried + 1,
+            seq=seq_counter,
+        )
+        seq_counter += 1
+        sched.push(retry)
+        return True
 
     while True:
         req = sched.poll()
@@ -166,32 +198,34 @@ def crawl(
         if robots_deny_prefix is not None:
             path = "/" + req.url.split("/", 3)[3] if req.url.count("/") >= 3 else "/"
             if path.startswith(robots_deny_prefix):
+                res.errors.append((req.url, req.retried, "robots_denied"))
                 continue
         page = corpus.get(req.url)
         if page is None or page["status"] == 404:
             sched.error += 1
             res.error += 1
+            res.errors.append((req.url, req.retried, "missing"))
             continue
         if page["status"] == 500:
             # transient: cycle retry with retried+1 (new identity)
-            if req.retried < cycle_retry_times:
-                retry = Request(
-                    url=req.url,
-                    method=req.method,
-                    referer=req.referer,
-                    origin=req.origin,
-                    content=req.content,
-                    headers=req.headers,
-                    depth=req.depth,
-                    retried=req.retried + 1,
-                    seq=seq_counter,
-                )
-                seq_counter += 1
-                sched.push(retry)
-            else:
+            if not cycle_retry(req):
                 sched.error += 1
                 res.error += 1
+                res.errors.append((req.url, req.retried, "retries_exhausted"))
             continue
+        # processor hook: exception => cycle retry (Spider.cs:1129-1140)
+        n_results = None
+        if processor is not None:
+            try:
+                n_results = processor(req.url, page)
+            except Exception:
+                if not cycle_retry(req):
+                    sched.error += 1
+                    res.error += 1
+                    res.errors.append(
+                        (req.url, req.retried, "processor_exception")
+                    )
+                continue
         # successful fetch
         sched.success += 1
         res.success += 1
@@ -200,6 +234,8 @@ def crawl(
         # link discovery: canonicalize in document order, first-dup wins
         child_depth = req.depth + 1
         if max_depth is not None and child_depth > max_depth:
+            continue
+        if skip_targets_when_result_empty and n_results == 0:
             continue
         seen_in_page: set[str] = set()
         for link in page["out_links"]:

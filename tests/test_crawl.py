@@ -221,3 +221,101 @@ def test_retry_cycle_new_identity(spark, tiny_corpus):
     # never fetched, but 1 seed + 3 retries = 4 identities seen
     assert res.fetched.count() == 0
     assert res.seen.count() == 4
+
+
+def _proc_page_id(url: str) -> int:
+    import re
+
+    return int(re.search(r"/(\d+)\.html$", url).group(1))
+
+
+def _engine_processor(df):
+    """Deterministic page processor: page_id %% 7 == 3 -> exception,
+    page_id %% 5 == 2 -> zero result items, else one item."""
+    import pyspark.sql.functions as F
+
+    pid = F.nullif(
+        F.regexp_extract(F.col("url"), r"/(\d+)\.html$", 1), F.lit("")
+    ).cast("long")
+    return df.withColumn("proc_error", F.pmod(pid, F.lit(7)) == 3).withColumn(
+        "n_results", F.when(F.pmod(pid, F.lit(5)) == 2, 0).otherwise(1)
+    )
+
+
+def _oracle_processor(url, page):
+    pid = _proc_page_id(url)
+    if pid % 7 == 3:
+        raise RuntimeError("processor boom")
+    return 0 if pid % 5 == 2 else 1
+
+
+def test_errors_table_matches_oracle(spark, small_corpus):
+    """failing.log analog (Spider.cs:993-994): denied / missing /
+    retries-exhausted rows are PERSISTED with reasons, matching the
+    pyref oracle's error log exactly."""
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(dfs=True, max_depth=3, per_host_limit=8),
+        robots=gen_robots(spark, SMALL),
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    got = {(r.url, r.retried, r.reason) for r in res.errors.collect()}
+    assert got == set(pres.errors)
+
+
+def test_processor_exception_cycle_retry(spark, small_corpus):
+    """Processor exceptions cycle-retry with retried+1 => new identity
+    (Spider.cs:1129-1140, SpiderTest.cs:162-174): fetched set, seen set
+    and errors (incl. processor_exception rows) all match the oracle."""
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(dfs=True, max_depth=3, per_host_limit=8, cycle_retry_times=2),
+        robots=gen_robots(spark, SMALL),
+        processor=_engine_processor,
+    )
+    pres = pycrawl(
+        SMALL,
+        [Request(**r) for r in seed_rows(SMALL, 5)],
+        dfs=True,
+        max_depth=3,
+        cycle_retry_times=2,
+        processor=_oracle_processor,
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    got = {(r.url, r.retried, r.reason) for r in res.errors.collect()}
+    assert got == set(pres.errors)
+    assert any(r[2] == "processor_exception" for r in got)
+
+
+def test_skip_targets_when_result_empty(spark, small_corpus):
+    """SkipTargetRequestsWhenResultIsEmpty (Spider.cs:397,1155): pages
+    whose processor yields zero items contribute no child links; the
+    reachable set shrinks identically on both sides."""
+    kw = dict(dfs=True, max_depth=3)
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(skip_targets_when_result_empty=True, per_host_limit=8, **kw),
+        robots=gen_robots(spark, SMALL),
+        processor=_engine_processor,
+    )
+    pres = pycrawl(
+        SMALL,
+        [Request(**r) for r in seed_rows(SMALL, 5)],
+        skip_targets_when_result_empty=True,
+        processor=_oracle_processor,
+        **kw,
+    )
+    base = pycrawl(SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], **kw)
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    # the gate must actually bite on this corpus
+    assert len(pres.fetch_order) < len(base.fetch_order)

@@ -98,3 +98,15 @@ def test_whole_stage_codegen_covers_identity(spark):
     assert "codegen id" in plan
     # the md5 identity projection itself sits inside the codegen span
     assert "md5" in plan and plan.index("md5") > plan.index("codegen id")
+
+
+def test_seed_seq_has_no_single_partition_window(spark):
+    """seeds_to_frontier's dense seq must never funnel the whole seed set
+    through one task (the 10^10-seed design point): no SinglePartition
+    exchange may appear in its plan."""
+    from dotnetspider_spark.crawler.loop import seeds_to_frontier
+    from dotnetspider_spark.testing.datagen import CorpusConfig, gen_seeds
+
+    cfg = CorpusConfig(n_pages=200, n_hosts=4)
+    fr = seeds_to_frontier(gen_seeds(spark, cfg, 100))
+    assert "SinglePartition" not in _plan(fr)
