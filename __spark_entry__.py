@@ -772,6 +772,64 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_search(e, queries_df, cents, k=3, nprobe=3)
 
 
+def q_host_headers_apply(spark, sf_dir):
+    # per-host default headers -> effective request headers
+    # (HttpClientDownloader.cs:275-301): host defaults load first, request
+    # headers override on conflict, Referer property overrides last.
+    # Output canonicalized as a sorted k=v string so the hash compare is
+    # map-order independent.
+    from dotnetspider_spark.functions.handlers import apply_host_headers
+
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 5).cast("string")
+    reqs = ev.select(
+        "event_id",
+        F.concat(F.lit("host"), h, F.lit(".example")).alias("host"),
+        F.when(
+            F.col("event_type") == "click",
+            F.create_map(F.lit("User-Agent"), F.lit("req-ua")),
+        ).alias("headers"),
+        F.when(
+            F.col("value") > 100,
+            F.concat(F.lit("http://ref/"), F.col("user_id").cast("string")),
+        ).alias("referer"),
+        F.lit(None).cast("string").alias("origin"),
+    )
+    hh = spark.createDataFrame(
+        [
+            ("host0.example", {"Accept": "text/html", "User-Agent": "ua-host0"}),
+            ("host1.example", {"Accept": "*/*"}),
+            ("host2.example", {"X-Custom": "c2"}),
+        ],
+        "host string, headers map<string,string>",
+    )
+    out = apply_host_headers(reqs, hh)
+    canon = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("headers"),
+                lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+            )
+        ),
+        ",",
+    )
+    return out.select("event_id", canon.alias("headers_canon"))
+
+
+def q_download_path(spark, sf_dir):
+    # Download formatter (Download.cs:19-25): field URL -> local target
+    # path images/<filename>, query string stripped.
+    from dotnetspider_spark.functions.formatters import download_fmt
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("http://img.example/f"), (F.col("user_id") % 7).cast("string"),
+        F.lit("/pic"), F.col("event_id").cast("string"), F.lit(".jpg"),
+        F.when(F.col("value") > 100, F.lit("?s=1")).otherwise(F.lit("")),
+    )
+    return ev.select("event_id", download_fmt(url).alias("path"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -819,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_detect": q_content_type_detect,
         "docs_word_jaccard": q_docs_word_jaccard,
         "docs_simhash64": q_docs_simhash64,
+        "host_headers_apply": q_host_headers_apply,
+        "download_path": q_download_path,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -917,6 +977,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
         """,
         "docs_simhash64": _simhash64_sql(),
+        "host_headers_apply": """
+            SELECT event_id,
+                   concat_ws(',',
+                       CASE WHEN user_id % 5 = 0 THEN 'Accept=text/html'
+                            WHEN user_id % 5 = 1 THEN 'Accept=*/*' END,
+                       CASE WHEN value > 100
+                            THEN 'Referer=http://ref/' || CAST(user_id AS VARCHAR) END,
+                       CASE WHEN event_type = 'click' THEN 'User-Agent=req-ua'
+                            WHEN user_id % 5 = 0 THEN 'User-Agent=ua-host0' END,
+                       CASE WHEN user_id % 5 = 2 THEN 'X-Custom=c2' END
+                   ) AS headers_canon
+            FROM events
+        """,
+        "download_path": """
+            SELECT event_id,
+                   'images/pic' || CAST(event_id AS VARCHAR) || '.jpg' AS path
+            FROM events
+        """,
         "docs_word_jaccard": """
             WITH t AS (
                 SELECT doc_id,

@@ -148,3 +148,31 @@ def chain(col: Column, *formatters) -> Column:
     for f in formatters:
         col = f(col)
     return col
+
+
+def download_fmt(col: Column, base_dir: str = "images") -> Column:
+    """Download formatter (Download.cs:19-25): the reference side-fetches
+    the field's URL value with a WebClient and replaces the value with
+    the local target path ``{base}/images/{filename}``. The path mapping
+    is this pure column (codegen'd); the byte fetch itself is NOT a
+    per-row side effect at scale — pair with ``fetch_payloads`` to join
+    the bytes in as a column (sandbox: corpus payload table replay;
+    production: a mapInPandas HTTP stage)."""
+    name = F.element_at(F.split(F.split(col, r"\?").getItem(0), "/"), -1)
+    return F.concat_ws("/", F.lit(base_dir), name)
+
+
+def fetch_payloads(df, payload, url_col: str = "url", out_col: str = "bytes"):
+    """Side-fetch companion of ``download_fmt``: left-join the payload
+    table (url, bytes) so each row carries its downloaded content. The
+    payload table is joined on the narrow url key only — payload bytes
+    never enter a shuffle wider than this join, and the join inherits
+    AQE/broadcast planning when the payload side is small."""
+    p = payload.select(
+        F.col(url_col).alias("__p_url"), F.col(out_col).alias("__p_bytes")
+    )
+    return (
+        df.join(p, df[url_col] == F.col("__p_url"), "left")
+        .withColumn(out_col, F.col("__p_bytes"))
+        .drop("__p_url", "__p_bytes")
+    )

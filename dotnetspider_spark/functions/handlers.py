@@ -95,3 +95,40 @@ def retry_when_contains(content: Column, *markers: str) -> Column:
     for m in markers:
         flag = flag | content.contains(m)
     return flag
+
+
+def _with_header(m: Column, key: str, val: Column) -> Column:
+    """Set header ``key`` = ``val`` when val is non-null (reference
+    removes then re-adds, so the request property always wins)."""
+    dropped = F.map_filter(m, lambda k, _: k != key)
+    return F.when(
+        val.isNotNull(), F.map_concat(dropped, F.create_map(F.lit(key), val))
+    ).otherwise(m)
+
+
+def apply_host_headers(df, host_headers, headers_col: str = "headers"):
+    """Per-host default headers -> effective request headers
+    (HttpClientDownloader.cs:275-301).
+
+    ``host_headers`` is a (host, headers map<string,string>) CONFIG table
+    — broadcast, never shuffled. Merge order mirrors the reference's
+    comment ("Headers 的优先级低于 Request 特定设置"): host defaults load
+    first, the request's own headers override on key conflicts, then the
+    request-level Referer/Origin properties override those pseudo-headers
+    last. Result replaces ``headers_col``; all map ops are built-in
+    (codegen'd), no Python."""
+    empty = F.expr("cast(map() as map<string,string>)")
+    hh = F.broadcast(
+        host_headers.select(
+            F.col("host").alias("__hh_host"), F.col("headers").alias("__hh")
+        )
+    )
+    out = df.join(hh, df["host"] == F.col("__hh_host"), "left")
+    base = F.coalesce(F.col("__hh"), empty)
+    req = F.coalesce(F.col(headers_col), empty)
+    merged = F.map_concat(
+        F.map_filter(base, lambda k, _: ~F.map_contains_key(req, k)), req
+    )
+    merged = _with_header(merged, "Referer", F.col("referer"))
+    merged = _with_header(merged, "Origin", F.col("origin"))
+    return out.withColumn(headers_col, merged).drop("__hh_host", "__hh")

@@ -102,9 +102,46 @@ class CuckooFilter:
         return False  # table over capacity
 
     def add_many(self, hashes: np.ndarray) -> int:
+        """Bulk insert, vectorized: each round places the first occurrence
+        of every distinct target bucket into its first empty slot (a
+        scatter over unique rows — race-free), items whose primary bucket
+        is full retarget to their alternate once, and only items with
+        BOTH buckets full fall back to the per-item displacement loop.
+        Below the design load factor the kick path is near-empty, so the
+        build is numpy-bound instead of Python-loop-bound."""
+        n = len(hashes)
+        if n == 0:
+            return 0
+        h = np.asarray(hashes).astype(np.uint64)
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._alt(i1, fp)
+        target = i1.copy()
+        on_alt = np.zeros(n, dtype=bool)
+        kick: list[int] = []
         ok = 0
-        for h in hashes:
-            ok += self.add_one(int(h))
+        pending = np.arange(n)
+        while len(pending):
+            t = target[pending]
+            # first occurrence per bucket this round: scatter-safe
+            _, first_idx = np.unique(t, return_index=True)
+            sel = pending[first_idx]
+            rest = np.delete(pending, first_idx)
+            emp = self.table[target[sel]] == 0
+            has = emp.any(axis=1)
+            slot = emp.argmax(axis=1)
+            place = sel[has]
+            self.table[target[place], slot[has]] = fp[place]
+            ok += len(place)
+            full = sel[~has]
+            exhausted = full[on_alt[full]]  # both buckets full -> kick
+            switch = full[~on_alt[full]]
+            target[switch] = i2[switch]
+            on_alt[switch] = True
+            kick.extend(int(x) for x in exhausted)
+            pending = np.concatenate([rest, switch])
+        for idx in kick:
+            ok += self.add_one(int(hashes[idx]))
         return ok
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:

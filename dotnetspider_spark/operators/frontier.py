@@ -75,6 +75,16 @@ def dedup_push(
     )
 
 
+def push_all(candidates: DataFrame) -> DataFrame:
+    """``QueueScheduler`` push: NO dedup at all — the reference installs a
+    FakeDuplicateRemover whose IsDuplicate always returns false and only
+    counts pushes (QueueScheduler.cs:11-34), so every request (duplicates
+    included) enqueues. The total-pushed counter is ``.count()`` on the
+    result; ResetDuplicateCheck throws in the reference and has no analog
+    here (there is no dedup state to reset)."""
+    return candidates
+
+
 def poll_order(dfs: bool = True) -> list[Column]:
     """LIFO/FIFO ordering key (QueueDuplicateRemovedScheduler.cs:57-91);
     default traverse strategy is DFS (DuplicateRemovedScheduler.cs:75)."""

@@ -1,0 +1,113 @@
+"""Small parity operators: counts-only push, per-host headers,
+Download formatter + payload side-fetch, per-identity file pipelines."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+
+def test_push_all_keeps_duplicates(spark):
+    """QueueScheduler (QueueScheduler.cs:11-34): FakeDuplicateRemover
+    never dedups — every push (duplicates included) enqueues, and the
+    total counter counts all of them."""
+    from dotnetspider_spark.operators.frontier import dedup_push, push_all
+
+    cand = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "identity string, seq long"
+    )
+    assert push_all(cand).count() == 3
+    assert dedup_push(cand, None).count() == 2  # the dedup path, for contrast
+
+
+def test_apply_host_headers_merge_order(spark):
+    """HttpClientDownloader.cs:275-301: host defaults load first, request
+    headers override on conflict, Referer/Origin properties override
+    last; hosts without a config row keep request headers unchanged."""
+    from dotnetspider_spark.functions.handlers import apply_host_headers
+
+    reqs = spark.createDataFrame(
+        [
+            ("http://a/x", "a", {"User-Agent": "req-ua"}, "http://r", None),
+            ("http://b/y", "b", None, None, "http://o"),
+            ("http://c/z", "c", {"K": "v"}, None, None),
+        ],
+        "url string, host string, headers map<string,string>, "
+        "referer string, origin string",
+    )
+    hh = spark.createDataFrame(
+        [
+            ("a", {"User-Agent": "host-ua", "Accept": "text/html"}),
+            ("b", {"Accept": "*/*"}),
+        ],
+        "host string, headers map<string,string>",
+    )
+    got = {
+        r.host: dict(r.headers)
+        for r in apply_host_headers(reqs, hh).select("host", "headers").collect()
+    }
+    # request UA beats host UA; host Accept survives; Referer prop added
+    assert got["a"] == {
+        "User-Agent": "req-ua", "Accept": "text/html", "Referer": "http://r",
+    }
+    # no request headers: host defaults + Origin prop
+    assert got["b"] == {"Accept": "*/*", "Origin": "http://o"}
+    # no host row: request headers unchanged
+    assert got["c"] == {"K": "v"}
+
+
+def test_download_formatter_and_payload_fetch(spark):
+    """Download.cs:19-25: the field value (a URL) becomes the local
+    target path images/<filename>; the bytes arrive via a url-keyed
+    payload join, not a per-row side effect."""
+    from dotnetspider_spark.functions.formatters import download_fmt, fetch_payloads
+
+    df = spark.createDataFrame(
+        [("http://h/img/pic1.jpg?s=2",), ("http://h/a/b/pic2.png",)],
+        "url string",
+    )
+    out = df.withColumn("path", download_fmt(F.col("url")))
+    got = {r.url: r.path for r in out.collect()}
+    assert got["http://h/img/pic1.jpg?s=2"] == "images/pic1.jpg"
+    assert got["http://h/a/b/pic2.png"] == "images/pic2.png"
+
+    payload = spark.createDataFrame(
+        [("http://h/a/b/pic2.png", bytearray(b"\x89PNG"))], "url string, bytes binary"
+    )
+    fetched = fetch_payloads(out, payload)
+    rows = {r.url: r.bytes for r in fetched.collect()}
+    assert bytes(rows["http://h/a/b/pic2.png"]) == b"\x89PNG"
+    assert rows["http://h/img/pic1.jpg?s=2"] is None  # no payload -> null
+
+
+def test_file_pipelines_per_identity_layout(spark, tmp_path):
+    """File/JsonFile pipelines (FilePipeline.cs:34-70,
+    JsonFilePipeline.cs:38-57): one directory per identity, key:\tvalue
+    text lines / JSON lines per result, written distributed."""
+    from dotnetspider_spark.sinks.files import (
+        write_file_pipeline,
+        write_json_pipeline,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("run1", "http://h/1", "t1", 10),
+            ("run1", "http://h/2", "t2", 20),
+            ("run2", "http://h/3", "t3", 30),
+        ],
+        "identity string, url string, title string, n int",
+    )
+    jdir = str(tmp_path / "json")
+    write_json_pipeline(df, jdir)
+    assert glob.glob(f"{jdir}/identity=run1/*.json")
+    assert glob.glob(f"{jdir}/identity=run2/*.json")
+    back = spark.read.json(jdir)
+    assert back.count() == 3 and set(back.columns) >= {"url", "title", "n"}
+
+    fdir = str(tmp_path / "dsd")
+    write_file_pipeline(df, fdir)
+    txt = ""
+    for p in glob.glob(f"{fdir}/identity=run1/*.txt"):
+        txt += open(p).read()
+    assert "url:\thttp://h/1" in txt and "title:\tt1" in txt and "n:\t10" in txt
