@@ -40,6 +40,11 @@ class SpiderResult:
     crawl: CrawlRunResult
     items: dict[str, DataFrame] = field(default_factory=dict)
 
+    @property
+    def errors(self) -> DataFrame | None:
+        """failing.log analog (Spider.cs:993-994): persisted failed rows."""
+        return self.crawl.errors
+
 
 class Spider:
     """Fluent crawl builder over the BSP engine."""
@@ -53,6 +58,8 @@ class Spider:
         self._robots: DataFrame | None = None
         self._models: list[EntityModel] = []
         self._pipelines: list[tuple[ParquetTable, str]] = []
+        self._processor = None
+        self._host_delays: DataFrame | None = None
 
     # ------------------------------------------------------------ seeds
 
@@ -120,6 +127,26 @@ class Spider:
         self._robots = robots
         return self
 
+    def set_host_delays(self, delays: DataFrame) -> "Spider":
+        """(host, crawl_delay_ms) table -> per-host politeness budgets
+        k=ceil(iter_wall/delay) (SleepTime made per-host, SURVEY §2.2)."""
+        self._host_delays = delays
+        return self
+
+    def set_processor(self, fn) -> "Spider":
+        """AddPageProcessor analog (Spider.cs:1129-1163): ``fn`` maps the
+        success-page DataFrame to itself + ``n_results int`` +
+        ``proc_error boolean``; error rows cycle-retry with a new
+        identity, exhausted ones land in the errors table."""
+        self._processor = fn
+        return self
+
+    def skip_when_result_empty(self, on: bool = True) -> "Spider":
+        """SkipTargetRequestsWhenResultIsEmpty (Spider.cs:397,1155):
+        pages whose processor yields zero items contribute no links."""
+        self.config = replace(self.config, skip_targets_when_result_empty=on)
+        return self
+
     # ------------------------------------------------- extraction/sinks
 
     def add_entity_model(self, model: EntityModel) -> "Spider":
@@ -146,7 +173,8 @@ class Spider:
             seeds = self.spark.createDataFrame(self._seed_rows, SEED_SCHEMA)
         res = crawl(
             self.spark, self._corpus, seeds, self.config,
-            robots=self._robots, resume=resume,
+            robots=self._robots, host_delays=self._host_delays,
+            resume=resume, processor=self._processor,
         )
         items: dict[str, DataFrame] = {}
         if self._models:

@@ -123,3 +123,40 @@ def test_corpus_fetcher_and_http_stub(spark, corpus):
     assert CorpusFetcher(corpus).fetch(missing).first().status == 404
     with pytest.raises(NotImplementedError):
         HttpFetcher().fetch(batch)
+
+
+def test_spider_processor_and_errors(spark, corpus):
+    """Spider facade wires the processor hook + errors table through:
+    proc_error pages cycle-retry then land in errors; zero-result pages
+    stop contributing links (Spider.cs:397,1129-1163)."""
+
+    def proc(df):
+        pid = F.nullif(
+            F.regexp_extract(F.col("url"), r"/(\d+)\.html$", 1), F.lit("")
+        ).cast("long")
+        return df.withColumn("proc_error", F.pmod(pid, F.lit(11)) == 5).withColumn(
+            "n_results", F.when(F.pmod(pid, F.lit(4)) == 1, 0).otherwise(1)
+        )
+
+    res = (
+        Spider(spark)
+        .add_seeds([page_url(i, CFG) for i in range(4)])
+        .set_corpus(corpus)
+        .add_robots(gen_robots(spark, CFG))
+        .depth(3)
+        .retry_times(1)
+        .set_processor(proc)
+        .skip_when_result_empty()
+        .run()
+    )
+    reasons = {r.reason for r in res.errors.select("reason").distinct().collect()}
+    assert "processor_exception" in reasons
+    # no fetched page may be a proc-error page
+    bad = res.crawl.fetched.filter(
+        F.pmod(
+            F.regexp_extract(F.col("url"), r"/(\d+)\.html$", 1).cast("long"),
+            F.lit(11),
+        )
+        == 5
+    )
+    assert bad.count() == 0
