@@ -102,6 +102,7 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1  # snapshot cadence (1 = every iteration)
     compact_every: int = 8  # frontier delta-compaction cadence (iterations)
+    seen_compact_parts: int = 32  # fold seen deltas when parts exceed this
     salt_buckets: int = 16
     max_link_pos: int = (1 << _POS_BITS) - 2
     verbose: bool = False  # print each iteration's metrics row
@@ -688,6 +689,17 @@ def crawl(
             )
             frontier_parts = [f"{root}/frontier/compact={it}"]
             consumed_parts = []
+            # seen accretes one delta part per iteration; above the part
+            # budget, fold them into one identity-only part (LSM-style
+            # tiering: O(seen) rewrite amortized over >=32 iterations,
+            # keeps the dedup anti-join a bounded-fan-in union at the
+            # 1000-iteration design point)
+            if len(seen_parts) > cfg.seen_compact_parts:
+                seen_view().write.mode("overwrite").parquet(
+                    f"{root}/seen/compact={it}"
+                )
+                seen_parts = [f"{root}/seen/compact={it}"]
+                seen = seen_view()
 
         if it % cfg.checkpoint_every == 0:
             ckpt.save_manifest(

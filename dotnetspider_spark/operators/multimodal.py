@@ -92,17 +92,20 @@ def image_features(images: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # itertuples-style zip: rows are MB-scale binaries so the
+            # decode dominates, but iterrows' per-row Series construction
+            # is pure overhead on top
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    px = decode_image(bytes(r["bytes"]), r["fmt"])
+                    px = decode_image(bytes(data), fmt)
                     m = px.reshape(-1, 3).mean(axis=0)
                     rows.append(
-                        (r["image_id"], px.shape[1], px.shape[0],
+                        (image_id, px.shape[1], px.shape[0],
                          float(m[0]), float(m[1]), float(m[2]),
                          float(m.mean()), True)
                     )
                 except (NotImplementedError, ValueError):
-                    rows.append((r["image_id"], 0, 0, 0.0, 0.0, 0.0, 0.0, False))
+                    rows.append((image_id, 0, 0, 0.0, 0.0, 0.0, 0.0, False))
             yield pd.DataFrame(
                 rows,
                 columns=["image_id", "w", "h", "mean_r", "mean_g", "mean_b",
@@ -127,9 +130,9 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
-                    px = decode_image(bytes(r["bytes"]), r["fmt"])
+                    px = decode_image(bytes(data), fmt)
                 except (NotImplementedError, ValueError):
                     continue
                 h, w, _ = px.shape
@@ -137,7 +140,7 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 xi = (np.arange(target_w) * w // target_w).clip(0, w - 1)
                 out = px[np.ix_(yi, xi)]
                 rows.append(
-                    (r["image_id"], encode_png(out), target_w, target_h, "png")
+                    (image_id, encode_png(out), target_w, target_h, "png")
                 )
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt"]
@@ -164,14 +167,14 @@ def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for video_id, data in zip(pdf["video_id"], pdf["bytes"]):
                 try:
-                    frames = decode_video(bytes(r["bytes"]))
+                    frames = decode_video(bytes(data))
                 except NotImplementedError:
                     continue
                 for i in range(0, frames.shape[0], every_n):
                     rows.append(
-                        (r["video_id"], i, encode_png(frames[i]),
+                        (video_id, i, encode_png(frames[i]),
                          frames.shape[2], frames.shape[1], "png")
                     )
             yield pd.DataFrame(
@@ -196,9 +199,9 @@ def audio_features(audio: DataFrame, window_s: float = 0.5) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for audio_id, data in zip(pdf["audio_id"], pdf["bytes"]):
                 try:
-                    samples, rate = decode_audio(bytes(r["bytes"]))
+                    samples, rate = decode_audio(bytes(data))
                 except NotImplementedError:
                     continue
                 win = max(1, int(rate * window_s))
@@ -209,7 +212,7 @@ def audio_features(audio: DataFrame, window_s: float = 0.5) -> DataFrame:
                     else np.array([])
                 )
                 rows.append(
-                    (r["audio_id"], rate, len(samples),
+                    (audio_id, rate, len(samples),
                      float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
                      float(np.abs(samples).max()) if len(samples) else 0.0,
                      [float(x) for x in w_rms])

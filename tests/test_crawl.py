@@ -319,3 +319,33 @@ def test_skip_targets_when_result_empty(spark, small_corpus):
     assert {r.identity for r in res.seen.collect()} == pres.seen
     # the gate must actually bite on this corpus
     assert len(pres.fetch_order) < len(base.fetch_order)
+
+
+def test_compaction_preserves_state_equivalence(spark, small_corpus, tmp_path_factory):
+    """Aggressive frontier + seen compaction (compact every 2 iterations,
+    fold seen at >2 parts) must leave fetched/seen/errors identical to
+    the oracle — the delta layout is an I/O optimization, never a
+    semantics change."""
+    ck = str(tmp_path_factory.mktemp("ckpt_compact"))
+    res = crawl(
+        spark,
+        small_corpus,
+        gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(
+            dfs=True, max_depth=3, per_host_limit=8, checkpoint_dir=ck,
+            compact_every=2, seen_compact_parts=2,
+        ),
+        robots=gen_robots(spark, SMALL),
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    got = {(r.url, r.retried, r.reason) for r in res.errors.collect()}
+    assert got == set(pres.errors)
+    # compaction must actually have fired
+    import glob
+
+    assert glob.glob(f"{ck}/frontier/compact=*")
+    assert glob.glob(f"{ck}/seen/compact=*")
