@@ -830,6 +830,31 @@ def q_download_path(spark, sf_dir):
     return ev.select("event_id", download_fmt(url).alias("path"))
 
 
+def q_jsonpath_select(spark, sf_dir):
+    # full JSONPath (JsonPathSelector.cs via Newtonsoft SelectTokens):
+    # recursive descent, wildcard-all, and predicate filters over a
+    # nested doc built from event columns. Oracle states the expected
+    # strings from the same integers directly.
+    from dotnetspider_spark.functions.jsonpath import json_path_col
+
+    ev = _t(spark, sf_dir, "events")
+    a = (F.col("user_id") % 10).cast("string")
+    b = (F.col("event_id") % 7).cast("string")
+    c = (F.col("user_id") % 5).cast("string")
+    doc = F.concat(
+        F.lit('{"a":{"items":[{"v":'), a, F.lit('},{"v":'), b,
+        F.lit('}],"deep":{"v":'), c, F.lit("}}}"),
+    )
+    return ev.select(
+        "event_id",
+        json_path_col(doc, "$..v").alias("first_v"),
+        json_path_col(doc, "$..v", mode="all").alias("all_v"),
+        json_path_col(doc, "$.a.items[?(@.v > 3)].v", mode="all").alias(
+            "filtered_v"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -879,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash64": q_docs_simhash64,
         "host_headers_apply": q_host_headers_apply,
         "download_path": q_download_path,
+        "jsonpath_select": q_jsonpath_select,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -993,6 +1019,19 @@ def oracle_sql() -> dict[str, str]:
         "download_path": """
             SELECT event_id,
                    'images/pic' || CAST(event_id AS VARCHAR) || '.jpg' AS path
+            FROM events
+        """,
+        "jsonpath_select": """
+            SELECT event_id,
+                   CAST(user_id % 10 AS VARCHAR) AS first_v,
+                   '[' || (user_id % 10) || ',' || (event_id % 7) || ','
+                       || (user_id % 5) || ']' AS all_v,
+                   '[' || concat_ws(',',
+                       CASE WHEN user_id % 10 > 3
+                            THEN CAST(user_id % 10 AS VARCHAR) END,
+                       CASE WHEN event_id % 7 > 3
+                            THEN CAST(event_id % 7 AS VARCHAR) END
+                   ) || ']' AS filtered_v
             FROM events
         """,
         "docs_word_jaccard": """

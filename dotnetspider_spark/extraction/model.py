@@ -174,7 +174,11 @@ def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
     elif f.kind == "regex-count":
         raw = F.regexp_count(content, F.lit(f.expr))
     elif f.kind == "jsonpath":
-        raw = F.get_json_object(content, f.expr)
+        # full grammar (recursive descent / wildcards / slices / filters)
+        # routes to functions.jsonpath; simple paths stay get_json_object
+        from dotnetspider_spark.functions.jsonpath import json_path_col
+
+        raw = json_path_col(content, f.expr)
     elif f.kind in _DOM_KINDS:
         raw = _dom_first_udf(f.kind, f.expr, f.attr, f.value_option)(content)
     elif f.kind == "env":
@@ -352,7 +356,9 @@ def extract_rows(
         elif f.kind == "const":
             raw_col = F.lit(f.expr)
         elif f.kind == "jsonpath":
-            raw_col = F.get_json_object(F.col(f"__row.{f.name}"), f.expr)
+            from dotnetspider_spark.functions.jsonpath import json_path_col
+
+            raw_col = json_path_col(F.col(f"__row.{f.name}"), f.expr)
         else:
             raise ValueError(f"unsupported kind in multi-node path: {f.kind!r}")
         for fmt in f.formatters:

@@ -219,3 +219,71 @@ def test_region_links_udf(spark):
     # UrlDecode + HtmlDecode applied (XPathRequestExtractor.cs:29-34);
     # the ads region is never scanned
     assert out == ["/next?page=2&x= y", "sprite.png"]
+
+
+# ------------------------------------------------------ JSONPath (full)
+
+
+def test_jsonpath_evaluator_grammar():
+    """JsonPathSelector.cs delegates to Newtonsoft SelectTokens; the
+    stdlib evaluator must cover the practical grammar with the same
+    match order (document order, pre-order descent)."""
+    from dotnetspider_spark.functions.jsonpath import jsonpath_eval as jp
+
+    doc = {
+        "store": {
+            "book": [
+                {"title": "A", "price": 8.95, "tag": "x"},
+                {"title": "B", "price": 12.99},
+                {"title": "C", "price": 22.99, "tag": "y"},
+            ],
+            "bicycle": {"price": 19.95},
+        },
+        "n": 3,
+    }
+    assert jp(doc, "$.store.book[0].title") == ["A"]
+    assert jp(doc, "$.store.book[*].title") == ["A", "B", "C"]
+    assert jp(doc, "$.store.book[-1].title") == ["C"]
+    assert jp(doc, "$.store.book[0:2].title") == ["A", "B"]
+    assert jp(doc, "$..price") == [8.95, 12.99, 22.99, 19.95]
+    assert jp(doc, "$.store.book[?(@.price > 10)].title") == ["B", "C"]
+    assert jp(doc, "$.store.book[?(@.tag == 'y')].title") == ["C"]
+    assert jp(doc, "$..book[1].title") == ["B"]
+    assert jp(doc, "$['store']['bicycle'].price") == [19.95]
+    assert jp(doc, "$.missing") == []
+
+
+def test_jsonpath_col_dispatch_and_field_kind(spark):
+    """Simple paths stay on get_json_object (no Python in the plan);
+    extended paths evaluate via the pandas UDF with identical scalar
+    rendering. The jsonpath Field kind accepts both."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+    from dotnetspider_spark.functions.jsonpath import is_simple_path, json_path_col
+
+    assert is_simple_path("$.a.b[0]") and not is_simple_path("$..b")
+    df = spark.createDataFrame(
+        [('{"a":{"b":[{"v":1},{"v":7}]}}', "u1"), ('{"a":{"b":[]}}', "u2")],
+        "js string, url string",
+    )
+    out = df.select(
+        json_path_col(F.col("js"), "$.a.b[0].v").alias("simple"),
+        json_path_col(F.col("js"), "$..v", mode="all").alias("deep"),
+        json_path_col(F.col("js"), "$.a.b[?(@.v > 3)].v").alias("filt"),
+    ).collect()
+    got = {tuple(r) for r in out}
+    assert got == {("1", "[1,7]", "7"), (None, "[]", None)}
+
+    model = EntityModel(
+        name="j",
+        fields=(
+            Field("deep_first", "jsonpath", "$..v", source="js"),
+            Field("plain", "jsonpath", "$.a.b[1].v", source="js"),
+        ),
+    )
+    rows = {
+        r.plain: r.deep_first
+        for r in extract(model, df, content_col="js", page_key="url").collect()
+    }
+    assert rows == {"7": "1", None: None}
