@@ -830,6 +830,32 @@ def q_download_path(spark, sf_dir):
     return ev.select("event_id", download_fmt(url).alias("path"))
 
 
+def q_docs_neardup_clusters(spark, sf_dir):
+    # near-dup CLUSTERING: MinHash band candidate pairs -> connected
+    # components (large-star/small-star, operators/graph.py) -> every
+    # paired doc labeled with its duplicate group's min doc_id. The
+    # oracle recomputes the same pairs and closes them with a recursive
+    # CTE — engine must match the exact component labeling.
+    from dotnetspider_spark.operators.graph import connected_components
+
+    pairs = q_docs_minhash_band_pairs(spark, sf_dir)
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def q_docs_neardup_keep(spark, sf_dir):
+    # dedup tail: keep the minimum-id doc per duplicate cluster plus all
+    # unpaired docs (text never shuffles — the anti-join side is ids).
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "n_chars"
+    )
+    pairs = q_docs_minhash_band_pairs(spark, sf_dir)
+    return dedup_keep_canonical(d, pairs)
+
+
 def q_jsonpath_select(spark, sf_dir):
     # full JSONPath (JsonPathSelector.cs via Newtonsoft SelectTokens):
     # recursive descent, wildcard-all, and predicate filters over a
@@ -905,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_headers_apply": q_host_headers_apply,
         "download_path": q_download_path,
         "jsonpath_select": q_jsonpath_select,
+        "docs_neardup_clusters": q_docs_neardup_clusters,
+        "docs_neardup_keep": q_docs_neardup_keep,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -912,6 +940,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup": q_phash_neardup,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
+
+
+def _neardup_cc_sql(select: str) -> str:
+    """MinHash band pairs (same CTE as docs_minhash_band_pairs) closed
+    into components with a recursive CTE; ``select`` consumes ``lab``
+    (id, component=min reachable id)."""
+    return f"""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+            FROM documents WHERE doc_id < 100),
+        sig AS (
+            SELECT doc_id,
+                   min(md5('s0|' || token)) AS mh0,
+                   min(md5('s1|' || token)) AS mh1,
+                   min(md5('s2|' || token)) AS mh2,
+                   min(md5('s3|' || token)) AS mh3
+            FROM tok WHERE token <> '' GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS band_key FROM sig),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sym AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+        reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        lab AS (
+            SELECT a AS id, least(a, min(b)) AS component
+            FROM reach GROUP BY a)
+        {select}
+    """
 
 
 def _simhash16_sql() -> str:
@@ -1021,6 +1086,15 @@ def oracle_sql() -> dict[str, str]:
                    'images/pic' || CAST(event_id AS VARCHAR) || '.jpg' AS path
             FROM events
         """,
+        "docs_neardup_clusters": _neardup_cc_sql(
+            "SELECT id AS doc_id, component FROM lab"
+        ),
+        "docs_neardup_keep": _neardup_cc_sql(
+            """SELECT d.doc_id, d.n_chars FROM documents d
+               WHERE d.doc_id < 100
+                 AND d.doc_id NOT IN
+                     (SELECT id FROM lab WHERE id <> component)"""
+        ),
         "jsonpath_select": """
             SELECT event_id,
                    CAST(user_id % 10 AS VARCHAR) AS first_v,

@@ -1,0 +1,142 @@
+"""Distributed connected components — the near-dup clustering stage.
+
+A 100 TB dedup pipeline ends with CLUSTERING: MinHash/SimHash candidate
+pairs (operators/textdedup.py) form a graph whose connected components
+are the duplicate groups; one canonical document per component survives.
+The reference has no analog (its dedup is per-request identity), so this
+is a driver-mandate training-data operator.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public):
+
+- large-star: per node u over the SYMMETRIC adjacency, connect every
+  strictly-larger neighbor to m(u) = min(Γ(u) ∪ {u});
+- small-star: per node u over edges directed high→low, connect every
+  smaller-or-equal neighbor (and u itself) to m(u);
+
+iterated to a fixpoint, at which every component is a star centered on
+its minimum node id. Converges in O(log² n) rounds (2-3 in practice for
+near-dup graphs, whose components are band-collision cliques), each
+round two shuffles keyed on node ids — no vertex ever sees more than its
+own adjacency, no driver-side graph state.
+
+State between rounds is parquet-round-tripped (same Spark 4
+localCheckpoint-stats-compounding hazard the crawl loop documents —
+loop.py ``crawl`` docstring); the convergence check reads one count plus
+an order-independent xxhash64 aggregate, not a set comparison.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame, a: str, b: str) -> DataFrame:
+    """Distinct undirected edges as (hi, lo), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+            F.least(F.col(a), F.col(b)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(hi,lo) edges -> for each u, attach strictly-larger neighbors to
+    min(Γ(u) ∪ {u})."""
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("__mn")).select(
+        "u", F.least(F.col("__mn"), F.col("u")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(hi,lo) edges -> for each u, attach all smaller neighbors and u
+    itself to min(Γ⁻(u) ∪ {u}) = min(lo) (lo < hi always here)."""
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    with_m = edges.join(m, "hi")
+    attach_lo = with_m.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+    attach_hi = m.select(F.col("hi"), F.col("m").alias("lo"))
+    return (
+        attach_lo.unionAll(attach_hi)
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # bit_xor: order-independent set digest with no ANSI overflow
+        # (edges are distinct, so xor-cancellation needs a hash collision)
+        F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+    ).first()
+    return int(row.n), int(row.h)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """Label every vertex of the undirected graph with its component's
+    MINIMUM vertex id. Returns (id, component); isolated vertices absent
+    from ``edges`` are absent from the result (union them in with
+    component=id if needed — they never shuffle here).
+    """
+    spark = edges.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="spark-cc-state-")
+    cur = _canon(edges, src, dst)
+    cur.write.mode("overwrite").parquet(f"{root}/iter=0")
+    cur = spark.read.parquet(f"{root}/iter=0")
+    fp = _fingerprint(cur)
+    for it in range(1, max_iterations + 1):
+        nxt = _small_star(_large_star(cur))
+        nxt.write.mode("overwrite").parquet(f"{root}/iter={it}")
+        nxt = spark.read.parquet(f"{root}/iter={it}")
+        nfp = _fingerprint(nxt)
+        cur = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iterations} rounds")
+    # fixpoint = stars: (hi, lo=root). Roots label themselves.
+    members = cur.select(F.col("hi").alias("id"), F.col("lo").alias("component"))
+    roots = cur.select(F.col("lo").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup tail: candidate pairs -> components -> keep the
+    minimum-id document per duplicate group (plus every unpaired doc).
+    The anti-join side carries only ids — document text never shuffles."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
