@@ -707,6 +707,19 @@ def q_phash_neardup(spark, sf_dir):
     return phash_near_duplicates(c.select("image_id", "phash"))
 
 
+def q_image_dedup_canonical(spark, sf_dir):
+    # image dedup tail: phash near-dup pairs -> connected components ->
+    # keep the min-id image per duplicate cluster (rows-only: phash comes
+    # from the pandas-UDF codec pipeline; the CC step itself is
+    # oracle-checked via docs_neardup_clusters)
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    c = _tiny_corpus(spark).select("image_id", "phash")
+    pairs = phash_near_duplicates(c)
+    return dedup_keep_canonical(c, pairs, id_col="image_id")
+
+
 def q_docs_word_jaccard(spark, sf_dir):
     # word-3-gram Jaccard near-dup pairs (subset: doc_id < 150)
     from dotnetspider_spark.operators.textdedup import ngram_jaccard_pairs
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validate": q_payload_validate,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
+        "image_dedup_canonical": q_image_dedup_canonical,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 

@@ -36,7 +36,7 @@ from dataclasses import dataclass
 from functools import lru_cache
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -247,13 +247,11 @@ def extract(
         if f.not_null:
             out = out.filter(F.col(f.name).isNotNull())
     if model.take is not None:
+        # orderBy+limit plans as TakeOrderedAndProject (per-partition
+        # top-K, then a K-row merge) — no single-partition window even
+        # when the extraction output is huge
         order = F.col("__pk").asc() if model.take_from_head else F.col("__pk").desc()
-        w = Window.orderBy(order)
-        out = (
-            out.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= model.take)
-            .drop("__rn")
-        )
+        out = out.orderBy(order).limit(model.take)
     out = out.drop("__pk")
     if auto_timestamp:
         out = out.withColumn("creation_time", F.current_timestamp())

@@ -110,3 +110,24 @@ def test_seed_seq_has_no_single_partition_window(spark):
     cfg = CorpusConfig(n_pages=200, n_hosts=4)
     fr = seeds_to_frontier(gen_seeds(spark, cfg, 100))
     assert "SinglePartition" not in _plan(fr)
+
+
+def test_model_take_plans_as_top_k(spark):
+    """ModelDefinition.Take must plan as TakeOrderedAndProject (per-
+    partition top-K), never a single-partition row_number window."""
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.concat(F.lit("body "), F.col("id")).alias("html"),
+    )
+    model = EntityModel(
+        name="m",
+        fields=(Field("n", "regex", r"body (\d+)", dtype="bigint"),),
+        take=5,
+    )
+    out = extract(model, df, content_col="html", page_key="url")
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert out.count() == 5

@@ -73,3 +73,27 @@ def test_phash_near_duplicates_finds_seeded_pairs(spark, corpus):
             expected.add(tuple(sorted((a, b))))
     assert expected  # corpus seeds at least one near-dup pair
     assert expected <= found
+
+
+def test_image_dedup_canonical_clusters(spark):
+    """phash pairs -> connected components -> one canonical image per
+    near-dup cluster; transitive groups collapse (A~B, B~C => one
+    survivor even if A!~C directly)."""
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    # ids chosen so phash hamming: a~b (1 bit), b~c (2 bits), a~c (3
+    # bits <= 4 anyway), d far away
+    rows = [
+        ("a", 0b1111000),
+        ("b", 0b1111001),
+        ("c", 0b1111011),
+        ("d", 0x0F0F0F0F0F0F0F0F),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = phash_near_duplicates(df, max_hamming=4)
+    kept = sorted(
+        r.image_id
+        for r in dedup_keep_canonical(df, pairs, id_col="image_id").collect()
+    )
+    assert kept == ["a", "d"]
