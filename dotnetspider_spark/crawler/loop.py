@@ -201,35 +201,44 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
 
 def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Annotate each row with boolean ``__allowed``. Rules are tiny config
-    (host, path_prefix, allow) — broadcast; most-specific longest prefix
-    wins like real robots matchers; no rule = allow. Denied rows are kept
-    (flagged) so the loop can consume them AND log them to the errors
-    table (failing.log analog) without recomputing the gate."""
+    (host, path_prefix, allow) — aggregated per host and BROADCAST
+    equi-joined, then the longest matching prefix is picked by a
+    JVM-side array fold: zero exchanges, zero windows, stays inside
+    whole-stage codegen (the previous per-identity window added one
+    shuffle per crawl iteration). Most-specific longest prefix wins like
+    real robots matchers; no rule = allow. Denied rows are kept (flagged)
+    so the loop can consume them AND log them to the errors table
+    (failing.log analog) without recomputing the gate."""
     if robots is None:
         return batch.withColumn("__allowed", F.lit(True))
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    rules = F.broadcast(
-        robots.select(
-            F.col("host").alias("__rhost"),
-            F.col("path_prefix").alias("__prefix"),
-            F.col("allow").alias("__allow"),
-        )
+    by_host = robots.groupBy("host").agg(
+        F.collect_list(F.struct("path_prefix", "allow")).alias("__rules")
     )
     joined = batch.withColumn("__path", path).join(
-        rules,
-        (F.col("host") == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("__prefix")),
-        "left",
+        F.broadcast(by_host), "host", "left"
     )
-    best = Window.partitionBy("identity").orderBy(
-        F.length(F.col("__prefix")).desc_nulls_last()
+    p = F.col("__path")
+    matched = F.filter(
+        F.coalesce(
+            F.col("__rules"),
+            F.array().cast("array<struct<path_prefix:string,allow:boolean>>"),
+        ),
+        lambda r: p.startswith(r["path_prefix"]),
     )
-    return (
-        joined.withColumn("__rr", F.row_number().over(best))
-        .filter(F.col("__rr") == 1)
-        .withColumn("__allowed", F.coalesce(F.col("__allow"), F.lit(True)))
-        .drop("__rhost", "__prefix", "__allow", "__path", "__rr")
+    none_t = F.lit(None).cast("struct<path_prefix:string,allow:boolean>")
+    best = F.aggregate(
+        matched,
+        none_t,
+        lambda acc, r: F.when(
+            acc.isNull()
+            | (F.length(r["path_prefix"]) > F.length(acc["path_prefix"])),
+            r,
+        ).otherwise(acc),
     )
+    return joined.withColumn(
+        "__allowed", F.coalesce(best["allow"], F.lit(True))
+    ).drop("__rules", "__path")
 
 
 def _robots_gate(batch: DataFrame, robots: DataFrame | None) -> DataFrame:

@@ -69,7 +69,11 @@ def test_robots_gate_uses_broadcast(spark):
         "rank", F.lit(1)
     )
     gated = _robots_gate(frontier, gen_robots(spark, cfg))
-    assert "BroadcastHashJoin" in _plan(gated) or "BroadcastNestedLoopJoin" in _plan(gated)
+    plan = _plan(gated)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the gate itself must add no shuffle: longest-prefix pick is an
+    # array fold, not a per-identity window
+    assert "Window" not in plan
 
 
 def test_dedup_partial_aggregation(spark):
