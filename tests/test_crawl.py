@@ -349,3 +349,74 @@ def test_compaction_preserves_state_equivalence(spark, small_corpus, tmp_path_fa
 
     assert glob.glob(f"{ck}/frontier/compact=*")
     assert glob.glob(f"{ck}/seen/compact=*")
+
+
+def test_hot_link_extraction_matches_htmlparser_reference():
+    """The crawl hot path extracts anchors with a strip+regex scan; it
+    must agree with the stdlib-HTMLParser + urljoin reference
+    implementation on fuzzed pages covering every link style, quoting
+    variant, script/comment embedding, entities, and dot segments."""
+    import random
+    import re as _re
+
+    import pandas as pd
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    from dotnetspider_spark.crawler.parse import _canonical_links, _extract
+
+    ok = _re.compile(r"^https?://")
+
+    def ref_one(h, b):
+        out, seen = [], set()
+        for raw in _extract(h, include_src=False):
+            if not raw or raw.startswith("#") or raw.lower().startswith("javascript:"):
+                continue
+            try:
+                s = urlsplit(urljoin(b or "", raw.strip()))
+            except ValueError:
+                continue
+            canon = urlunsplit(
+                (s.scheme.lower(), s.netloc.lower(), s.path or "/", s.query, "")
+            )
+            if len(canon) < 6 or not ok.match(canon) or canon in seen:
+                continue
+            seen.add(canon)
+            out.append(canon)
+        return out
+
+    rng = random.Random(7)
+    styles = [
+        lambda i: f"http://host{i%9}.example/p/{i}.html",
+        lambda i: f"HTTPS://Host{i%9}.EXAMPLE/P/{i}",
+        lambda i: f"/p/{i}.html",
+        lambda i: f"../up/{i}.html",
+        lambda i: f"./same/{i}.html",
+        lambda i: f"//host{i%9}.example/pr/{i}",
+        lambda i: f"/p/{i}.html?q=a&amp;b=2#frag",
+        lambda i: "#top",
+        lambda i: "javascript:void(0)",
+        lambda i: "",
+        lambda i: f"p{i}.html",
+        lambda i: f"/a/b/../c/{i}",
+        lambda i: f"  /sp/{i}.html ",
+        lambda i: f"mailto:x{i}@y.z",
+        lambda i: "/dup.html",
+    ]
+    pages, bases = [], []
+    for t in range(800):
+        parts = []
+        for k in range(rng.randrange(0, 12)):
+            href = rng.choice(styles)(rng.randrange(100))
+            quote = rng.choice(['"', "'", ""])
+            if quote == "" and (" " in href or href == ""):
+                quote = '"'
+            parts.append(f"<a href={quote}{href}{quote}>x</a>")
+            if rng.random() < 0.1:
+                parts.append(f"<script>var a=\"<a href='/bad/{k}'>\";</script>")
+            if rng.random() < 0.1:
+                parts.append(f"<!-- <a href='/cmt/{k}'>c</a> -->")
+        pages.append("<html><body>" + "".join(parts) + "</body></html>")
+        bases.append(f"http://base{t%7}.example/dir/page{t}.html")
+    got = _canonical_links(pd.Series(pages), pd.Series(bases))
+    for h, b, g in zip(pages, bases, got):
+        assert list(g) == ref_one(h, b)
