@@ -91,10 +91,21 @@ def frontier_df():
     )
 
 def corpus_df():
+    # REPRESENTATIVE page shape: ~2 KB of text + 24 anchors. Real crawl
+    # pages are KB-scale with dozens of links; a 200-byte/5-link toy page
+    # makes the job shuffle-fixed-cost-bound and measures Spark overheads
+    # instead of the engine (observed: the toy shape reports 0.6x
+    # "efficiency" purely because 6-second walls are scheduler-dominated).
     anchor = lambda seed: F.concat(
         F.lit('<a href="/p/'), F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(rows)),
         F.lit('.html">l</a>')
     )
+    filler = F.repeat(F.lit("lorem ipsum dolor sit amet consectetur "), 12)
+    anchors = []
+    for seed in range(1, 25):
+        anchors.append(anchor(seed))
+        if seed % 6 == 0:
+            anchors.append(filler)
     return (
         spark.range(rows, numPartitions=parts)
         .withColumn("u", F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20)))
@@ -104,7 +115,7 @@ def corpus_df():
             "html",
             F.concat(
                 F.lit("<html><body>"),
-                anchor(1), anchor(2), anchor(3), anchor(4), anchor(5),
+                *anchors,
                 F.lit('<a href="#frag">j</a><a href="javascript:void(0)">k</a>'),
                 F.lit('<img src="/img/x.png"/><p class="cap">caption '),
                 F.col("id"), F.lit("</p></body></html>"),
