@@ -420,3 +420,28 @@ def test_hot_link_extraction_matches_htmlparser_reference():
     got = _canonical_links(pd.Series(pages), pd.Series(bases))
     for h, b, g in zip(pages, bases, got):
         assert list(g) == ref_one(h, b)
+
+
+def test_canonicalize_matches_reference_urlutils_cases():
+    """Verbatim port of UrlUtilsTest.cs:7-25 (Selectable.CanonicalizeUrl)
+    through the engine's fused link-canonicalization path."""
+    import pandas as pd
+
+    from dotnetspider_spark.crawler.parse import _canonical_links
+
+    cases = [
+        ("?aa", "http://www.dianping.com/sh/ss/com",
+         "http://www.dianping.com/sh/ss/com?aa"),
+        ("../aa", "http://www.dianping.com/sh/ss/com",
+         "http://www.dianping.com/sh/aa"),
+        ("..aa", "http://www.dianping.com/sh/ss/com",
+         "http://www.dianping.com/sh/ss/..aa"),
+        ("../../aa", "http://www.dianping.com/sh/ss/com/",
+         "http://www.dianping.com/sh/aa"),
+        ("../../aa", "http://www.dianping.com/sh/ss/com",
+         "http://www.dianping.com/aa"),
+    ]
+    html = pd.Series([f'<a href="{raw}">x</a>' for raw, _, _ in cases])
+    base = pd.Series([b for _, b, _ in cases])
+    for (_, _, want), got in zip(cases, _canonical_links(html, base)):
+        assert list(got) == [want]

@@ -287,3 +287,28 @@ def test_jsonpath_col_dispatch_and_field_kind(spark):
         for r in extract(model, df, content_col="js", page_key="url").collect()
     }
     assert rows == {"7": "1", None: None}
+
+
+def test_jsonpath_reference_selector_cases():
+    """Direct port of SelectorTest.cs:60-85 (Selector_JsonPath) over the
+    reference's own JSON fixture: wildcard book authors and a category
+    predicate filter."""
+    import json
+
+    from dotnetspider_spark.functions.jsonpath import jsonpath_eval as jp
+
+    text = json.loads(
+        '{ "store": { "book": ['
+        '{ "category": "reference", "author": "Nigel Rees",'
+        '  "title": "Sayings of the Century", "price": 8.95 },'
+        '{ "category": "fiction", "author": "Evelyn Waugh",'
+        '  "title": "Sword of Honour", "price": 12.99,'
+        '  "isbn": "0-553-21311-3" } ],'
+        '"bicycle": { "color": "red", "price": 19.95 } } }'
+    )
+    authors = jp(text, "$.store.book[*].author")
+    assert authors[0] == "Nigel Rees"  # Select() = first match
+    assert "Nigel Rees" in authors and "Evelyn Waugh" in authors
+    ref = jp(text, "$.store.book[?(@.category == 'reference')]")
+    assert len(ref) == 1 and ref[0]["author"] == "Nigel Rees"
+    assert ref[0]["price"] == 8.95
