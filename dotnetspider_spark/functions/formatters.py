@@ -32,9 +32,25 @@ def replace_fmt(col: Column, old: str, new: str) -> Column:
     return F.replace(col, F.lit(old), F.lit(new))
 
 
-def regex_fmt(col: Column, pattern: str, true_value: str, false_value: str) -> Column:
-    """RegexFormatter.cs — pattern match maps to True/False values."""
-    return F.when(col.rlike(pattern), F.lit(true_value)).otherwise(F.lit(false_value))
+def regex_fmt(
+    col: Column,
+    pattern: str,
+    true_value: str | None = None,
+    false_value: str | None = None,
+    group: int = -1,
+) -> Column:
+    """RegexFormatter.cs:40-58 — match maps to True/False values, with
+    the reference's sentinel defaults: True unset ⇒ return the matched
+    text itself (whole match, or ``group`` when ≥0); False unset ⇒ ''."""
+    if not pattern or not pattern.strip():
+        raise ValueError("Pattern should not be null or empty")
+    if true_value is None:
+        matched = F.regexp_extract(col, pattern, max(group, 0))
+    else:
+        matched = F.lit(true_value)
+    return F.when(col.rlike(pattern), matched).otherwise(
+        F.lit(false_value if false_value is not None else "")
+    )
 
 
 def regex_replace_fmt(col: Column, pattern: str, new: str) -> Column:
@@ -100,7 +116,10 @@ def split_fmt(col: Column, sep: str, index: int) -> Column:
 
 
 def string_format_fmt(col: Column, template: str) -> Column:
-    """StringFormatter.cs — ``string.Format("pre{0}post", v)``."""
+    """StringFormatter.cs — ``string.Format("pre{0}post", v)``; an empty
+    or blank template is a plan-time error (CheckArguments parity)."""
+    if not template or not template.strip():
+        raise ValueError("FormatString should not be null or empty")
     return F.format_string(template.replace("{0}", "%s"), col)
 
 

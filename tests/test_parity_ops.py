@@ -111,3 +111,60 @@ def test_file_pipelines_per_identity_layout(spark, tmp_path):
     for p in glob.glob(f"{fdir}/identity=run1/*.txt"):
         txt += open(p).read()
     assert "url:\thttp://h/1" in txt and "title:\tt1" in txt and "n:\t10" in txt
+
+
+def test_formatter_reference_cases(spark):
+    """Verbatim port of FormatterTest.cs (Regex / CharacterCase /
+    Displace / StringFormat Facts), including the sentinel defaults:
+    RegexFormatter with True unset returns the matched text, False unset
+    returns ''; blank patterns/templates are plan-time errors."""
+    import pytest as _pytest
+
+    from dotnetspider_spark.functions.formatters import (
+        character_case_fmt,
+        displace_fmt,
+        regex_fmt,
+        string_format_fmt,
+        with_null_default,
+    )
+
+    for bad in ("  ", "", None):
+        with _pytest.raises(ValueError):
+            regex_fmt(F.col("s"), bad, "Y", "F")
+    for bad in ("", None, "     "):
+        with _pytest.raises(ValueError):
+            string_format_fmt(F.col("s"), bad)
+
+    rows = [
+        ("很高兴正则", ), ("", ), ("很抱歉，没有找到", ), ("收货100人", ),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    out = df.select(
+        "s",
+        regex_fmt(F.col("s"), "很抱歉", "Y", "F").alias("tf"),
+        regex_fmt(F.col("s"), "很抱歉", None, "N").alias("match_or_n"),
+        regex_fmt(F.col("s"), r"收货[\d]+人").alias("match_or_empty"),
+        character_case_fmt(F.lit("a"), upper=True).alias("up"),
+        character_case_fmt(F.lit("A"), upper=False).alias("down"),
+        with_null_default(
+            character_case_fmt(F.lit(None).cast("string"), upper=False), "OK"
+        ).alias("null_ok"),
+        displace_fmt(F.col("s"), "很高兴正则", "d").alias("disp"),
+        string_format_fmt(F.lit("a"), "http://{0}").alias("fmt"),
+    ).collect()
+    by_s = {r.s: r for r in out}
+    # RegexFormatter semantics (FormatterTest.cs:44-83)
+    assert by_s["很高兴正则"].tf == "F"
+    assert by_s["很抱歉，没有找到"].tf == "Y"
+    assert by_s["很高兴正则"].match_or_n == "N"
+    assert by_s["很抱歉，没有找到"].match_or_n == "很抱歉"
+    assert by_s["收货100人"].match_or_empty == "收货100人"
+    assert by_s["很高兴正则"].match_or_empty == ""
+    # CharacterCase (FormatterTest.cs:86-107)
+    r = out[0]
+    assert r.up == "A" and r.down == "a" and r.null_ok == "OK"
+    # Displace (FormatterTest.cs:109-117)
+    assert by_s["很高兴正则"].disp == "d"
+    assert by_s[""].disp == ""
+    # StringFormat (FormatterTest.cs:124-160)
+    assert r.fmt == "http://a"
