@@ -312,3 +312,50 @@ def test_jsonpath_reference_selector_cases():
     ref = jp(text, "$.store.book[?(@.category == 'reference')]")
     assert len(ref) == 1 and ref[0]["author"] == "Nigel Rees"
     assert ref[0]["price"] == 8.95
+
+
+def test_html_selectable_reference_cases(spark):
+    """Verbatim port of HtmlTest.cs:9-48 (Selectable): regex over raw
+    text, relative-xpath anchor values, Links() canonicalization of
+    relative hrefs against the page base, and outbound-link removal."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.crawler.parse import _canonical_links
+    from dotnetspider_spark.extraction.dom import (
+        links,
+        node_value,
+        parse_html,
+        xpath_all,
+    )
+    from dotnetspider_spark.functions.urlops import url_host
+
+    # HtmlSelect: Regex("(.*)") over "aaaaaaab"
+    import re
+
+    assert re.search("(.*)", "aaaaaaab").group(1) == "aaaaaaab"
+    # DonotFixAllRelativeHrefs: .//a values untouched
+    root = parse_html('<div><a href="aaaa.com">aaaaaaab</a></div>')
+    assert [node_value(n, "innertext") for n in xpath_all(root, ".//a")] == [
+        "aaaaaaab"
+    ]
+    # FixAllRelativeHrefs: relative href resolves against the base
+    import pandas as pd
+
+    got = _canonical_links(
+        pd.Series(['<div><a href="/a/b">aaaaaaab</a></div>']),
+        pd.Series(["http://www.b.com"]),
+    )
+    assert list(got[0]) == ["http://www.b.com/a/b"]
+    # RemoveOutboundLinks: a link to another registrable domain is
+    # dropped when the filter is on (Selectable ctor third arg = true)
+    df = spark.createDataFrame(
+        [("http://www.b.com/page", "http://www.aaaa.com/x")],
+        "page_url string, link string",
+    )
+    from dotnetspider_spark.functions.urlops import registrable_domain
+
+    kept = df.filter(
+        registrable_domain(url_host(F.col("link")))
+        == registrable_domain(url_host(F.col("page_url")))
+    )
+    assert kept.count() == 0
