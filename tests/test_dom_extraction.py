@@ -359,3 +359,40 @@ def test_html_selectable_reference_cases(spark):
         == registrable_domain(url_host(F.col("page_url")))
     )
     assert kept.count() == 0
+
+
+def test_model_extractor_reference_cases(spark):
+    """Verbatim port of ModelExtractorTest.cs:20-80: a null model
+    selector extracts one row per page from page-relative field XPaths;
+    a row selector //div[@class='aaaa'] with field '.' yields one entity
+    row per matched node."""
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+
+    HTML = (
+        "<div><div class='title'>i am title</div>"
+        "<div class='dotnetspider'>i am dotnetspider</div></div>"
+        "<div><div class='aaaa'>a</div><div class='aaaa'>b</div></div>"
+    )
+    pages = spark.createDataFrame([("p1", HTML)], "url string, html string")
+
+    # NullModelSelector / NullEntityModelSelector
+    null_model = EntityModel(
+        name="n",
+        fields=(
+            Field("title", "xpath", ".//div[@class='title']"),
+            Field("dotnetspider", "xpath", ".//div[@class='dotnetspider']"),
+        ),
+    )
+    row = extract(null_model, pages, content_col="html", page_key="url").first()
+    assert row.title == "i am title"
+    assert row.dotnetspider == "i am dotnetspider"
+
+    # ModelSelector / EntityModelSelector: 2 rows, field '.'
+    row_model = EntityModel(
+        name="e",
+        selector="//div[@class='aaaa']",
+        fields=(Field("title", "xpath", "."),),
+    )
+    out = extract(row_model, pages, content_col="html", page_key="url")
+    titles = sorted(r.title for r in out.collect())
+    assert titles == ["a", "b"]
