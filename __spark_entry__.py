@@ -843,6 +843,27 @@ def q_download_path(spark, sf_dir):
     return ev.select("event_id", download_fmt(url).alias("path"))
 
 
+def q_embedding_cosine_pairs(spark, sf_dir):
+    # embedding-cosine near-dup PAIRS, exact baseline (bounded subset):
+    # all pairs with cosine >= 0.3. The banded-LSH scale path
+    # (operators/ann.embedding_neardup_pairs) is pinned against this
+    # brute force by tests/test_ann.py.
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v"))
+    right = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = base.join(right, F.col("vec_id") < F.col("id_b"))
+    cos = _dot(F.col("v"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select(
+            F.col("vec_id").alias("id_a"), "id_b", F.round(cos, 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 def q_docs_neardup_clusters(spark, sf_dir):
     # near-dup CLUSTERING: MinHash band candidate pairs -> connected
     # components (large-star/small-star, operators/graph.py) -> every
@@ -946,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonpath_select": q_jsonpath_select,
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_neardup_keep": q_docs_neardup_keep,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1099,6 +1121,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    'images/pic' || CAST(event_id AS VARCHAR) || '.jpg' AS path
             FROM events
+        """,
+        "embedding_cosine_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
         """,
         "docs_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM lab"

@@ -198,3 +198,79 @@ def lsh_bucket(
     return embeddings.withColumn(
         "lsh_bucket", f(F.col(vec_col).cast("array<double>"))
     )
+
+
+def _cos_col(a, b):
+    """Exact cosine between two array<double> columns — JVM-side folds,
+    no Python."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 32,
+    band_bits: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup variant of ANN
+    (driver mandate: embedding-cosine near-dup).
+
+    Scale path: random-hyperplane signatures (n_planes sign bits, one
+    numpy matmul per Arrow batch) split into ``n_planes // band_bits``
+    LSH bands; vectors sharing any band value become candidates
+    (bucketed equi-join — a vanishing fraction of the n² pairs), then an
+    exact JVM-side cosine verifies ``>= threshold``. Recall per true
+    pair is 1-(1-p^band_bits)^n_bands with p = 1 - θ/π — tune band_bits
+    down / n_planes up for looser thresholds. Returns
+    (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 6 dp.
+    """
+    assert n_planes % band_bits == 0
+
+    @pandas_udf("array<int>")
+    def bands_of(vecs: pd.Series) -> pd.Series:
+        m = _mat(vecs)
+        rng = np.random.default_rng([seed, m.shape[1], n_planes])
+        p = rng.standard_normal((n_planes, m.shape[1]))
+        bits = (m @ p.T) > 0
+        n_bands = n_planes // band_bits
+        out = []
+        vals = np.zeros((len(m), n_bands), dtype=np.int32)
+        for b in range(n_planes):
+            vals[:, b // band_bits] |= bits[:, b].astype(np.int32) << (
+                b % band_bits
+            )
+        for row in vals:
+            out.append([int(i) << 16 | int(v) for i, v in enumerate(row)])
+        return pd.Series(out)
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = embeddings.select(
+        F.col(id_col).alias("id"), v.alias("v"),
+        F.explode(bands_of(F.col(vec_col))).alias("band"),
+    )
+    right = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("band").alias("band_b"),
+    )
+    cand = (
+        sig.join(
+            right,
+            (F.col("band") == F.col("band_b")) & (F.col("id") < F.col("id_b")),
+        )
+        .select(F.col("id").alias("id_a"), "id_b", "v", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _cos_col(F.col("v"), F.col("v_b"))
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

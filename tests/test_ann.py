@@ -84,3 +84,42 @@ def test_lsh_bucket_deterministic_and_balanced(spark, emb):
     assert ja == jb  # deterministic across invocations
     n_buckets = a.select("lsh_bucket").distinct().count()
     assert n_buckets > 4  # spreads
+
+
+def test_embedding_neardup_pairs_banded_recall(spark):
+    """Banded hyperplane near-dup pairs vs the exact brute force: every
+    emitted pair must be a true pair (exact verify step), and recall at
+    threshold 0.3 with 2-bit x 24 bands is effectively total (banding is
+    deterministic under the fixed seed)."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.operators.ann import embedding_neardup_pairs
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+    )
+    banded = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            e, threshold=0.3, n_planes=48, band_bits=2
+        ).collect()
+    }
+    # exact brute force
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("v"))
+    right = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dot(F.col("v"), F.col("vb")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    exact = {
+        (r.vec_id, r.id_b)
+        for r in base.join(right, F.col("vec_id") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= 0.3)
+        .collect()
+    }
+    assert banded <= exact  # no false positives survive the verify
+    assert len(banded) / len(exact) >= 0.95  # near-total recall
