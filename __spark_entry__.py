@@ -843,6 +843,21 @@ def q_download_path(spark, sf_dir):
     return ev.select("event_id", download_fmt(url).alias("path"))
 
 
+def q_docs_gopher_filter(spark, sf_dir):
+    # Gopher quality+repetition rules (Rae et al. 2021 A1.1) as one
+    # codegen'd verdict: word-count/word-length bounds, symbol ratio,
+    # bullet lines, alphabetic fraction, stop-word presence, duplicate
+    # lines, top-bigram character fraction. Thresholds tuned so the
+    # synthetic corpus splits (its only stop word is 'the').
+    from dotnetspider_spark.operators.textquality import gopher_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_filter(
+        d, min_words=40, min_mean_word_len=3.5, min_stop_word_hits=1,
+        max_top_bigram_frac=0.05,
+    )
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     # embedding-cosine near-dup PAIRS, exact baseline (bounded subset):
     # all pairs with cosine >= 0.3. The banded-LSH scale path
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_clusters": q_docs_neardup_clusters,
         "docs_neardup_keep": q_docs_neardup_keep,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "docs_gopher_filter": q_docs_gopher_filter,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1121,6 +1137,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    'images/pic' || CAST(event_id AS VARCHAR) || '.jpg' AS path
             FROM events
+        """,
+        "docs_gopher_filter": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            sig AS (
+                SELECT doc_id, text, lines,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           round(CAST(list_aggregate(
+                                     list_transform(words, x -> len(x)), 'sum')
+                                 AS DOUBLE) / len(words), 6)
+                           ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(words) > 0 THEN
+                           round(CAST(len(list_filter(words,
+                                     x -> regexp_matches(x, '[A-Za-z]')))
+                                 AS DOUBLE) / len(words), 6)
+                           ELSE 0.0 END AS alpha_word_frac,
+                       CASE WHEN len(words) > 0 THEN
+                           round(((len(text) - len(replace(text, '#', '')))
+                                  + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                                 / len(words), 6)
+                           ELSE 0.0 END AS symbol_word_ratio,
+                       CASE WHEN len(lines) > 0 THEN
+                           round(CAST(len(list_filter(lines,
+                                     x -> x LIKE '-%' OR x LIKE '*%'
+                                          OR x LIKE '•%')) AS DOUBLE)
+                                 / len(lines), 6)
+                           ELSE 0.0 END AS bullet_line_frac,
+                       len(list_distinct(list_filter(words,
+                           x -> list_contains(
+                               ['the','be','to','of','and','that','have','with'],
+                               lower(x))))) AS stop_word_hits,
+                       CASE WHEN len(lines) > 0 THEN
+                           round(CAST(len(lines) - len(list_distinct(lines))
+                                 AS DOUBLE) / len(lines), 6)
+                           ELSE 0.0 END AS dup_line_frac,
+                       words
+                FROM w),
+            bg AS (
+                SELECT doc_id,
+                       words[CAST(i AS BIGINT)] || ' '
+                           || words[CAST(i AS BIGINT) + 1] AS b
+                FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+                      FROM sig WHERE len(words) >= 2)),
+            bgc AS (
+                SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+            topbg AS (
+                SELECT doc_id, b, n FROM (
+                    SELECT doc_id, b, n,
+                           row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n DESC, b DESC) AS rn
+                    FROM bgc) WHERE rn = 1)
+            SELECT s.doc_id, s.n_words, s.mean_word_len, s.alpha_word_frac,
+                   s.symbol_word_ratio, s.bullet_line_frac, s.stop_word_hits,
+                   s.dup_line_frac,
+                   coalesce(round(CAST(t.n * len(t.b) AS DOUBLE)
+                                  / greatest(1, len(s.text)), 6), 0.0)
+                       AS top_bigram_frac,
+                   (s.n_words >= 40 AND s.n_words <= 100000
+                    AND s.mean_word_len >= 3.5 AND s.mean_word_len <= 10.0
+                    AND s.symbol_word_ratio <= 0.1
+                    AND s.bullet_line_frac <= 0.9
+                    AND s.alpha_word_frac >= 0.8
+                    AND s.stop_word_hits >= 1
+                    AND s.dup_line_frac <= 0.3
+                    AND coalesce(round(CAST(t.n * len(t.b) AS DOUBLE)
+                                       / greatest(1, len(s.text)), 6), 0.0)
+                        <= 0.05) AS keep
+            FROM sig s LEFT JOIN topbg t USING (doc_id)
         """,
         "embedding_cosine_pairs": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)

@@ -1,0 +1,170 @@
+"""Gopher-style document quality + repetition filtering.
+
+Driver mandate (training-data pipeline): quality scoring beyond simple
+length/punct ratios. Signals follow the published Gopher rules (Rae et
+al. 2021, "Scaling Language Models", appendix A1.1 — public paper):
+word-count bounds, mean word length bounds, symbol-to-word ratio,
+bullet-line fraction, alphabetic-word fraction, stop-word presence, and
+repetition measures (duplicate-line fraction, top-bigram character
+fraction).
+
+Everything is built-in column algebra (split / filter / aggregate /
+explode + groupBy for the bigram mode) — whole-stage codegen end to end,
+no Python, so the filter runs at scan throughput on 100 TB. The one
+shuffle is the per-doc bigram mode count, keyed on (doc_id) — narrow and
+combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the Gopher stop words (rule: ≥2 of these must appear)
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def quality_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher quality signals (no repetition measures —
+    those need a shuffle, see :func:`repetition_signals`)."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.when(n_words > 0, total_chars / n_words).otherwise(
+        F.lit(0.0)
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    n_sym = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        + (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        ) / 3
+    )
+    sym_ratio = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("-")
+            | ln.startswith("*")
+            | ln.startswith("•"),
+        )
+    )
+    bullet_frac = F.when(F.size(lines) > 0, n_bullet / F.size(lines)).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(
+        F.array_distinct(
+            F.filter(words, lambda w: F.lower(w).isin(*STOP_WORDS))
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        stop_hits.alias("stop_word_hits"),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicate-line fraction + top-bigram character fraction. The
+    bigram mode is an explode → per-(doc, bigram) count → per-doc max —
+    one narrow shuffle with map-side combine."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    dup_line_frac = F.when(
+        F.size(lines) > 0,
+        (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.length(text).alias("__len"),
+        _words(text).alias("__w"),
+    )
+    bigrams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i + 1), F.element_at("__w", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    # mode bigram per doc: deterministic tie-break by (count, bigram) max
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg(F.max_by(F.struct("n", "bg"), F.struct("n", "bg")).alias("__top"))
+    )
+    out = base.drop("__w").join(top, id_col, "left")
+    # Gopher measure: characters covered by the most frequent bigram's
+    # occurrences as a fraction of all characters
+    frac = F.round(
+        (F.col("__top.n") * F.length("__top.bg")).cast("double")
+        / F.greatest(F.lit(1).cast("long"), F.col("__len")),
+        6,
+    )
+    return out.select(
+        id_col,
+        "dup_line_frac",
+        F.coalesce(frac, F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """All signals + a ``keep`` verdict under the published thresholds
+    (every default is the Gopher paper's)."""
+    q = quality_signals(docs, id_col, text_col)
+    r = repetition_signals(docs, id_col, text_col)
+    joined = q.join(r, id_col)
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_word_hits") >= min_stop_word_hits)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    )
+    return joined.withColumn("keep", keep)

@@ -161,3 +161,36 @@ def test_minhash_lsh_candidates(spark):
     cand = {(r.id_a, r.id_b) for r in minhash_band_pairs(sig, "doc_id", k=8).collect()}
     assert (0, 3) in cand  # exact dups always collide
     assert not any({a, b} == {0, 2} for a, b in cand)
+
+
+def test_gopher_filter_rules(spark):
+    """Gopher rules (Rae et al. 2021 A1.1): each signal and the keep
+    verdict on hand-built documents exercising every rule."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.operators.textquality import gopher_filter
+
+    good = "the quick brown fox jumps over the lazy dog and that " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                  # passes everything
+            (2, "short text only"),                     # too few words
+            (3, ("spam ham " * 40) + "the of and"),     # top-bigram repetition
+            (4, "- a\n- b\n- c\n- d\nthe of and that have " + "word " * 50),
+            (5, ("## " * 60) + "the of and"),           # symbol ratio
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in gopher_filter(
+            docs, min_words=30, min_mean_word_len=3.0, min_stop_word_hits=2,
+            max_bullet_line_frac=0.5,
+        ).collect()
+    }
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].n_words == 3
+    assert out[3].keep is False and out[3].top_bigram_frac > 0.2
+    assert out[4].keep is False and out[4].bullet_line_frac > 0.5
+    assert out[5].keep is False and out[5].symbol_word_ratio > 0.1
+    assert out[1].stop_word_hits >= 2 and out[1].dup_line_frac == 0.0
