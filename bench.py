@@ -123,6 +123,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
+    # JVM/classloader/codegen warmup (same methodology as
+    # tools/bench_scaling.py): exercise a scan, a shuffle, and the noop
+    # sink once so the first battery query doesn't pay one-time costs
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf}/region.parquet")
+        .groupBy("r_regionkey").agg(F.count("*"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
