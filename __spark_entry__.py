@@ -707,6 +707,15 @@ def q_phash_neardup(spark, sf_dir):
     return phash_near_duplicates(c.select("image_id", "phash"))
 
 
+def q_image_quality_screen(spark, sf_dir):
+    # training-data image screening: brightness/contrast/Laplacian-
+    # sharpness/entropy verdict per image (rows-only: pandas-UDF codec)
+    from dotnetspider_spark.operators.multimodal import image_quality
+
+    c = _tiny_corpus(spark).select("image_id", "bytes", "fmt")
+    return image_quality(c)
+
+
 def q_image_dedup_canonical(spark, sf_dir):
     # image dedup tail: phash near-dup pairs -> connected components ->
     # keep the min-id image per duplicate cluster (rows-only: phash comes
@@ -990,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
         "image_dedup_canonical": q_image_dedup_canonical,
+        "image_quality_screen": q_image_quality_screen,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 

@@ -223,3 +223,76 @@ def audio_features(audio: DataFrame, window_s: float = 0.5) -> DataFrame:
             )
 
     return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_QUALITY_SCHEMA = (
+    "image_id string, brightness double, contrast double, sharpness double, "
+    "entropy double, w int, h int, decodable boolean, keep boolean"
+)
+
+
+def image_quality(
+    images: DataFrame,
+    min_brightness: float = 10.0,
+    max_brightness: float = 245.0,
+    min_contrast: float = 5.0,
+    min_sharpness: float = 10.0,
+    min_entropy: float = 1.0,
+    min_side: int = 8,
+) -> DataFrame:
+    """Training-data image screening: per-image brightness (gray mean),
+    contrast (gray std), sharpness (variance of a 3x3 Laplacian — the
+    standard blur detector), and gray-histogram entropy, plus a ``keep``
+    verdict. Real numpy math over whole Arrow batches via mapInPandas;
+    undecodable rows survive with decodable=false and keep=false
+    (fail-closed, like validate_payloads)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import decode_image
+
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except (NotImplementedError, ValueError):
+                    rows.append((image_id, 0.0, 0.0, 0.0, 0.0, 0, 0, False, False))
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                bright = float(gray.mean())
+                contrast = float(gray.std())
+                # 3x3 Laplacian via shifted sums (no scipy in sandbox)
+                if h >= 3 and w >= 3:
+                    lap = (
+                        gray[:-2, 1:-1] + gray[2:, 1:-1]
+                        + gray[1:-1, :-2] + gray[1:-1, 2:]
+                        - 4.0 * gray[1:-1, 1:-1]
+                    )
+                    sharp = float(lap.var())
+                else:
+                    sharp = 0.0
+                hist, _ = np.histogram(gray, bins=32, range=(0.0, 256.0))
+                p = hist / max(1, hist.sum())
+                p = p[p > 0]
+                ent = float(-(p * np.log2(p)).sum())
+                keep = (
+                    min_brightness <= bright <= max_brightness
+                    and contrast >= min_contrast
+                    and sharp >= min_sharpness
+                    and ent >= min_entropy
+                    and min(h, w) >= min_side
+                )
+                rows.append(
+                    (image_id, round(bright, 4), round(contrast, 4),
+                     round(sharp, 4), round(ent, 4), w, h, True, keep)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "brightness", "contrast", "sharpness",
+                         "entropy", "w", "h", "decodable", "keep"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, IMAGE_QUALITY_SCHEMA
+    )

@@ -194,3 +194,28 @@ def test_gopher_filter_rules(spark):
     assert out[4].keep is False and out[4].bullet_line_frac > 0.5
     assert out[5].keep is False and out[5].symbol_word_ratio > 0.1
     assert out[1].stop_word_hits >= 2 and out[1].dup_line_frac == 0.0
+
+
+def test_image_quality_screening(spark):
+    """Brightness/contrast/Laplacian-sharpness/entropy screening over
+    synthetic PNGs: a flat gray card fails contrast+sharpness, a noisy
+    card passes, an undecodable payload fails closed."""
+    import numpy as np
+
+    from dotnetspider_spark.codec.png import encode_png
+    from dotnetspider_spark.operators.multimodal import image_quality
+
+    rng = np.random.default_rng(3)
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+    noisy = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    rows = [
+        ("flat", bytearray(encode_png(flat)), "png"),
+        ("noisy", bytearray(encode_png(noisy)), "png"),
+        ("broken", bytearray(b"notanimage"), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {r.image_id: r for r in image_quality(df).collect()}
+    assert out["flat"].decodable and not out["flat"].keep
+    assert out["flat"].contrast == 0.0 and out["flat"].sharpness == 0.0
+    assert out["noisy"].keep and out["noisy"].entropy > 3.0
+    assert not out["broken"].decodable and not out["broken"].keep
