@@ -120,3 +120,36 @@ class ParquetTable:
             ]
         )
         self._swap_in(out)
+
+
+def resolve_table_name(name: str, postfix: str = "none", today=None) -> str:
+    """Schema.TableNamePostfix resolution (Schema.cs:58-90): tables roll
+    by date — ``{name}_2017_12_12`` (today / monday / first_day_of_month)
+    or ``{name}_2017_12`` (month / last_month).
+
+    ``today`` is injectable for tests/resume determinism. NB the
+    reference's Monday branch computes ``now + 1 day`` for every day
+    except Sunday (Schema.cs:75-81 — ``? 6 : -1`` where the intent is
+    the day-of-week delta); this implements the documented intent (the
+    most recent Monday), matching the Selectable 'monday' environment
+    macro the same codebase uses (Selectable.cs:95-101).
+    """
+    import datetime as _dt
+
+    today = today or _dt.date.today()
+    first = today.replace(day=1)
+    if postfix == "none":
+        return name
+    if postfix == "today":
+        return f"{name}_{today:%Y_%m_%d}"
+    if postfix == "monday":
+        monday = today - _dt.timedelta(days=today.weekday())
+        return f"{name}_{monday:%Y_%m_%d}"
+    if postfix == "first_day_of_month":
+        return f"{name}_{first:%Y_%m_%d}"
+    if postfix == "month":
+        return f"{name}_{first:%Y_%m}"
+    if postfix == "last_month":
+        last = (first - _dt.timedelta(days=1)).replace(day=1)
+        return f"{name}_{last:%Y_%m}"
+    raise ValueError(f"unknown table postfix {postfix!r}")

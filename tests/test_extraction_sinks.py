@@ -111,3 +111,24 @@ def test_sink_update_only_touches_update_cols(spark, tmp_path):
     ks = t.read().filter(F.col("k") == 1).collect()
     assert all(r.v == "VV" for r in ks)
     assert {r.x for r in ks} == {10, 11}
+
+
+def test_table_name_postfix_resolution():
+    """Schema.TableNamePostfix (Schema.cs:58-90): date-rolled table
+    names; Monday follows the documented intent (see docstring re the
+    reference's off-by-one on non-Sundays)."""
+    import datetime
+
+    from dotnetspider_spark.sinks.tables import resolve_table_name
+
+    d = datetime.date(2017, 12, 12)  # a Tuesday
+    assert resolve_table_name("t", "none", d) == "t"
+    assert resolve_table_name("t", "today", d) == "t_2017_12_12"
+    assert resolve_table_name("t", "monday", d) == "t_2017_12_11"
+    assert resolve_table_name("t", "first_day_of_month", d) == "t_2017_12_01"
+    assert resolve_table_name("t", "month", d) == "t_2017_12"
+    assert resolve_table_name("t", "last_month", d) == "t_2017_11"
+    # Sunday rolls back to the previous Monday
+    assert resolve_table_name("t", "monday", datetime.date(2017, 12, 17)) == (
+        "t_2017_12_11"
+    )
