@@ -135,3 +135,37 @@ def test_model_take_plans_as_top_k(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert out.count() == 5
+
+
+def test_bucketed_seen_join_skips_seen_side_shuffle(spark, tmp_path):
+    """The 10^10-row seen-table design point: stored bucketed by
+    identity, the per-iteration dedup anti-join reads buckets in place —
+    the seen side contributes NO exchange; only the (much smaller)
+    candidate batch shuffles."""
+    import re
+
+    spark.sql("DROP TABLE IF EXISTS seen_bucketed_t")
+    seen = spark.range(20000).select(
+        F.md5(F.col("id").cast("string")).alias("identity")
+    )
+    (
+        seen.write.mode("overwrite")
+        .bucketBy(8, "identity").sortBy("identity")
+        .saveAsTable("seen_bucketed_t")
+    )
+    try:
+        cand = spark.range(2000).select(
+            F.md5((F.col("id") * 7).cast("string")).alias("identity"),
+            F.col("id").alias("seq"),
+        )
+        out = cand.join(
+            spark.table("seen_bucketed_t").hint("merge"), "identity", "left_anti"
+        )
+        plan = _plan(out)
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        # exactly one exchange: the candidate side; the bucketed scan
+        # feeds its sort/join directly
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_bucketed_t")
