@@ -103,6 +103,15 @@ class CrawlConfig:
     checkpoint_every: int = 1  # snapshot cadence (1 = every iteration)
     compact_every: int = 8  # frontier delta-compaction cadence (iterations)
     seen_compact_parts: int = 32  # fold seen deltas when parts exceed this
+    #: store the compacted seen table BUCKETED by identity (catalog
+    #: parquet table): the per-iteration dedup anti-join then reads the
+    #: 10^10-row seen side in place — zero exchange on the big side, only
+    #: the batch-sized candidate set shuffles (LSM read path: candidates
+    #: first dedup vs the small recent deltas, then anti-join the
+    #: bucketed compact). Plan shape proven by
+    #: tests/test_plans.py::test_bucketed_seen_join_skips_seen_side_shuffle.
+    bucketed_seen: bool = False
+    seen_buckets: int = 32
     salt_buckets: int = 16
     max_link_pos: int = (1 << _POS_BITS) - 2
     verbose: bool = False  # print each iteration's metrics row
@@ -416,6 +425,32 @@ def crawl(
     metrics: list[dict] = []
     start_iter = 0
 
+    import hashlib
+
+    _tag = hashlib.md5(root.encode()).hexdigest()[:10]
+    seen_table: str | None = None  # catalog name of the bucketed compact
+
+    def write_seen_table(df: DataFrame, version: int) -> str:
+        name = f"seen_{_tag}_v{version}"
+        (
+            df.select("identity")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(cfg.seen_buckets, "identity")
+            .sortBy("identity")
+            .option("path", f"{root}/seen_bucketed/v={version}")
+            .saveAsTable(name)
+        )
+        return name
+
+    def restore_seen_table(name: str, path: str) -> None:
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} (identity STRING) USING parquet "
+                f"CLUSTERED BY (identity) SORTED BY (identity) "
+                f"INTO {cfg.seen_buckets} BUCKETS LOCATION '{path}'"
+            )
+
     if resume:
         m = ckpt.load_manifest()
         if m is None:
@@ -427,6 +462,9 @@ def crawl(
         fetched_paths = list(m["fetched_paths"])
         errors_paths = list(m.get("errors_paths", []))
         n_frontier = int(m["n_frontier"])
+        seen_table = m.get("seen_table")
+        if seen_table is not None:
+            restore_seen_table(seen_table, m["seen_table_path"])
     else:
         seeds_to_frontier(seeds).write.mode("overwrite").parquet(
             f"{root}/frontier/init"
@@ -434,10 +472,19 @@ def crawl(
         init = spark.read.schema(FRONTIER_SCHEMA).parquet(f"{root}/frontier/init")
         frontier_parts = [f"{root}/frontier/init"]
         consumed_parts = []
-        seen_parts = [f"{root}/frontier/init"]
         fetched_paths = []
         errors_paths = []
         n_frontier = init.count()  # parquet footer metadata, no scan
+        if cfg.bucketed_seen:
+            seen_table = write_seen_table(
+                spark.read.schema("identity string").parquet(
+                    f"{root}/frontier/init"
+                ),
+                0,
+            )
+            seen_parts = []
+        else:
+            seen_parts = [f"{root}/frontier/init"]
 
     def frontier_view() -> DataFrame:
         fr = spark.read.schema(FRONTIER_SCHEMA).parquet(*frontier_parts)
@@ -446,10 +493,20 @@ def crawl(
             fr = fr.join(cons, "identity", "left_anti")
         return fr
 
-    def seen_view() -> DataFrame:
+    def seen_deltas() -> DataFrame | None:
+        if not seen_parts:
+            return None
         # seen/identity lives inside frontier-schema parts: explicit
         # 1-column schema = column-pruned footer+identity read only
         return spark.read.schema("identity string").parquet(*seen_parts)
+
+    def seen_view() -> DataFrame:
+        d = seen_deltas()
+        if seen_table is None:
+            assert d is not None
+            return d
+        big = spark.table(seen_table).select("identity")
+        return big if d is None else big.unionByName(d)
 
     seen = seen_view()
     robots_cfg = robots if cfg.robots_enabled else None
@@ -576,6 +633,15 @@ def crawl(
                 )
                 blooms = spark.read.parquet(f"{root}/blooms/iter={it}")
             fresh = dedup_push_bloom(candidates, seen, blooms, bloom_params)
+        elif seen_table is not None:
+            # LSM read path: within-batch + recent-delta dedup first
+            # (small side), then anti-join the bucketed compact — the
+            # big seen side is read in place, no exchange
+            fresh = dedup_push(candidates, seen_deltas()).join(
+                spark.table(seen_table).hint("merge").select("identity"),
+                "identity",
+                "left_anti",
+            )
         else:
             fresh = dedup_push(candidates, seen)
         fresh = fresh.localCheckpoint(eager=True)
@@ -704,10 +770,17 @@ def crawl(
             # keeps the dedup anti-join a bounded-fan-in union at the
             # 1000-iteration design point)
             if len(seen_parts) > cfg.seen_compact_parts:
-                seen_view().write.mode("overwrite").parquet(
-                    f"{root}/seen/compact={it}"
-                )
-                seen_parts = [f"{root}/seen/compact={it}"]
+                if cfg.bucketed_seen:
+                    old = seen_table
+                    seen_table = write_seen_table(seen_view(), it)
+                    seen_parts = []
+                    if old is not None:
+                        spark.sql(f"DROP TABLE IF EXISTS {old}")
+                else:
+                    seen_view().write.mode("overwrite").parquet(
+                        f"{root}/seen/compact={it}"
+                    )
+                    seen_parts = [f"{root}/seen/compact={it}"]
                 seen = seen_view()
 
         if it % cfg.checkpoint_every == 0:
@@ -720,6 +793,12 @@ def crawl(
                     "fetched_paths": fetched_paths,
                     "errors_paths": errors_paths,
                     "n_frontier": n_frontier,
+                    "seen_table": seen_table,
+                    "seen_table_path": (
+                        f"{root}/seen_bucketed/v={seen_table.rsplit('_v', 1)[1]}"
+                        if seen_table
+                        else None
+                    ),
                 },
             )
         it += 1

@@ -445,3 +445,29 @@ def test_canonicalize_matches_reference_urlutils_cases():
     base = pd.Series([b for _, b, _ in cases])
     for (_, _, want), got in zip(cases, _canonical_links(html, base)):
         assert list(got) == [want]
+
+
+def test_bucketed_seen_crawl_matches_oracle(spark, small_corpus, tmp_path_factory):
+    """bucketed_seen=True routes dedup through the LSM read path (delta
+    dedup + anti-join against a bucketed catalog table); observable crawl
+    output must be identical to the oracle, including across a
+    kill-and-resume that re-registers the table."""
+    ck = str(tmp_path_factory.mktemp("ckpt_bucketed"))
+    seeds = gen_seeds(spark, SMALL, k=5)
+    robots = gen_robots(spark, SMALL)
+    kw = dict(
+        dfs=True, max_depth=3, per_host_limit=8, checkpoint_dir=ck,
+        bucketed_seen=True, seen_buckets=4, seen_compact_parts=2,
+        compact_every=2,
+    )
+    crawl(spark, small_corpus, seeds, CrawlConfig(max_iterations=3, **kw), robots=robots)
+    res = crawl(
+        spark, small_corpus, seeds, CrawlConfig(**kw), robots=robots, resume=True
+    )
+    pres = pycrawl(
+        SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
+    )
+    assert {r.url for r in res.fetched.select("url").collect()} == set(pres.fetch_order)
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    got = {(r.url, r.retried, r.reason) for r in res.errors.collect()}
+    assert got == set(pres.errors)
