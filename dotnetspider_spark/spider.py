@@ -106,6 +106,14 @@ class Spider:
         self.config = replace(self.config, checkpoint_dir=path)
         return self
 
+    def use_bucketed_seen(self, n_buckets: int = 32) -> "Spider":
+        """Store the compacted seen set as an identity-bucketed catalog
+        table: dedup anti-joins read the big side in place (LSM path)."""
+        self.config = replace(
+            self.config, bucketed_seen=True, seen_buckets=n_buckets
+        )
+        return self
+
     def use_bloom(self, expected_per_bucket: int = 1_000_000, n_buckets: int = 32) -> "Spider":
         self.config = replace(
             self.config, use_bloom=True,
