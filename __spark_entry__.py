@@ -852,6 +852,34 @@ def q_download_path(spark, sf_dir):
     return ev.select("event_id", download_fmt(url).alias("path"))
 
 
+def q_docs_neardup_verified(spark, sf_dir):
+    # the FULL near-dup pipeline: MinHash band candidates -> exact
+    # token-set Jaccard VERIFY (>= 0.7; banding has false positives) ->
+    # connected components over the verified pairs only. Oracle closes
+    # the same verified edge set with a recursive CTE.
+    from dotnetspider_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("toks"),
+    )
+    pairs = q_docs_minhash_band_pairs(spark, sf_dir)
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    verified = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.round(jac, 6) >= 0.7)
+        .select("id_a", "id_b")
+    )
+    return connected_components(verified, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def q_docs_gopher_filter(spark, sf_dir):
     # Gopher quality+repetition rules (Rae et al. 2021 A1.1) as one
     # codegen'd verdict: word-count/word-length bounds, symbol ratio,
@@ -993,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardup_keep": q_docs_neardup_keep,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "docs_gopher_filter": q_docs_gopher_filter,
+        "docs_neardup_verified": q_docs_neardup_verified,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1235,6 +1264,49 @@ def oracle_sql() -> dict[str, str]:
         "docs_neardup_clusters": _neardup_cc_sql(
             "SELECT id AS doc_id, component FROM lab"
         ),
+        "docs_neardup_verified": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents WHERE doc_id < 100),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM tok WHERE token <> '' GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS band_key FROM sig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS band_key FROM sig),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+                FROM documents WHERE doc_id < 100),
+            verified AS (
+                SELECT id_a, id_b
+                FROM pairs p
+                JOIN w wa ON wa.doc_id = p.id_a
+                JOIN w wb ON wb.doc_id = p.id_b
+                WHERE round(CAST(len(list_intersect(wa.toks, wb.toks)) AS DOUBLE)
+                            / len(list_distinct(wa.toks || wb.toks)), 6) >= 0.7),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b, id_a FROM verified),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+            SELECT id AS doc_id, component FROM lab
+        """,
         "docs_neardup_keep": _neardup_cc_sql(
             """SELECT d.doc_id, d.n_chars FROM documents d
                WHERE d.doc_id < 100
