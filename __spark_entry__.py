@@ -267,11 +267,18 @@ def q_docs_exact_dedup(spark, sf_dir):
 
 
 def q_docs_token_count(spark, sf_dir):
-    # token counting (training-data pipeline op)
+    # token counting (training-data pipeline op): whitespace tokens plus
+    # a GPT-2-style BPE pre-tokenizer segment count (words / digit runs /
+    # punctuation runs with leading-space folding) — the standard proxy
+    # for "how many BPE tokens will this cost" without a vocab file
+    bpe = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("bigint").alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(bpe)).cast("bigint").alias(
+            "n_bpe_segments"
+        ),
     )
 
 
@@ -1582,7 +1589,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_token_count": """
             SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))
+                       AS BIGINT) AS n_bpe_segments
             FROM documents
         """,
         "docs_quality": """
