@@ -1215,10 +1215,10 @@ def oracle_sql() -> dict[str, str]:
                                           OR x LIKE '•%')) AS DOUBLE)
                                  / len(lines), 6)
                            ELSE 0.0 END AS bullet_line_frac,
-                       len(list_distinct(list_filter(words,
+                       len(list_distinct(list_transform(list_filter(words,
                            x -> list_contains(
                                ['the','be','to','of','and','that','have','with'],
-                               lower(x))))) AS stop_word_hits,
+                               lower(x))), x -> lower(x)))) AS stop_word_hits,
                        CASE WHEN len(lines) > 0 THEN
                            round(CAST(len(lines) - len(list_distinct(lines))
                                  AS DOUBLE) / len(lines), 6)

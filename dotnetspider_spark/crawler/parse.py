@@ -170,8 +170,12 @@ def extract_region_links_udf(html, xpaths: tuple[str, ...]):
 _STRIP_NONLINK = re.compile(
     r"<!--.*?-->|<script\b.*?</script\s*>|<style\b.*?</style\s*>", re.S | re.I
 )
+_STRIP_MARKER = re.compile(r"<script|<style|<!--", re.I)
+# attribute scan tolerates '>' inside earlier quoted attribute values
+# (title="a>b" href=...), matching what a real parser sees
 _HREF_ATTR = re.compile(
-    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I
+    r"""<a\b(?:"[^"]*"|'[^']*'|[^>"'])*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    re.I,
 )
 _SCHEME_OK = re.compile(r"^https?://")
 _ABS_CLEAN = re.compile(r"^https?://[a-z0-9.\-:]+/[^?#]*$")
@@ -185,7 +189,7 @@ def _hot_hrefs(html_text: str) -> list:
     pages per iteration. The strip pass runs only when a marker substring
     is present (C-speed ``in`` probes), and entity-unescape only when an
     ampersand is (HTMLParser's convert_charrefs parity)."""
-    if "<script" in html_text or "<!--" in html_text or "<style" in html_text:
+    if _STRIP_MARKER.search(html_text) is not None:  # case-insensitive probe
         html_text = _STRIP_NONLINK.sub("", html_text)
     out = []
     for m in _HREF_ATTR.finditer(html_text):
@@ -226,10 +230,14 @@ def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
             # string work (no urlsplit object construction); everything
             # else falls through to the exact RFC 3986 resolve. The fuzz
             # test below (test_crawl) pins byte-identical output.
+            # Guards: "/." excludes every dot segment ("/./", "/..");
+            # embedded tab/newline must fall through (urlsplit strips
+            # ASCII tab/newline anywhere — bpo-43882).
+            clean = "/." not in raw and "\t" not in raw and "\n" not in raw and "\r" not in raw
             if (
-                raw.startswith("/")
+                clean
+                and raw.startswith("/")
                 and not raw.startswith("//")
-                and "./" not in raw
                 and "?" not in raw
                 and "#" not in raw
                 and "\\" not in raw
@@ -239,12 +247,15 @@ def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
                     s0 = urlsplit(base_url)
                     base_prefix = f"{s0.scheme.lower()}://{s0.netloc.lower()}"
                 canon = base_prefix + raw
-            elif _ABS_CLEAN.match(raw):
+            elif clean and _ABS_CLEAN.match(raw):
                 # absolute, lowercase netloc, non-empty path, no query/frag
                 canon = raw
             else:
                 try:
-                    if raw.startswith(("http://", "https://")) and "./" not in raw:
+                    if (
+                        raw.startswith(("http://", "https://"))
+                        and "/." not in raw
+                    ):
                         s = urlsplit(raw)
                     else:
                         s = urlsplit(urljoin(base_url, raw))

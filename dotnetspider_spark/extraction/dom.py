@@ -230,7 +230,11 @@ def _parse_xpath(xpath: str) -> tuple[list[_Step], bool]:
         text = text.strip()
         if not text:
             continue
-        axis = "descendant" if sep == "//" else "child"
+        # the // abbreviation is NOT the descendant:: axis: //x[1] means
+        # /descendant-or-self::node()/child::x[1] — positional predicates
+        # count within each parent — while descendant::x[1] is the flat
+        # first descendant. Track the abbreviation distinctly.
+        axis = "descendant-abbrev" if sep == "//" else "child"
         if text.startswith("descendant-or-self::"):
             axis = "descendant-or-self"
             text = text[len("descendant-or-self::") :]
@@ -332,6 +336,9 @@ def xpath_all(context: Node, xpath: str) -> list[Node | str]:
                 texts.extend(c for c in n.children if isinstance(c, str) and c)
             return texts
 
+        has_positional = any(
+            p.strip().isdigit() or p.strip() == "last()" for p in step.preds
+        )
         nxt: list[Node] = []
         seen: set[int] = set()
         for n in ctx:
@@ -343,16 +350,29 @@ def xpath_all(context: Node, xpath: str) -> list[Node | str]:
                 ]
             elif step.axis == "self":
                 cand = [n] if (step.name == "*" or n.tag == step.name) else []
-            else:  # descendant / descendant-or-self
+            else:  # descendant axes (incl. the // abbreviation)
                 and_self = step.axis == "descendant-or-self"
                 cand = [
                     d
                     for d in n.descendants(and_self=and_self)
                     if step.name == "*" or d.tag == step.name
                 ]
-            # predicates (incl. positional) apply per context node,
-            # matching SelectSingleNode/SelectNodes usage in the samples
-            for c in _apply_preds(cand, step.preds):
+            if step.axis == "descendant-abbrev" and has_positional:
+                # //x[N] == /descendant-or-self::node()/child::x[N]:
+                # positional predicates count within EACH parent's
+                # matching children, not over the flat descendant list
+                order = {id(c): k for k, c in enumerate(cand)}
+                groups: dict[int, list[Node]] = {}
+                for c in cand:
+                    groups.setdefault(id(c.parent), []).append(c)
+                picked: list[Node] = []
+                for g in groups.values():
+                    picked.extend(_apply_preds(g, step.preds))
+                selected = sorted(picked, key=lambda c: order[id(c)])
+            else:
+                # predicates apply per context node along the axis
+                selected = _apply_preds(cand, step.preds)
+            for c in selected:
                 if id(c) not in seen:
                     seen.add(id(c))
                     nxt.append(c)
@@ -411,7 +431,13 @@ def _simple_match(n: Node, s: _Simple) -> bool:
         if any(c not in have for c in s.classes):
             return False
     for name, op, val in s.attrs:
+        if name not in n.attrs:
+            return False
+        # presence test [attr]: valueless attributes (<input disabled>)
+        # parse with value None and must still match
         v = n.attrs.get(name)
+        if op == "" or op is None:
+            continue
         if v is None:
             return False
         if op == "=" and v != val:

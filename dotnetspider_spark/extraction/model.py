@@ -165,7 +165,36 @@ def _dom_first_udf(kind: str, expr: str, attr: str | None, option: str):
     return f
 
 
-def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
+def _page_dom_udf(dom_fields: tuple):
+    """Fused page-level DOM extraction: ONE parse per page evaluates
+    every xpath/css field (parse dominates, so K fields at one parse
+    beat K parses by ~K at scale — the design rule dom.py states)."""
+    names = [f.name for f in dom_fields]
+    schema = "struct<{}>".format(
+        ",".join(f"{_sql_ident(n)}:string" for n in names)
+    )
+
+    @pandas_udf(schema)
+    def f(content: pd.Series) -> pd.DataFrame:
+        from dotnetspider_spark.extraction import dom
+
+        rows = []
+        for s in content:
+            if s is None:
+                rows.append({n: None for n in names})
+            else:
+                root = dom.parse_html(s)
+                rows.append(
+                    {fl.name: _eval_dom_field(root, fl) for fl in dom_fields}
+                )
+        return pd.DataFrame(rows, columns=names)
+
+    return f
+
+
+def _field_col(
+    f: Field, content: Column, df: DataFrame, dom_raw: Column | None = None
+) -> Column:
     if f.source is not None:
         content = df[f.source]
     if f.kind == "regex":
@@ -180,7 +209,11 @@ def _field_col(f: Field, content: Column, df: DataFrame) -> Column:
 
         raw = json_path_col(content, f.expr)
     elif f.kind in _DOM_KINDS:
-        raw = _dom_first_udf(f.kind, f.expr, f.attr, f.value_option)(content)
+        raw = (
+            dom_raw
+            if dom_raw is not None
+            else _dom_first_udf(f.kind, f.expr, f.attr, f.value_option)(content)
+        )
     elif f.kind == "env":
         raw = _env_col(f, df, idx_col=None)
     elif f.kind == "css-cap":  # legacy demo selector, kept for compat
@@ -238,11 +271,28 @@ def extract(
             model, pages, content_col=content_col, auto_timestamp=auto_timestamp
         )
     content = F.col(content_col)
-    cols = [_field_col(f, content, pages) for f in model.fields]
+    # fuse all DOM fields sharing a source column into ONE parse per page
+    dom_groups: dict = {}
+    for f in model.fields:
+        if f.kind in _DOM_KINDS:
+            dom_groups.setdefault(f.source, []).append(f)
+    base = pages
+    dom_raws: dict = {}
+    for i, (src, fls) in enumerate(dom_groups.items()):
+        alias = f"__dom{i}"
+        base = base.withColumn(
+            alias, _page_dom_udf(tuple(fls))(F.col(src) if src else content)
+        )
+        for fl in fls:
+            dom_raws[fl.name] = F.col(alias).getField(fl.name)
+    cols = [
+        _field_col(f, content, base, dom_raw=dom_raws.get(f.name))
+        for f in model.fields
+    ]
     if page_key is not None:
-        out = pages.select(F.col(page_key).alias("__pk"), *cols)
+        out = base.select(F.col(page_key).alias("__pk"), *cols)
     else:
-        out = pages.select(F.monotonically_increasing_id().alias("__pk"), *cols)
+        out = base.select(F.monotonically_increasing_id().alias("__pk"), *cols)
     for f in model.fields:
         if f.not_null:
             out = out.filter(F.col(f.name).isNotNull())
@@ -271,7 +321,16 @@ def _rows_udf(model: EntityModel):
     Returns array<struct<one string per DOM field>>."""
     dom_fields = tuple(f for f in model.fields if f.kind in _DOM_KINDS)
     regex_fields = tuple(f for f in model.fields if f.kind == "regex")
-    names = [f.name for f in dom_fields] + [f.name for f in regex_fields]
+    # sourceless jsonpath fields read the REGION's inner text (embedded
+    # JSON); the path itself evaluates JVM/Arrow-side downstream
+    json_fields = tuple(
+        f for f in model.fields if f.kind == "jsonpath" and f.source is None
+    )
+    names = (
+        [f.name for f in dom_fields]
+        + [f.name for f in regex_fields]
+        + [f.name for f in json_fields]
+    )
     schema = "array<struct<{}>>".format(
         ",".join(f"{_sql_ident(n)}:string" for n in names)
     )
@@ -308,6 +367,8 @@ def _rows_udf(model: EntityModel):
                 for fl in regex_fields:
                     m = regexes[fl.name].search(outer or "")
                     vals[fl.name] = m.group(fl.group) if m else None
+                for fl in json_fields:
+                    vals[fl.name] = n.inner_text
                 rows.append(vals)
             return rows
 
@@ -339,6 +400,8 @@ def extract_rows(
     for f in model.fields:
         if f.kind in ("env", "column") and f.expr in pages.columns:
             need.add(f.expr)
+        if f.kind == "jsonpath" and f.source in pages.columns:
+            need.add(f.source)
     carried = [c for c in pages.columns if c in need]
     ex = raw.select(
         *carried, F.posexplode("__rows").alias("__idx", "__row")
@@ -356,7 +419,8 @@ def extract_rows(
         elif f.kind == "jsonpath":
             from dotnetspider_spark.functions.jsonpath import json_path_col
 
-            raw_col = json_path_col(F.col(f"__row.{f.name}"), f.expr)
+            src = ex[f.source] if f.source else F.col(f"__row.{f.name}")
+            raw_col = json_path_col(src, f.expr)
         else:
             raise ValueError(f"unsupported kind in multi-node path: {f.kind!r}")
         for fmt in f.formatters:

@@ -202,13 +202,15 @@ def lsh_bucket(
 
 def _cos_col(a, b):
     """Exact cosine between two array<double> columns — JVM-side folds,
-    no Python."""
+    no Python. Zero-norm vectors yield 0.0, NOT NaN: Spark orders NaN
+    greater than every number, so a NaN here would sail through any
+    ``>= threshold`` filter and report phantom near-duplicates."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def embedding_neardup_pairs(

@@ -65,9 +65,14 @@ def quality_signals(
     bullet_frac = F.when(F.size(lines) > 0, n_bullet / F.size(lines)).otherwise(
         F.lit(0.0)
     )
+    # lowercase BEFORE distinct: 'The' and 'the' are one stop word, not
+    # two hits against the >=2-distinct-stop-words rule
     stop_hits = F.size(
         F.array_distinct(
-            F.filter(words, lambda w: F.lower(w).isin(*STOP_WORDS))
+            F.transform(
+                F.filter(words, lambda w: F.lower(w).isin(*STOP_WORDS)),
+                F.lower,
+            )
         )
     )
     return docs.select(

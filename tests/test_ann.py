@@ -123,3 +123,25 @@ def test_embedding_neardup_pairs_banded_recall(spark):
     }
     assert banded <= exact  # no false positives survive the verify
     assert len(banded) / len(exact) >= 0.95  # near-total recall
+
+
+def test_embedding_neardup_zero_norm_vectors_never_match(spark):
+    """Zero-norm embeddings must not produce NaN cosines (Spark orders
+    NaN above every number, so NaN >= threshold would pass)."""
+    from dotnetspider_spark.operators.ann import embedding_neardup_pairs
+
+    rows = [
+        (0, [0.0] * 8),
+        (1, [0.0] * 8),
+        (2, [1.0] + [0.0] * 7),
+        (3, [1.0] + [0.0] * 7),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.5, n_planes=48, band_bits=2
+        ).collect()
+    }
+    assert (0, 1) not in got  # zero-norm pair is NOT a near-dup
+    assert (2, 3) in got  # identical unit vectors are

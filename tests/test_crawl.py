@@ -401,6 +401,12 @@ def test_hot_link_extraction_matches_htmlparser_reference():
         lambda i: f"  /sp/{i}.html ",
         lambda i: f"mailto:x{i}@y.z",
         lambda i: "/dup.html",
+        lambda i: f"/a/{i}/..",
+        lambda i: f"/a/{i}/.",
+        lambda i: f"/tab\t{i}.html",
+        lambda i: f"http://h{i%5}.example/nl\n{i}",
+        lambda i: f"/.hidden/{i}",
+        lambda i: f"http://h{i%5}.example/x/../y{i}",
     ]
     pages, bases = [], []
     for t in range(800):
@@ -410,9 +416,16 @@ def test_hot_link_extraction_matches_htmlparser_reference():
             quote = rng.choice(['"', "'", ""])
             if quote == "" and (" " in href or href == ""):
                 quote = '"'
-            parts.append(f"<a href={quote}{href}{quote}>x</a>")
+            if rng.random() < 0.15:
+                parts.append(
+                    f'<a title="w>{k}" href={quote or chr(34)}{href}{quote or chr(34)}>x</a>'
+                )
+            else:
+                parts.append(f"<a href={quote}{href}{quote}>x</a>")
             if rng.random() < 0.1:
                 parts.append(f"<script>var a=\"<a href='/bad/{k}'>\";</script>")
+            if rng.random() < 0.05:
+                parts.append(f"<SCRIPT>var b=\"<a href='/BAD/{k}'>\";</SCRIPT>")
             if rng.random() < 0.1:
                 parts.append(f"<!-- <a href='/cmt/{k}'>c</a> -->")
         pages.append("<html><body>" + "".join(parts) + "</body></html>")

@@ -457,3 +457,55 @@ def test_entity_extractor_real_page(spark):
     assert str(first.run_id).startswith(
         datetime.date.today().strftime("%Y/%m/%d")
     )
+
+
+def test_positional_predicate_per_parent_and_attr_presence():
+    """//x[N] counts within each parent (the // abbreviation expands to
+    /descendant-or-self::node()/child::x[N]); CSS [attr] matches
+    valueless attributes."""
+    from dotnetspider_spark.extraction.dom import (
+        css_all,
+        node_value,
+        parse_html,
+        xpath_all,
+    )
+
+    root = parse_html("<ul><li>a</li><li>x</li></ul><ul><li>b</li></ul>")
+    assert [node_value(n, "innertext") for n in xpath_all(root, "//li[1]")] == [
+        "a", "b",
+    ]
+    assert [
+        node_value(n, "innertext") for n in xpath_all(root, "//li[last()]")
+    ] == ["x", "b"]
+    root2 = parse_html("<div><input disabled><input name='x'></div>")
+    assert len(css_all(root2, "[disabled]")) == 1
+    assert len(css_all(root2, "input[disabled]")) == 1
+
+
+def test_extract_rows_jsonpath_field(spark):
+    """A jsonpath field inside a row-selector model evaluates against
+    the region's embedded JSON text (sourceless) or a carried page
+    column (source=...)."""
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+
+    html = (
+        "<ul>"
+        '<li class="j">{"sku": {"id": 11}}</li>'
+        '<li class="j">{"sku": {"id": 22}}</li>'
+        "</ul>"
+    )
+    pages = spark.createDataFrame(
+        [("p1", html, '{"page_meta": {"cat": "phones"}}')],
+        "url string, html string, meta string",
+    )
+    model = EntityModel(
+        name="j",
+        selector="//li[@class='j']",
+        fields=(
+            Field("sku_id", "jsonpath", "$.sku.id", dtype="bigint"),
+            Field("cat", "jsonpath", "$..cat", source="meta"),
+        ),
+    )
+    out = extract(model, pages, content_col="html", page_key="url")
+    rows = sorted((r.sku_id, r.cat) for r in out.collect())
+    assert rows == [(11, "phones"), (22, "phones")]
