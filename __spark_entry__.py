@@ -112,13 +112,20 @@ def q_politeness_topk(spark, sf_dir):
 
 
 def q_priority_order(spark, sf_dir):
-    # priority + stable tie-break ordering (Page.cs:9 Priority)
+    # priority + stable tie-break ordering (Page.cs:9 Priority).
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K,
+    # driver merge — no single-task funnel of the whole table, which is
+    # what a global row_number window would do); the rank window then
+    # runs over the 100 surviving rows only.
     o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_orderpriority")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
     w = Window.orderBy(F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
-    return (
-        o.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 100)
-        .select("o_orderkey", "o_orderpriority", "rn")
+    return top.withColumn("rn", F.row_number().over(w).cast("bigint")).select(
+        "o_orderkey", "o_orderpriority", "rn"
     )
 
 

@@ -119,6 +119,21 @@ class CrawlConfig:
     #: processor reports zero result items for a page, do not extract its
     #: target links. Only meaningful with a ``processor``.
     skip_targets_when_result_empty: bool = False
+    #: order polls by (priority desc, seq) instead of seq only. The
+    #: reference stores Priority but never reads it (Page.cs:9); its
+    #: Broker DB schema orders by priority (DistributeDesign.md:149-161),
+    #: so this is exposed as an OPT-IN — default stays reference-faithful.
+    priority_first: bool = False
+
+    def __post_init__(self):
+        if self.use_bloom and self.bucketed_seen:
+            # the dedup step can take only one path; silently dropping
+            # the bucketed table the config asked for hid real behavior
+            raise ValueError(
+                "use_bloom and bucketed_seen are mutually exclusive: the "
+                "dedup stage uses the bloom prune OR the bucketed-seen "
+                "anti-join, not both — pick one"
+            )
 
 
 ERRORS_SCHEMA = (
@@ -236,12 +251,21 @@ def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
         lambda r: p.startswith(r["path_prefix"]),
     )
     none_t = F.lit(None).cast("struct<path_prefix:string,allow:boolean>")
+    # longest prefix wins; equal lengths tie-break to ALLOW (the Google
+    # robots.txt spec's rule for equally-specific rules) — collect_list
+    # order varies across partitions, so without this the verdict of an
+    # allow/deny pair of identical length could flip between runs
     best = F.aggregate(
         matched,
         none_t,
         lambda acc, r: F.when(
             acc.isNull()
-            | (F.length(r["path_prefix"]) > F.length(acc["path_prefix"])),
+            | (F.length(r["path_prefix"]) > F.length(acc["path_prefix"]))
+            | (
+                (F.length(r["path_prefix"]) == F.length(acc["path_prefix"]))
+                & r["allow"]
+                & ~acc["allow"]
+            ),
             r,
         ).otherwise(acc),
     )
@@ -266,6 +290,13 @@ def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataF
     (parse.extract_canonical_links_udf): one Python boundary crossing per
     page instead of one per raw link, and no per-page window shuffle.
     """
+    # relative links resolve against the POST-redirect URL when the
+    # fetcher recorded one (page.TargetUrl, Downloader.cs:211-220)
+    base = (
+        F.coalesce(F.col("target_url"), F.col("url"))
+        if "target_url" in success.columns
+        else F.col("url")
+    )
     canon = success.select(
         F.col("referer").alias("__p_referer"),
         F.col("origin").alias("__p_origin"),
@@ -273,7 +304,7 @@ def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataF
         F.col("depth").alias("__p_depth"),
         F.col("__block"),
         F.posexplode(
-            extract_canonical_links_udf(F.col("html"), F.col("url"))
+            extract_canonical_links_udf(F.col("html"), base)
         ).alias("__pos", "url"),
     ).filter(is_fetchable(F.col("url")))
     child = canon.select(
@@ -356,15 +387,32 @@ class Checkpointer:
 
 def crawl(
     spark: SparkSession,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     seeds: DataFrame,
     cfg: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     host_delays: DataFrame | None = None,
     resume: bool = False,
     processor=None,
+    fetcher=None,
 ) -> CrawlRunResult:
     """Run the crawl to frontier exhaustion (or max_iterations).
+
+    ``fetcher``: optional fetch stage (sources.fetchers protocol: a
+    ``fetch(batch) -> DataFrame`` adding ``status``/``html`` and
+    optionally ``target_url``/``content_type``/``encoding``/``bytes``).
+    Default: ``CorpusFetcher(corpus)`` — offline replay. Pass
+    ``HttpFetcher(transport_factory)`` for the live mapInPandas HTTP
+    stage (Downloader.cs:57-64 mapping; tests drive it with
+    ``DictTransport``).
+
+    Post-redirect dedup (Downloader.cs:211-220 ``page.TargetUrl``): when
+    a fetch lands on ``target_url != url``, the identity of a virgin GET
+    for the final URL (same referer/origin/headers metadata the row's
+    children would inherit) is recorded in ``seen``, so a later
+    discovered link to the final URL is not fetched twice. Links are
+    resolved against ``target_url``, and it is carried in the fetched
+    output.
 
     ``host_delays``: optional (host, crawl_delay_ms) table — per-host
     politeness budgets k=⌈iter_wall/delay⌉ (the reference's SleepTime
@@ -419,8 +467,12 @@ def crawl(
             expected_per_bucket=cfg.bloom_expected_per_bucket,
             n_buckets=cfg.bloom_n_buckets,
         )
-    # the scheduling path must never scan payload columns: project early
-    pages = corpus.select("url", "status", "html")
+    if fetcher is None:
+        from dotnetspider_spark.sources.fetchers import CorpusFetcher
+
+        # the scheduling path must never scan payload columns: the
+        # fetcher projects (url, status, html) only
+        fetcher = CorpusFetcher(corpus)
 
     metrics: list[dict] = []
     start_iter = 0
@@ -429,6 +481,7 @@ def crawl(
 
     _tag = hashlib.md5(root.encode()).hexdigest()[:10]
     seen_table: str | None = None  # catalog name of the bucketed compact
+    seen_table_buckets = cfg.seen_buckets  # layout of the LIVE table's files
 
     def write_seen_table(df: DataFrame, version: int) -> str:
         name = f"seen_{_tag}_v{version}"
@@ -443,12 +496,16 @@ def crawl(
         )
         return name
 
-    def restore_seen_table(name: str, path: str) -> None:
+    def restore_seen_table(name: str, path: str, buckets: int) -> None:
+        # the bucket count MUST be the one the files were written with —
+        # re-declaring with the current cfg.seen_buckets would mis-declare
+        # the layout and the bucketed anti-join would silently miss seen
+        # identities (re-crawling duplicates); the manifest persists it
         if not spark.catalog.tableExists(name):
             spark.sql(
                 f"CREATE TABLE {name} (identity STRING) USING parquet "
                 f"CLUSTERED BY (identity) SORTED BY (identity) "
-                f"INTO {cfg.seen_buckets} BUCKETS LOCATION '{path}'"
+                f"INTO {buckets} BUCKETS LOCATION '{path}'"
             )
 
     if resume:
@@ -464,7 +521,8 @@ def crawl(
         n_frontier = int(m["n_frontier"])
         seen_table = m.get("seen_table")
         if seen_table is not None:
-            restore_seen_table(seen_table, m["seen_table_path"])
+            seen_table_buckets = int(m.get("seen_table_buckets") or cfg.seen_buckets)
+            restore_seen_table(seen_table, m["seen_table_path"], seen_table_buckets)
     else:
         seeds_to_frontier(seeds).write.mode("overwrite").parquet(
             f"{root}/frontier/init"
@@ -521,7 +579,7 @@ def crawl(
         iter_base = F.lit((it + 1) << _ITER_SHIFT)
 
         # --- 1. poll: select this iteration's batch ------------------
-        order = poll_order(cfg.dfs) + [F.col("url").asc()]
+        order = poll_order(cfg.dfs, cfg.priority_first) + [F.col("url").asc()]
         if cfg.global_limit is not None:
             # exact reference poll order — ONE global window; test scale only
             w = Window.orderBy(*order)
@@ -543,12 +601,14 @@ def crawl(
             batch = select_fetch_batch(
                 fr_b, dfs=cfg.dfs, budget_col="__budget",
                 salt_buckets=cfg.salt_buckets,
+                priority_first=cfg.priority_first,
             ).withColumnRenamed("host_rank", "rank").drop("__budget")
             batch = _with_block(batch)
         else:
             batch = select_fetch_batch(
                 frontier, dfs=cfg.dfs, per_host_limit=cfg.per_host_limit,
                 salt_buckets=cfg.salt_buckets,
+                priority_first=cfg.priority_first,
             ).withColumnRenamed("host_rank", "rank")
             batch = _with_block(batch)
         batch = batch.localCheckpoint(eager=True)
@@ -567,13 +627,58 @@ def crawl(
         allowed = flagged.filter(F.col("__allowed")).drop("__allowed")
         denied = flagged.filter(~F.col("__allowed")).drop("__allowed")
 
-        # --- 4. fetch (sandbox: corpus join; production: mapInPandas
-        #        HTTP per host-partition). In-iteration checkpoint: the
-        #        result is re-read by later stages --------------------
-        fetched_raw = allowed.join(pages, "url", "left").withColumn(
-            "status", F.coalesce(F.col("status"), F.lit(404))
-        )
+        # --- 4. fetch via the pluggable fetcher (corpus join replay or
+        #        mapInPandas HTTP per host-partition). In-iteration
+        #        checkpoint: the result is re-read by later stages -----
+        fetched_raw = fetcher.fetch(allowed)
+        # only fetchers that can redirect emit target_url; skip the whole
+        # redirect bookkeeping (one count job + possible delta write per
+        # iteration) when the stage can't produce one
+        track_redirects = "target_url" in fetched_raw.columns
+        if not track_redirects:
+            fetched_raw = fetched_raw.withColumn("target_url", F.col("url"))
         fetched_raw = fetched_raw.localCheckpoint(eager=True)
+
+        # --- 4b. post-redirect dedup (page.TargetUrl, Downloader.cs:
+        #         211-220): successful fetches that landed elsewhere mark
+        #         the FINAL url's identity seen, so later links to it are
+        #         not fetched twice. Must land before this iteration's
+        #         dedup-push (children may already link to the target) --
+        if track_redirects:
+            extra_seen = (
+                fetched_raw.filter(
+                    (F.col("status") == 200)
+                    & (F.col("target_url") != F.col("url"))
+                )
+                .select(
+                    request_identity(
+                        F.col("target_url"), method=F.lit("GET"),
+                        referer=F.col("referer"), origin=F.col("origin"),
+                        content=F.lit(None).cast("string"),
+                        retried=F.lit(0), headers=F.col("headers"),
+                    ).alias("identity")
+                )
+                .distinct()
+            )
+            if extra_seen.count() > 0:
+                extra_seen.write.mode("overwrite").parquet(
+                    f"{root}/seen_extra/iter={it}"
+                )
+                seen_parts.append(f"{root}/seen_extra/iter={it}")
+                seen = seen_view()
+                if cfg.use_bloom and blooms is not None:
+                    from dotnetspider_spark.operators.bloom import build_blooms
+
+                    build_blooms(
+                        spark.read.schema("identity string").parquet(
+                            f"{root}/seen_extra/iter={it}"
+                        ),
+                        bloom_params,
+                        existing=blooms,
+                    ).write.mode("overwrite").parquet(
+                        f"{root}/blooms/iter={it}_redir"
+                    )
+                    blooms = spark.read.parquet(f"{root}/blooms/iter={it}_redir")
 
         success = fetched_raw.filter(F.col("status") == 200)
         transient = fetched_raw.filter(F.col("status") >= 500)
@@ -667,7 +772,8 @@ def crawl(
             exhausted = True
 
         success.select(
-            *_FRONTIER_COLS, "status", "rank", F.lit(it).alias("iter")
+            *_FRONTIER_COLS, "status", "rank", "target_url",
+            F.lit(it).alias("iter"),
         ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
         fetched_paths.append(f"{root}/fetched/iter={it}")
 
@@ -773,6 +879,7 @@ def crawl(
                 if cfg.bucketed_seen:
                     old = seen_table
                     seen_table = write_seen_table(seen_view(), it)
+                    seen_table_buckets = cfg.seen_buckets
                     seen_parts = []
                     if old is not None:
                         spark.sql(f"DROP TABLE IF EXISTS {old}")
@@ -794,6 +901,8 @@ def crawl(
                     "errors_paths": errors_paths,
                     "n_frontier": n_frontier,
                     "seen_table": seen_table,
+                    # layout the CURRENT table's files were written with
+                    "seen_table_buckets": seen_table_buckets if seen_table else None,
                     "seen_table_path": (
                         f"{root}/seen_bucketed/v={seen_table.rsplit('_v', 1)[1]}"
                         if seen_table
@@ -803,7 +912,9 @@ def crawl(
             )
         it += 1
 
-    fetched_schema = FRONTIER_SCHEMA + ", status int, rank int, iter int"
+    fetched_schema = (
+        FRONTIER_SCHEMA + ", status int, rank int, target_url string, iter int"
+    )
     empty = spark.createDataFrame([], fetched_schema)
     empty_frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
     return CrawlRunResult(

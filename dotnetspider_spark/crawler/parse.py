@@ -172,9 +172,11 @@ _STRIP_NONLINK = re.compile(
 )
 _STRIP_MARKER = re.compile(r"<script|<style|<!--", re.I)
 # attribute scan tolerates '>' inside earlier quoted attribute values
-# (title="a>b" href=...), matching what a real parser sees
+# (title="a>b" href=...), matching what a real parser sees. The href
+# token must start at a real attribute boundary — (?<![\w-]) rejects
+# data-href / ng-href, which HTMLParser reports as different attributes
 _HREF_ATTR = re.compile(
-    r"""<a\b(?:"[^"]*"|'[^']*'|[^>"'])*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
+    r"""<a\b(?:"[^"]*"|'[^']*'|[^>"'])*?(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))""",
     re.I,
 )
 _SCHEME_OK = re.compile(r"^https?://")
@@ -191,6 +193,12 @@ def _hot_hrefs(html_text: str) -> list:
     ampersand is (HTMLParser's convert_charrefs parity)."""
     if _STRIP_MARKER.search(html_text) is not None:  # case-insensitive probe
         html_text = _STRIP_NONLINK.sub("", html_text)
+        # a marker that SURVIVES the closed-block strip is an unclosed
+        # <script>/<style>/<!-- : HTMLParser switches to CDATA/comment
+        # mode and never sees another tag, so truncate the page there
+        m = _STRIP_MARKER.search(html_text)
+        if m is not None:
+            html_text = html_text[: m.start()]
     out = []
     for m in _HREF_ATTR.finditer(html_text):
         raw = m.group(1) or m.group(2) or m.group(3) or ""

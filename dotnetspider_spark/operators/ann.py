@@ -233,6 +233,14 @@ def embedding_neardup_pairs(
     pair is 1-(1-p^band_bits)^n_bands with p = 1 - θ/π — tune band_bits
     down / n_planes up for looser thresholds. Returns
     (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded to 6 dp.
+
+    Shuffle discipline (the 100 TB concern): the band explode and the
+    candidate self-join carry ONLY (id, band) — never the vector. At
+    10^10 × d floats, shipping embeddings through an 8-way band explode
+    would multiply the exchange bytes by n_bands and make dropDuplicates
+    sort MB-scale rows; instead candidate id-pairs are distinct'd on two
+    longs, then ONE re-join per side fetches the vectors for the exact
+    cosine verify (same ids-only shape as graph.dedup_keep_canonical).
     """
     assert n_planes % band_bits == 0
 
@@ -255,22 +263,23 @@ def embedding_neardup_pairs(
 
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sig = embeddings.select(
-        F.col(id_col).alias("id"), v.alias("v"),
+        F.col(id_col).alias("id"),
         F.explode(bands_of(F.col(vec_col))).alias("band"),
     )
-    right = sig.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-        F.col("band").alias("band_b"),
-    )
-    cand = (
+    right = sig.select(F.col("id").alias("id_b"), F.col("band").alias("band_b"))
+    cand_ids = (
         sig.join(
             right,
             (F.col("band") == F.col("band_b")) & (F.col("id") < F.col("id_b")),
         )
-        .select(F.col("id").alias("id_a"), "id_b", "v", "v_b")
+        .select(F.col("id").alias("id_a"), "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _cos_col(F.col("v"), F.col("v_b"))
+    vecs = embeddings.select(F.col(id_col).alias("id"), v.alias("v"))
+    cand = cand_ids.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
+    cos = _cos_col(F.col("v_a"), F.col("v_b"))
     return (
         cand.withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)

@@ -85,10 +85,16 @@ def push_all(candidates: DataFrame) -> DataFrame:
     return candidates
 
 
-def poll_order(dfs: bool = True) -> list[Column]:
+def poll_order(dfs: bool = True, priority_first: bool = False) -> list[Column]:
     """LIFO/FIFO ordering key (QueueDuplicateRemovedScheduler.cs:57-91);
-    default traverse strategy is DFS (DuplicateRemovedScheduler.cs:75)."""
-    return [F.col("seq").desc()] if dfs else [F.col("seq").asc()]
+    default traverse strategy is DFS (DuplicateRemovedScheduler.cs:75).
+
+    ``priority_first`` prepends ``priority desc`` — the reference stores
+    ``Page.Priority`` (Page.cs:9) but never orders on it; its Broker DB
+    design does (DistributeDesign.md:149-161), so the engine exposes it
+    as an opt-in while the default stays reference-faithful (seq only)."""
+    seq = [F.col("seq").desc()] if dfs else [F.col("seq").asc()]
+    return [F.col("priority").desc()] + seq if priority_first else seq
 
 
 def politeness_budget(iter_wall_ms: Column | int, delay_ms: Column) -> Column:
@@ -108,6 +114,7 @@ def select_fetch_batch(
     budget_col: str | None = None,
     salt_buckets: int = 16,
     salt_threshold: int = 100_000,
+    priority_first: bool = False,
 ) -> DataFrame:
     """One iteration's fetch batch: per-host top-k in DFS/BFS order.
 
@@ -123,7 +130,7 @@ def select_fetch_batch(
     used as the host's k; else ``per_host_limit``; else unlimited order
     only.
     """
-    order = poll_order(dfs)
+    order = poll_order(dfs, priority_first)
     k_expr = (
         F.col(budget_col)
         if budget_col

@@ -94,10 +94,16 @@ class HashSetDuplicateRemover:
 
 
 class QueueDuplicateRemovedScheduler:
-    """Dedup-then-enqueue queue; DFS pops newest, BFS oldest."""
+    """Dedup-then-enqueue queue; DFS pops newest, BFS oldest.
 
-    def __init__(self, dfs: bool = True) -> None:
+    ``priority_first`` is the engine's opt-in (priority desc, then
+    LIFO/FIFO) poll order — the reference stores Priority but never reads
+    it (Page.cs:9); its Broker DB design orders on it
+    (DistributeDesign.md:149-161)."""
+
+    def __init__(self, dfs: bool = True, priority_first: bool = False) -> None:
         self.dfs = dfs  # default traverse strategy Dfs (DuplicateRemovedScheduler.cs:75)
+        self.priority_first = priority_first
         self.remover = HashSetDuplicateRemover()
         self.queue: list[Request] = []
         self.success = 0
@@ -110,6 +116,16 @@ class QueueDuplicateRemovedScheduler:
     def poll(self) -> Request | None:
         if not self.queue:
             return None
+        if self.priority_first:
+            # max priority; within it newest seq (DFS) or oldest (BFS)
+            best = max(
+                range(len(self.queue)),
+                key=lambda i: (
+                    self.queue[i].priority,
+                    self.queue[i].seq if self.dfs else -self.queue[i].seq,
+                ),
+            )
+            return self.queue.pop(best)
         return self.queue.pop(-1 if self.dfs else 0)
 
     @property
@@ -152,6 +168,7 @@ def crawl(
     robots_deny_prefix: str | None = "/private/",
     processor=None,
     skip_targets_when_result_empty: bool = False,
+    priority_first: bool = False,
 ) -> CrawlResult:
     """Single-threaded reference crawl over the synthetic corpus.
 
@@ -163,7 +180,7 @@ def crawl(
     (Spider.cs:397,1155; SpiderTest.cs:162-174).
     """
     corpus = {r["url"]: r for r in gen_corpus_local(cfg)}
-    sched = QueueDuplicateRemovedScheduler(dfs=dfs)
+    sched = QueueDuplicateRemovedScheduler(dfs=dfs, priority_first=priority_first)
     res = CrawlResult()
     seq_counter = max((s.seq for s in seeds), default=-1) + 1
 
@@ -201,6 +218,13 @@ def crawl(
                 res.errors.append((req.url, req.retried, "robots_denied"))
                 continue
         page = corpus.get(req.url)
+        # single-hop redirect replay (page.TargetUrl, Downloader.cs:211-220):
+        # serve the TARGET's status/content; links resolve against the
+        # final URL; on success its virgin-GET identity is marked seen
+        target_url = req.url
+        if page is not None and page.get("redirect_to"):
+            target_url = page["redirect_to"]
+            page = corpus.get(target_url)
         if page is None or page["status"] == 404:
             sched.error += 1
             res.error += 1
@@ -231,6 +255,16 @@ def crawl(
         res.success += 1
         res.fetch_order.append(req.url)
         res.fetched_pages[req.url] = req.depth
+        if target_url != req.url:
+            # post-redirect dedup: a later link to the final URL is a dup
+            sched.remover._seen.add(
+                Request(
+                    url=target_url,
+                    referer=req.referer,
+                    origin=req.origin,
+                    headers=dict(req.headers) if req.headers else None,
+                ).identity()
+            )
         # link discovery: canonicalize in document order, first-dup wins
         child_depth = req.depth + 1
         if max_depth is not None and child_depth > max_depth:
@@ -239,7 +273,7 @@ def crawl(
             continue
         seen_in_page: set[str] = set()
         for link in page["out_links"]:
-            canon = canonicalize(req.url, link)
+            canon = canonicalize(target_url, link)
             if canon is None or canon in seen_in_page:
                 continue
             seen_in_page.add(canon)

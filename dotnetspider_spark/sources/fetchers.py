@@ -8,20 +8,27 @@ The reference's downloader hierarchy maps onto three fetcher shapes:
   and the deterministic-test path.
 - ``HttpFetcher``     <- HttpClientDownloader (HttpClientDownloader
   .cs:74-188): a ``mapInPandas`` stage, one iterator per host-partition,
-  reusing one HTTP client per partition (the reference pools clients per
+  reusing ONE transport per partition (the reference pools clients per
   proxy hash with cookie affinity, :202-271 — per-partition reuse is the
-  Spark-native equivalent). The sandbox has no network and no httpx, so
-  ``HttpFetcher.fetch`` raises ``NotImplementedError`` loudly; the
-  partitioning/batching/schema plumbing it would use is exactly
-  ``CorpusFetcher``'s and is fully exercised by tests.
+  Spark-native equivalent). The transport is INJECTABLE: the sandbox has
+  no network, so tests drive the full stage through ``DictTransport``
+  (the FakeDownloader analog); production injects an httpx/urllib3-backed
+  factory with the identical call contract.
 - ``DirectoryFetcher`` <- file downloads saved under ``downloads/host/``
   (Downloader.cs:247-279): reads payload files per row.
 
 Every fetcher returns the same shape: the batch's frontier columns plus
 ``status:int`` and content columns — the loop is fetcher-agnostic.
+``HttpFetcher`` additionally emits ``target_url`` (post-redirect URL,
+Downloader.cs:211-220 / HttpClientDownloader.cs:127), ``content_type``,
+``encoding`` (charset sniff: header -> meta -> utf-8 default),
+``bytes`` and ``fetch_ms``.
 """
 
 from __future__ import annotations
+
+import time
+from urllib.parse import urljoin
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,44 +40,235 @@ class CorpusFetcher:
     ``content_cols`` controls projection: the scheduling loop asks only
     for ``("status", "html")``; the payload stage asks for the image
     columns — column pruning reaches the corpus scan either way.
+
+    If the corpus carries a ``redirect_to`` column, a non-null value
+    replays a single-hop redirect (the corpus analog of HttpClient
+    auto-follow): the row's ``status``/``html`` come from the TARGET
+    page and ``target_url`` records the post-redirect URL
+    (Downloader.cs:211-220 ``page.TargetUrl``). Fixture redirects are
+    single-hop by construction (testing.datagen).
     """
 
-    def __init__(self, corpus: DataFrame, content_cols: tuple[str, ...] = ("status", "html")):
+    def __init__(
+        self,
+        corpus: DataFrame,
+        content_cols: tuple[str, ...] = ("status", "html"),
+        follow_redirects: bool | None = None,
+    ):
         self.corpus = corpus
         self.content_cols = content_cols
+        #: None = probe once on first fetch (a pushed-filter limit-1 scan)
+        #: so redirect-free corpora never pay the per-iteration hop join
+        self._follow = follow_redirects
+
+    def _has_redirects(self) -> bool:
+        if self._follow is None:
+            self._follow = "redirect_to" in self.corpus.columns and (
+                self.corpus.where(F.col("redirect_to").isNotNull()).limit(1).count()
+                > 0
+            )
+        return self._follow
 
     def fetch(self, batch: DataFrame) -> DataFrame:
-        pages = self.corpus.select("url", *self.content_cols)
-        return batch.join(pages, "url", "left").withColumn(
-            "status", F.coalesce(F.col("status"), F.lit(404))
+        has_redirects = self._has_redirects()
+        cols = list(self.content_cols) + (["redirect_to"] if has_redirects else [])
+        pages = self.corpus.select("url", *cols)
+        out = batch.join(pages, "url", "left")
+        if has_redirects:
+            tgt = self.corpus.select(
+                F.col("url").alias("redirect_to"),
+                *[F.col(c).alias(f"__t_{c}") for c in self.content_cols],
+            )
+            out = out.join(tgt, "redirect_to", "left")
+            is_redir = F.col("redirect_to").isNotNull()
+            for c in self.content_cols:
+                out = out.withColumn(
+                    c, F.when(is_redir, F.col(f"__t_{c}")).otherwise(F.col(c))
+                ).drop(f"__t_{c}")
+            out = out.withColumn(
+                "target_url", F.coalesce(F.col("redirect_to"), F.col("url"))
+            ).drop("redirect_to")
+        if "status" in self.content_cols:
+            out = out.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
+        return out
+
+
+class TransportError(Exception):
+    """Connection-level failure (timeout, refused, DNS) — the analog of
+    the reference's DownloaderException path (Spider.cs:1212-1267 maps it
+    to cycle retry); ``HttpFetcher`` surfaces it as status 599."""
+
+
+class DictTransport:
+    """Injectable fake transport (the FakeDownloader analog) backed by a
+    plain dict — lets tests drive the FULL ``HttpFetcher`` mapInPandas
+    stage with redirects, timeouts and delays but no network.
+
+    ``pages``: url -> dict with optional keys
+      ``status`` (default 200), ``body`` (bytes/str, default b""),
+      ``content_type`` (header value), ``location`` (redirect target,
+      relative allowed), ``raise_timeout`` (bool -> TransportError).
+    The instance is pickled into the executor closure; ``__call__``
+    follows the transport-factory contract (returns a ``send`` callable —
+    "one pooled client per partition"). Each send is appended to
+    ``send`` 's ``.log`` (url, monotonic ts) so politeness-delay tests
+    can assert same-host spacing inside a partition.
+    """
+
+    def __init__(self, pages: dict):
+        self.pages = pages
+
+    def __call__(self):
+        log: list[tuple[str, float]] = []
+
+        def send(method: str, url: str, headers: dict | None, timeout_s: float):
+            log.append((url, time.monotonic()))
+            page = self.pages.get(url)
+            if page is None:
+                return 404, {}, b""
+            if page.get("raise_timeout"):
+                raise TransportError(f"timeout after {timeout_s}s: {url}")
+            hdrs = {}
+            if page.get("content_type"):
+                hdrs["content-type"] = page["content_type"]
+            if page.get("location"):
+                hdrs["location"] = page["location"]
+            body = page.get("body", b"")
+            if isinstance(body, str):
+                body = body.encode("utf-8")
+            return int(page.get("status", 200)), hdrs, body
+
+        send.log = log
+        return send
+
+
+def sniff_charset_py(content_type: str | None, body: bytes | None) -> str:
+    """Charset detection, header -> <meta> -> utf-8 default — the
+    Downloader.cs:211-220 ReadContent order. Pure so the mapInPandas
+    fetch stage and tests share it; the column-expression twin is
+    ``functions.content.sniff_charset``."""
+    import re
+
+    if content_type:
+        m = re.search(r"charset\s*=\s*[\"']?([\w.:-]+)", content_type, re.I)
+        if m:
+            return m.group(1).lower()
+    if body:
+        head = body[:2048].decode("iso-8859-1", "replace")
+        m = re.search(
+            r"""<meta[^>]+charset\s*=\s*["']?([\w.:-]+)""", head, re.I
         )
+        if m:
+            return m.group(1).lower()
+    return "utf-8"
 
 
 class HttpFetcher:
-    """Real-HTTP fetch stage (STUB in this sandbox — no network, no
-    httpx/aiohttp). The production implementation is a ``mapInPandas``
-    over the batch repartitioned by host:
+    """Real-HTTP fetch stage: ``mapInPandas`` over the batch repartitioned
+    by host (HttpClientDownloader.cs:74-188 re-expressed).
 
-        batch.repartition(n, "host").mapInPandas(fetch_partition, schema)
+    - one transport per PARTITION (``transport_factory()`` called once in
+      the iterator — the reference pools one HttpClient per proxy hash,
+      :202-271);
+    - per-host politeness INSIDE the batch: consecutive same-host sends
+      sleep to ``crawl_delay_ms`` spacing (the rank cap bounds the batch,
+      this spaces it — Spider.cs:181,805 SleepTime);
+    - redirects followed manually, <= ``max_redirects`` hops
+      (HttpClientDownloader AllowAutoRedirect, :96), each hop resolved
+      RFC-3986-relative; final URL -> ``target_url``;
+    - success = any 2xx after redirects (Downloader.cs:57-64); transport
+      errors -> status 599 (a 5xx, so the loop's transient-retry path
+      picks it up — the DownloaderException -> AddToCycleRetry mapping,
+      Spider.cs:1212-1267);
+    - emits ``status, bytes, target_url, content_type, encoding, html,
+      fetch_ms``: html is the body decoded with the sniffed charset
+      (header -> meta -> utf-8, Downloader.cs:211-220), done in the SAME
+      pass so no second Python crossing.
 
-    where ``fetch_partition`` opens ONE pooled client, applies the
-    per-host ``crawl_delay_ms`` between same-host requests (politeness
-    within the batch the rank already capped), honors timeout 8s /
-    redirects <= 10 / success = 2xx-3xx like Downloader.cs:57-64,358-365,
-    and yields rows of (frontier cols, status, bytes, target_url,
-    content_type, fetch_ms).
+    The sandbox has no network: production injects e.g. an httpx-backed
+    factory; tests inject :class:`DictTransport`. The stage itself —
+    partitioning, delay, redirects, schema — is identical either way.
     """
 
-    def __init__(self, timeout_s: float = 8.0, max_redirects: int = 10):
+    EXTRA_SCHEMA = (
+        "status int, bytes binary, target_url string, content_type string, "
+        "encoding string, html string, fetch_ms long"
+    )
+
+    def __init__(
+        self,
+        transport_factory,
+        timeout_s: float = 8.0,
+        max_redirects: int = 10,
+        n_partitions: int | None = None,
+        crawl_delay_ms: dict[str, int] | None = None,
+    ):
+        self.transport_factory = transport_factory
         self.timeout_s = timeout_s
         self.max_redirects = max_redirects
+        self.n_partitions = n_partitions
+        self.crawl_delay_ms = dict(crawl_delay_ms or {})
 
     def fetch(self, batch: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            "no network/HTTP client library in this sandbox; use "
-            "CorpusFetcher (offline replay) — the production mapInPandas "
-            "shape is documented in this class's docstring"
-        )
+        import pandas as pd
+
+        factory = self.transport_factory
+        timeout_s = self.timeout_s
+        max_redirects = self.max_redirects
+        delays = self.crawl_delay_ms
+        out_fields = [f.split()[0] for f in self.EXTRA_SCHEMA.split(", ")]
+
+        def fetch_partition(batches):
+            send = factory()  # ONE pooled client per partition
+            last_at: dict[str, float] = {}
+            for pdf in batches:
+                extras: dict[str, list] = {f: [] for f in out_fields}
+                for url, host, method, headers in zip(
+                    pdf["url"], pdf["host"], pdf["method"], pdf["headers"]
+                ):
+                    delay = delays.get(host, 0) / 1000.0
+                    if delay > 0 and host in last_at:
+                        wait = last_at[host] + delay - time.monotonic()
+                        if wait > 0:
+                            time.sleep(wait)
+                    t0 = time.monotonic()
+                    cur, status, hdrs, body = url, 599, {}, b""
+                    try:
+                        for _ in range(max_redirects + 1):
+                            status, hdrs, body = send(
+                                method or "GET", cur, headers, timeout_s
+                            )
+                            loc = hdrs.get("location")
+                            if 300 <= status < 400 and loc:
+                                cur = urljoin(cur, loc)
+                                continue
+                            break
+                    except TransportError:
+                        status, hdrs, body = 599, {}, b""
+                    last_at[host] = time.monotonic()
+                    ctype = hdrs.get("content-type")
+                    enc = sniff_charset_py(ctype, body)
+                    try:
+                        html = body.decode(enc, "replace") if body else None
+                    except LookupError:  # unknown codec name in the wild
+                        html = body.decode("utf-8", "replace") if body else None
+                    for f, v in zip(
+                        out_fields,
+                        (
+                            status, bytes(body) if body else None, cur, ctype,
+                            enc, html, int((time.monotonic() - t0) * 1000),
+                        ),
+                    ):
+                        extras[f].append(v)
+                for f in out_fields:
+                    pdf[f] = pd.Series(extras[f], index=pdf.index, dtype="object")
+                yield pdf
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
+        ) + ", " + self.EXTRA_SCHEMA
+        n = self.n_partitions or batch.sparkSession.sparkContext.defaultParallelism
+        return batch.repartition(n, "host").mapInPandas(fetch_partition, schema)
 
 
 class DirectoryFetcher:

@@ -36,18 +36,24 @@ class CorpusConfig:
     fail_500_every: int = 53  # transient -> retry path
     fail_404_every: int = 71  # permanent
     private_every: int = 37  # lives under /private/ (robots-denied prefix)
+    #: >0: page i with i % redirect_every == 3 (i>3) is a 301 redirect to
+    #: page i-1 (single-hop by construction — consecutive ids can't both
+    #: hit the modulus). Redirect wins over the 500/404 moduli. 0 = off,
+    #: keeping pre-existing fixtures byte-identical.
+    redirect_every: int = 0
 
 
 CORPUS_COLUMNS = [
     "page_id", "url", "host", "out_links", "html",
     "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-    "status", "crawl_delay_ms",
+    "status", "crawl_delay_ms", "redirect_to",
 ]
 
 CORPUS_SCHEMA = (
     "page_id long, url string, host string, out_links array<string>, "
     "html string, image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash long, status int, crawl_delay_ms int"
+    "caption string, phash long, status int, crawl_delay_ms int, "
+    "redirect_to string"
 )
 
 
@@ -96,6 +102,16 @@ def corpus_row(i: int, cfg: CorpusConfig) -> dict:
     """The single source of truth for page i. Pure, deterministic."""
     url = page_url(i, cfg)
     host = url.split("/")[2]
+    if cfg.redirect_every > 0 and i > 3 and i % cfg.redirect_every == 3:
+        # 301 stub: no content of its own — fetchers follow the hop and
+        # serve the TARGET's status/html with target_url recorded
+        return {
+            "page_id": i, "url": url, "host": host, "out_links": [],
+            "html": "", "image_id": "", "bytes": b"", "w": 1, "h": 1,
+            "fmt": "png", "caption": "", "phash": 0, "status": 301,
+            "crawl_delay_ms": host_delay_ms(host),
+            "redirect_to": page_url(i - 1, cfg),
+        }
     rng = np.random.default_rng([cfg.seed, 3, i])
     n_links = int(rng.integers(0, cfg.links_per_page + 1))
     out_links: list[str] = []
@@ -150,6 +166,7 @@ def corpus_row(i: int, cfg: CorpusConfig) -> dict:
         "phash": ph,
         "status": status,
         "crawl_delay_ms": host_delay_ms(host),
+        "redirect_to": None,
     }
 
 
@@ -167,14 +184,28 @@ def gen_corpus(spark, cfg: CorpusConfig, parallelism: int = 32):
     """
     import pandas as pd
 
+    # redirect-free corpora omit the redirect_to column entirely, so the
+    # fetch stage (CorpusFetcher) statically skips redirect bookkeeping —
+    # no probe scan, no hop join, byte-identical to the pre-redirect plan
+    cols = (
+        CORPUS_COLUMNS
+        if cfg.redirect_every > 0
+        else [c for c in CORPUS_COLUMNS if c != "redirect_to"]
+    )
+    schema = (
+        CORPUS_SCHEMA
+        if cfg.redirect_every > 0
+        else CORPUS_SCHEMA.replace(", redirect_to string", "")
+    )
+
     def gen(batches):
         for pdf in batches:
             rows = [corpus_row(int(i), cfg) for i in pdf["id"]]
-            yield pd.DataFrame(rows, columns=CORPUS_COLUMNS)
+            yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.range(0, cfg.n_pages, numPartitions=parallelism)
-        .mapInPandas(gen, schema=CORPUS_SCHEMA)
+        .mapInPandas(gen, schema=schema)
     )
 
 

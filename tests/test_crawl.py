@@ -428,6 +428,23 @@ def test_hot_link_extraction_matches_htmlparser_reference():
                 parts.append(f"<SCRIPT>var b=\"<a href='/BAD/{k}'>\";</SCRIPT>")
             if rng.random() < 0.1:
                 parts.append(f"<!-- <a href='/cmt/{k}'>c</a> -->")
+            # hyphenated pseudo-href attributes are NOT links (HTMLParser
+            # reports data-href/ng-href as distinct attribute names)
+            if rng.random() < 0.08:
+                parts.append(f"<a data-href='/phantom/{k}'>x</a>")
+            if rng.random() < 0.04:
+                parts.append(f"<a ng-href='/ng/{k}' href='/real/{k}'>x</a>")
+        # truncated/malformed pages: an UNCLOSED <script>/<style>/<!--
+        # puts HTMLParser in CDATA/comment mode for the rest of the page —
+        # anchors after it (including ones inside the JS text) must vanish
+        if rng.random() < 0.08:
+            parts.append(f"<script>var c=\"<a href='/bad2/{t}'>\";")
+            parts.append(f"<a href='/after-script/{t}'>x</a>")
+        elif rng.random() < 0.04:
+            parts.append(f"<style>.x{{background:url('/s/{t}')}}")
+            parts.append(f"<a href='/after-style/{t}'>x</a>")
+        elif rng.random() < 0.04:
+            parts.append(f"<!-- open comment <a href='/cmt2/{t}'>")
         pages.append("<html><body>" + "".join(parts) + "</body></html>")
         bases.append(f"http://base{t%7}.example/dir/page{t}.html")
     got = _canonical_links(pd.Series(pages), pd.Series(bases))
@@ -474,8 +491,13 @@ def test_bucketed_seen_crawl_matches_oracle(spark, small_corpus, tmp_path_factor
         compact_every=2,
     )
     crawl(spark, small_corpus, seeds, CrawlConfig(max_iterations=3, **kw), robots=robots)
+    # resume with a DIFFERENT cfg.seen_buckets: the manifest persists the
+    # layout the table files were written with, so the re-registered
+    # table keeps buckets=4 — a mis-declared layout would silently miss
+    # seen identities in the bucketed anti-join (re-crawling duplicates)
     res = crawl(
-        spark, small_corpus, seeds, CrawlConfig(**kw), robots=robots, resume=True
+        spark, small_corpus, seeds,
+        CrawlConfig(**{**kw, "seen_buckets": 16}), robots=robots, resume=True,
     )
     pres = pycrawl(
         SMALL, [Request(**r) for r in seed_rows(SMALL, 5)], dfs=True, max_depth=3
@@ -484,3 +506,68 @@ def test_bucketed_seen_crawl_matches_oracle(spark, small_corpus, tmp_path_factor
     assert {r.identity for r in res.seen.collect()} == pres.seen
     got = {(r.url, r.retried, r.reason) for r in res.errors.collect()}
     assert got == set(pres.errors)
+
+
+@pytest.mark.parametrize("dfs", [True, False], ids=["dfs", "bfs"])
+def test_priority_first_poll_order_matches_reference(spark, tiny_corpus, dfs):
+    """Opt-in (priority desc, seq) polling (Page.cs:9 Priority is stored-
+    never-read in the reference; its Broker DB orders on it,
+    DistributeDesign.md:149-161): exact order vs the pyref oracle at
+    global_limit=1."""
+    from dotnetspider_spark.testing.datagen import SEED_SCHEMA
+
+    rows = seed_rows(TINY, 6)
+    for r, p in zip(rows, [0, 2, 1, 2, 0, 5]):
+        r["priority"] = p
+    seeds = spark.createDataFrame(rows, SEED_SCHEMA)
+    res = crawl(
+        spark,
+        tiny_corpus,
+        seeds,
+        CrawlConfig(
+            dfs=dfs, max_depth=2, global_limit=1, per_host_limit=None,
+            priority_first=True,
+        ),
+        robots=gen_robots(spark, TINY),
+    )
+    pres = pycrawl(
+        TINY, [Request(**r) for r in rows], dfs=dfs, max_depth=2,
+        priority_first=True,
+    )
+    assert res.fetch_order() == pres.fetch_order
+    assert res.fetch_order()
+    # priority genuinely reordered the crawl vs the default poll
+    base = pycrawl(TINY, [Request(**r) for r in rows], dfs=dfs, max_depth=2)
+    assert pres.fetch_order != base.fetch_order
+
+
+def test_robots_equal_length_tie_prefers_allow(spark):
+    """Equal-length allow and deny prefixes must resolve deterministically
+    to ALLOW (the robots.txt spec's tie-break) regardless of the rule
+    collection order collect_list happens to produce."""
+    from dotnetspider_spark.crawler.loop import _robots_flag
+
+    batch = spark.createDataFrame(
+        [("http://h.example/p/x", "h.example")], "url string, host string"
+    )
+    for rules in (
+        [("h.example", "/p/", False), ("h.example", "/p/", True)],
+        [("h.example", "/p/", True), ("h.example", "/p/", False)],
+    ):
+        robots = spark.createDataFrame(
+            rules, "host string, path_prefix string, allow boolean"
+        )
+        (row,) = _robots_flag(batch, robots).collect()
+        assert row["__allowed"] is True
+    # longer deny still beats shorter allow
+    robots = spark.createDataFrame(
+        [("h.example", "/p/", True), ("h.example", "/p/x", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    (row,) = _robots_flag(batch, robots).collect()
+    assert row["__allowed"] is False
+
+
+def test_bloom_and_bucketed_seen_mutually_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CrawlConfig(use_bloom=True, bucketed_seen=True)

@@ -1,0 +1,233 @@
+"""HttpFetcher mapInPandas stage driven end-to-end through an injectable
+fake transport (DictTransport = the FakeDownloader analog) — redirects,
+timeouts, charset sniffing, politeness spacing, outcome mapping
+(Downloader.cs:57-64,358-365 + Spider.cs:1212-1267), plus redirect-aware
+crawl semantics (post-redirect dedup on page.TargetUrl,
+Downloader.cs:211-220)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from dotnetspider_spark.sources.fetchers import (
+    CorpusFetcher,
+    DictTransport,
+    HttpFetcher,
+    sniff_charset_py,
+)
+
+BATCH_SCHEMA = (
+    "url string, host string, method string, referer string, origin string, "
+    "content string, headers map<string,string>, priority int, depth int, "
+    "retried int, seq long, identity string"
+)
+
+
+def _batch(spark, urls):
+    rows = [
+        (u, u.split("/")[2], "GET", None, None, None, None, 0, 1, 0, i, f"id{i}")
+        for i, u in enumerate(urls)
+    ]
+    return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+
+PAGES = {
+    "http://a.example/ok": {
+        "body": "<html><a href='/next'>n</a></html>",
+        "content_type": "text/html; charset=utf-8",
+    },
+    "http://a.example/redir": {"status": 301, "location": "/final"},
+    "http://a.example/final": {
+        "body": "<html>done</html>", "content_type": "text/html"
+    },
+    "http://a.example/hop1": {"status": 302, "location": "hop2"},
+    "http://a.example/hop2": {"status": 301, "location": "http://b.example/end"},
+    "http://b.example/end": {"body": "end"},
+    "http://a.example/loop": {"status": 302, "location": "/loop"},
+    "http://a.example/slow": {"raise_timeout": True},
+    "http://a.example/gone": {"status": 410, "body": "gone"},
+    "http://a.example/cp1251": {
+        "body": "<html><meta charset=windows-1251><p>x</p></html>",
+    },
+    "http://a.example/err": {"status": 500, "body": "boom"},
+}
+
+
+@pytest.fixture(scope="module")
+def fetched(spark):
+    f = HttpFetcher(DictTransport(PAGES), n_partitions=2)
+    out = f.fetch(_batch(spark, list(PAGES) + ["http://a.example/nope"]))
+    return {r.url: r for r in out.collect()}
+
+
+def test_success_and_miss_statuses(fetched):
+    assert fetched["http://a.example/ok"].status == 200
+    assert fetched["http://a.example/nope"].status == 404  # no corpus entry
+    assert fetched["http://a.example/gone"].status == 410
+    assert fetched["http://a.example/err"].status == 500
+
+
+def test_redirects_followed_and_target_url_recorded(fetched):
+    r = fetched["http://a.example/redir"]
+    assert r.status == 200
+    assert r.target_url == "http://a.example/final"  # relative Location resolved
+    assert r.html == "<html>done</html>"
+    multi = fetched["http://a.example/hop1"]
+    assert multi.target_url == "http://b.example/end"  # 2 hops, cross-host
+    assert multi.status == 200
+    # non-redirected rows report themselves
+    assert fetched["http://a.example/ok"].target_url == "http://a.example/ok"
+
+
+def test_redirect_loop_bounded_by_max_redirects(fetched):
+    r = fetched["http://a.example/loop"]
+    assert r.status == 302  # gave up still holding a 3xx
+    assert r.target_url == "http://a.example/loop"
+
+
+def test_transport_error_maps_to_transient_5xx(fetched):
+    # DownloaderException -> AddToCycleRetry (Spider.cs:1212-1267): the
+    # loop retries status >= 500, so a timeout must land in that band
+    assert fetched["http://a.example/slow"].status == 599
+    assert fetched["http://a.example/slow"].bytes is None
+
+
+def test_charset_sniff_header_then_meta_then_default(fetched):
+    assert fetched["http://a.example/ok"].encoding == "utf-8"  # header
+    assert fetched["http://a.example/cp1251"].encoding == "windows-1251"  # meta
+    assert fetched["http://a.example/final"].encoding == "utf-8"  # default
+    assert sniff_charset_py("text/html; Charset=ISO-8859-2", b"") == "iso-8859-2"
+    assert sniff_charset_py(None, b'<META CHARSET="gbk">') == "gbk"
+    assert sniff_charset_py(None, None) == "utf-8"
+
+
+def test_politeness_delay_spaces_same_host_sends(spark):
+    """Consecutive same-host sends inside a partition must be spaced by
+    crawl_delay_ms (SleepTime, Spider.cs:181,805). The fake transport
+    runs in the executor's python worker, so it reports each send's
+    monotonic timestamp through the response body."""
+    import time as _time
+
+    class TimestampTransport:
+        def __call__(self):
+            def send(method, url, headers, timeout_s):
+                return 200, {}, f"{_time.monotonic():.6f}".encode()
+
+            return send
+
+    urls = [f"http://d.example/{i}" for i in range(4)]
+    f = HttpFetcher(
+        TimestampTransport(), n_partitions=1, crawl_delay_ms={"d.example": 60}
+    )
+    out = f.fetch(_batch(spark, urls))
+    times = sorted(float(r.html) for r in out.collect())
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    assert all(g >= 0.055 for g in gaps), gaps
+
+
+def test_fetch_ms_recorded(fetched):
+    assert all(r.fetch_ms >= 0 for r in fetched.values())
+
+
+def test_corpus_fetcher_follows_single_hop_redirect(spark):
+    corpus = spark.createDataFrame(
+        [
+            ("http://h/r", 301, "", "http://h/t"),
+            ("http://h/t", 200, "<html>t</html>", None),
+            ("http://h/x", 200, "<html>x</html>", None),
+        ],
+        "url string, status int, html string, redirect_to string",
+    )
+    out = {
+        r.url: r
+        for r in CorpusFetcher(corpus).fetch(_batch(spark, ["http://h/r", "http://h/x"])).collect()
+    }
+    assert out["http://h/r"].status == 200
+    assert out["http://h/r"].html == "<html>t</html>"
+    assert out["http://h/r"].target_url == "http://h/t"
+    assert out["http://h/x"].target_url == "http://h/x"
+
+
+def test_crawl_through_http_fetcher_matches_corpus_replay(spark):
+    """The full loop driven through HttpFetcher(DictTransport) must equal
+    the CorpusFetcher replay of the same web — retry/redirect/timeout
+    outcomes included."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+    from dotnetspider_spark.pyref.oracle import Request, crawl as pycrawl
+    from dotnetspider_spark.testing.datagen import (
+        CorpusConfig, gen_corpus, gen_robots, gen_seeds, gen_corpus_local,
+        seed_rows,
+    )
+
+    cfg = CorpusConfig(n_pages=80, n_hosts=4, with_payload=False, redirect_every=11)
+    pages = {
+        r["url"]: (
+            {"status": 301, "location": r["redirect_to"]}
+            if r["redirect_to"]
+            else {"status": r["status"], "body": r["html"], "content_type": "text/html"}
+        )
+        for r in gen_corpus_local(cfg)
+    }
+    ccfg = CrawlConfig(dfs=True, max_depth=3, per_host_limit=8)
+    res_http = crawl(
+        spark, None, gen_seeds(spark, cfg, 3), ccfg,
+        robots=gen_robots(spark, cfg),
+        fetcher=HttpFetcher(DictTransport(pages), n_partitions=4),
+    )
+    res_corpus = crawl(
+        spark, gen_corpus(spark, cfg, parallelism=2), gen_seeds(spark, cfg, 3),
+        ccfg, robots=gen_robots(spark, cfg),
+    )
+    pres = pycrawl(cfg, [Request(**r) for r in seed_rows(cfg, 3)], dfs=True, max_depth=3)
+    urls_http = {r.url for r in res_http.fetched.select("url").collect()}
+    urls_corpus = {r.url for r in res_corpus.fetched.select("url").collect()}
+    # the two engine paths must agree EXACTLY with each other
+    assert urls_http == urls_corpus
+    # vs the sequential oracle: the URL-seen sets are identical (the
+    # engine's redirect extra-identity equals the oracle's pushed child
+    # identity), while fetches of redirect TARGETS are interleaving-
+    # dependent — BSP dedups a same-iteration discovery that the
+    # sequential order may have pushed pre-redirect — so the fetch sets
+    # may differ only by redirect-target URLs
+    assert {r.identity for r in res_http.seen.collect()} == pres.seen
+    assert {r.identity for r in res_corpus.seen.collect()} == pres.seen
+    targets = {r["redirect_to"] for r in gen_corpus_local(cfg) if r["redirect_to"]}
+    assert urls_http.symmetric_difference(pres.fetch_order) <= targets
+    # at least one redirect actually exercised, and its target recorded
+    redirected = {
+        r.url: r.target_url
+        for r in res_http.fetched.select("url", "target_url").collect()
+        if r.target_url != r.url
+    }
+    assert redirected, "fixture produced no fetched redirects"
+
+
+def test_redirected_seed_dedups_on_post_redirect_url(spark):
+    """A crawl that fetches /r (301 -> /t) must NOT later fetch /t when a
+    link to it is discovered (VERDICT r2 item 4)."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+
+    corpus = spark.createDataFrame(
+        [
+            # seed A redirects to T; T links to B; B links directly to T
+            ("http://h.example/a", 301, "", "http://h.example/t"),
+            ("http://h.example/t", 200,
+             "<html><a href='/b'>b</a></html>", None),
+            ("http://h.example/b", 200,
+             "<html><a href='/t'>t</a></html>", None),
+        ],
+        "url string, status int, html string, redirect_to string",
+    )
+    seeds = spark.createDataFrame(
+        [("http://h.example/a", 0)], "url string, seq long"
+    )
+    res = crawl(spark, corpus, seeds, CrawlConfig(dfs=True, per_host_limit=4))
+    fetched = sorted(r.url for r in res.fetched.select("url").collect())
+    # /t is never fetched as itself: its content arrived via /a, and the
+    # later /b -> /t link is deduped against the post-redirect identity
+    assert fetched == ["http://h.example/a", "http://h.example/b"]
+    tgt = {
+        r.url: r.target_url for r in res.fetched.select("url", "target_url").collect()
+    }
+    assert tgt["http://h.example/a"] == "http://h.example/t"
