@@ -663,6 +663,55 @@ def q_content_type_detect(spark, sf_dir):
     )
 
 
+def q_charset_sniff(spark, sf_dir):
+    # charset detection: Content-Type header charset= param, else <meta>
+    # in the body head, else utf-8 (Downloader.cs:211-220 read order;
+    # carried as the fetched schema's `encoding` column by HttpFetcher)
+    from dotnetspider_spark.functions.content import sniff_charset
+
+    d = _t(spark, sf_dir, "documents")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("text/html; charset=ISO-8859-1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("application/json;charset=UTF-16"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("text/html"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    body = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit('<html><META Charset="windows-1251"><p>'), F.col("text")
+        ),
+    ).otherwise(F.concat(F.lit("<html><p>"), F.col("text")))
+    return d.select(
+        "doc_id",
+        sniff_charset(header, F.substring(body, 1, 2048)).alias("encoding"),
+    )
+
+
+def q_priority_poll_rank(spark, sf_dir):
+    # opt-in priority polling (Page.cs:9 / DistributeDesign.md:149-161):
+    # per-host fetch batch ranked by (priority desc, seq desc) through
+    # the engine's salted two-level rank operator
+    ev = _t(spark, sf_dir, "events")
+    h = (F.col("user_id") % 20).cast("string")
+    frontier = ev.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example/e/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), h, F.lit(".example")).alias("host"),
+        F.col("event_id").alias("seq"),
+        (F.col("user_id") % 5).cast("int").alias("priority"),
+    )
+    batch = select_fetch_batch(
+        frontier, dfs=True, per_host_limit=3, priority_first=True
+    )
+    return batch.select(
+        "host", "url", "priority", "seq",
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+    )
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 # Oracle-free entries: genuinely non-SQL-expressible pipelines (pandas-UDF
 # codecs, iterative crawl). The driver records a rows-only check; full
@@ -1026,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_selector_extract": q_css_selector_extract,
         "xpath_value_options": q_xpath_value_options,
         "content_type_detect": q_content_type_detect,
+        "charset_sniff": q_charset_sniff,
+        "priority_poll_rank": q_priority_poll_rank,
         "docs_word_jaccard": q_docs_word_jaccard,
         "docs_simhash64": q_docs_simhash64,
         "host_headers_apply": q_host_headers_apply,
@@ -1171,6 +1222,41 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 'application/json; charset=utf-8'
                             WHEN doc_id % 5 = 1 THEN 'text/html' END AS hdr
                 FROM documents)
+        """,
+        "charset_sniff": r"""
+            SELECT doc_id,
+                   lower(coalesce(
+                       nullif(regexp_extract(hdr,
+                           '(?i)charset\s*=\s*["'']?([\w.:-]+)', 1), ''),
+                       nullif(regexp_extract(substr(body, 1, 2048),
+                           '(?i)<meta[^>]+charset\s*=\s*["'']?([\w.:-]+)', 1), ''),
+                       'utf-8')) AS encoding
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                                THEN 'text/html; charset=ISO-8859-1'
+                            WHEN doc_id % 4 = 1
+                                THEN 'application/json;charset=UTF-16'
+                            WHEN doc_id % 4 = 2 THEN 'text/html' END AS hdr,
+                       CASE WHEN doc_id % 3 = 0
+                                THEN '<html><META Charset="windows-1251"><p>' || text
+                            ELSE '<html><p>' || text END AS body
+                FROM documents)
+        """,
+        "priority_poll_rank": """
+            SELECT host, url, priority, seq, host_rank FROM (
+                SELECT host, url, priority, seq,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, seq DESC) AS host_rank
+                FROM (
+                    SELECT 'http://host' || CAST(user_id % 20 AS VARCHAR)
+                               || '.example/e/' || CAST(event_id AS VARCHAR) AS url,
+                           'host' || CAST(user_id % 20 AS VARCHAR)
+                               || '.example' AS host,
+                           event_id AS seq,
+                           CAST(user_id % 5 AS INTEGER) AS priority
+                    FROM events))
+            WHERE host_rank <= 3
         """,
         "docs_simhash64": _simhash64_sql(),
         "host_headers_apply": """

@@ -46,6 +46,7 @@ def train_centroids(
     k: int = 16,
     iterations: int = 4,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Distributed k-means; returns k centroids (small: k×d floats).
 
@@ -54,9 +55,17 @@ def train_centroids(
     Lloyd iteration: broadcast centroids into the assignment UDF (numpy
     argmax of cosine), then ``groupBy(bucket).avg`` per dimension via
     ``posexplode`` — both shuffle-light (k groups).
+
+    ``sample_fraction``: train on a deterministic sample of the base —
+    the 100 TB path. The per-iteration centroid update shuffles d×N
+    rows (posexplode); at 10^10 vectors train on ~10^6 sampled rows
+    (fraction 1e-4): k-means centroids converge on any representative
+    sample, and only the one-pass ``assign_buckets`` needs the full set.
     """
     id_col = F.monotonically_increasing_id()
     base = embeddings.select(F.col(vec_col).alias("v"), id_col.alias("__id"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=seed)
     init = (
         base.withColumn("__h", F.xxhash64("__id", F.lit(seed)))
         .orderBy("__h")

@@ -60,6 +60,7 @@ class Spider:
         self._pipelines: list[tuple[ParquetTable, str]] = []
         self._processor = None
         self._host_delays: DataFrame | None = None
+        self._fetcher = None
 
     # ------------------------------------------------------------ seeds
 
@@ -129,6 +130,13 @@ class Spider:
         self._corpus = corpus
         return self
 
+    def set_fetcher(self, fetcher) -> "Spider":
+        """Explicit fetch stage (sources.fetchers protocol) — e.g.
+        ``HttpFetcher(transport_factory)`` for live HTTP, replacing the
+        default CorpusFetcher replay (Downloader hierarchy, SURVEY §2.5)."""
+        self._fetcher = fetcher
+        return self
+
     def add_robots(self, robots: DataFrame) -> "Spider":
         """Rules table (host, path_prefix, allow); see functions.robots
         for parsing raw robots.txt documents into this shape."""
@@ -172,8 +180,10 @@ class Spider:
     # --------------------------------------------------------------- run
 
     def run(self, resume: bool = False) -> SpiderResult:
-        if self._corpus is None:
-            raise ValueError("set_corpus() required (no network in sandbox)")
+        if self._corpus is None and self._fetcher is None:
+            raise ValueError(
+                "set_corpus() or set_fetcher() required (no ambient network)"
+            )
         seeds = self._seed_df
         if seeds is None:
             if not self._seed_rows:
@@ -182,9 +192,14 @@ class Spider:
         res = crawl(
             self.spark, self._corpus, seeds, self.config,
             robots=self._robots, host_delays=self._host_delays,
-            resume=resume, processor=self._processor,
+            resume=resume, processor=self._processor, fetcher=self._fetcher,
         )
         items: dict[str, DataFrame] = {}
+        if self._models and self._corpus is None:
+            raise ValueError(
+                "entity extraction re-reads page content from the corpus; "
+                "set_corpus() is required alongside add_entity_model()"
+            )
         if self._models:
             # re-join fetched urls to the corpus html (the loop's fetched
             # table carries frontier cols; content lives in the corpus)

@@ -145,3 +145,31 @@ def test_embedding_neardup_zero_norm_vectors_never_match(spark):
     }
     assert (0, 1) not in got  # zero-norm pair is NOT a near-dup
     assert (2, 3) in got  # identical unit vectors are
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF's recall contract holds when the data HAS coarse structure:
+    16 deterministic Gaussian clusters, 16 centroids, nprobe=3 -> top-5
+    recall >= 0.9. (The parquet testdata embeddings are near-uniform
+    random, where NO coarse quantizer can reach high recall at
+    nprobe/k=3/16 — the ivf test above pins >=0.6 there; this pins the
+    high-recall regime.) Training runs on a 50% sample: the scale path
+    trains on a fraction and only assign_buckets sees the full set."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((16, 32)) * 5.0
+    rows = [
+        (i, [float(x) for x in centers[i % 16] + rng.standard_normal(32) * 0.3])
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids(df, k=16, iterations=4, sample_fraction=0.5)
+    queries = df.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.q_vec_id, r.vec_id)
+        for r in ann_search(df, queries, cents, k=5, nprobe=3).collect()
+    }
+    truth = {(r.q_vec_id, r.vec_id) for r in _brute_topk(spark, df, 5, 10).collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"

@@ -169,3 +169,119 @@ def test_bucketed_seen_join_skips_seen_side_shuffle(spark, tmp_path):
         assert n_exchange == 1, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_bucketed_t")
+
+
+def test_embedding_band_join_carries_ids_only(spark):
+    """embedding_neardup_pairs' band self-join must shuffle (id, band)
+    only — at 10^10 x d floats, carrying vectors through the 8-way band
+    explode would multiply exchange bytes by n_bands (VERDICT r2 #2).
+    Every hashpartitioning exchange on a band key must have a narrow
+    input row: no array column may appear in its Input/Output lists."""
+    import re
+
+    from dotnetspider_spark.operators.ann import embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # at sf0.001 the tiny sides broadcast; force the at-scale shape
+    # (shuffle join) so the exchange payload is actually visible
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(embedding_neardup_pairs(e, threshold=0.9))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # formatted explain: each "(N) Exchange" has a detail block with
+    # "Input [k]: [col#1, ...]" — find band-keyed exchanges and check
+    # their inputs are free of the embedding/vector columns
+    blocks = re.split(r"\n\n", plan)
+    checked = 0
+    for b in blocks:
+        if not re.match(r"\(\d+\) Exchange", b):
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", b)
+        if not m or "band" not in m.group(1):
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert inp is not None, b
+        assert "embedding" not in inp.group(1) and "v#" not in inp.group(1), b
+        checked += 1
+    assert checked >= 2, plan  # both sides of the band self-join
+
+
+def test_priority_order_query_plans_as_top_k(spark):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q_priority_order(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_unbounded_single_partition_window_in_any_query(spark):
+    """Sweep EVERY registered query: a Window over an Exchange
+    SinglePartition is a one-task funnel of its whole input — allowed
+    only when a TakeOrderedAndProject/GlobalLimit bounds that input
+    first (VERDICT r2 #3). Plan-only sweep: nothing executes except the
+    few operators (kmeans/CC) that materialize during plan build."""
+    import __spark_entry__ as em
+
+    skip = {
+        # iterative/codec pipelines execute real jobs to BUILD their
+        # result DataFrame; their plan shape is pinned by their own tests
+        "ann_ivf_topk", "docs_neardup_clusters", "docs_neardup_keep",
+        "docs_neardup_verified", "image_dedup_canonical",
+        "crawl_schedule_iteration",
+    }
+    offenders = {}
+    for name, fn in em.queries().items():
+        if name in skip:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "SinglePartition" in plan and "Window" in plan:
+            if "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan:
+                offenders[name] = plan
+    assert not offenders, list(offenders)
+
+
+def test_ivf_search_reads_fraction_of_bucketed_base(spark, tmp_path):
+    """The IVF scale path: base persisted BUCKETED by IVF bucket id; the
+    nprobe candidate join must (a) prune the bucketed scan to the probed
+    buckets only when probes are a literal list, or at minimum (b) join
+    bucket-to-bucket with no exchange on the bucketed base side."""
+    import re
+
+    from dotnetspider_spark.operators.ann import (
+        assign_buckets, train_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(e, k=8, iterations=1)
+    spark.sql("DROP TABLE IF EXISTS ivf_base_t")
+    (
+        assign_buckets(e.select("vec_id", "embedding"), cents)
+        .write.mode("overwrite")
+        .bucketBy(8, "bucket").sortBy("bucket")
+        .saveAsTable("ivf_base_t")
+    )
+    try:
+        base = spark.table("ivf_base_t")
+        probes = spark.createDataFrame([(0, 0), (0, 3), (1, 5)], "q int, bucket int")
+        # small probe set: planner broadcasts it — base side never
+        # shuffles (bucketing is then rightly ignored)
+        plan = _plan(probes.join(base, "bucket"))
+        assert "BroadcastHashJoin" in plan, plan
+        for b in re.split(r"\n\n", plan):
+            if re.match(r"\(\d+\) Exchange", b) and "hashpartitioning" in b:
+                inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+                assert inp and "embedding" not in inp.group(1), b
+        # at-scale shape (probe side too big to broadcast): the bucketed
+        # layout must absorb the base side's exchange entirely
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(probes.hint("merge").join(base, "bucket"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan, plan
+        n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange == 1, plan  # probe side only
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_base_t")

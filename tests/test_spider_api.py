@@ -121,8 +121,11 @@ def test_corpus_fetcher_and_http_stub(spark, corpus):
     assert fetched.filter(F.col("status") == 200).count() > 0
     missing = spark.createDataFrame([("http://nowhere.example/x",)], "url string")
     assert CorpusFetcher(corpus).fetch(missing).first().status == 404
-    with pytest.raises(NotImplementedError):
-        HttpFetcher().fetch(batch)
+    # HttpFetcher is no longer a stub: it requires an INJECTED transport
+    # (no ambient network in the sandbox) — the full mapInPandas stage is
+    # exercised through DictTransport in tests/test_fetchers.py
+    with pytest.raises(TypeError):
+        HttpFetcher()
 
 
 def test_spider_processor_and_errors(spark, corpus):
