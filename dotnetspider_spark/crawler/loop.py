@@ -611,16 +611,17 @@ def crawl(
                 priority_first=cfg.priority_first,
             ).withColumnRenamed("host_rank", "rank")
             batch = _with_block(batch)
-        batch = batch.localCheckpoint(eager=True)
-        n_consumed = batch.count()
-
-        # --- 2. consume: batch identities leave the frontier (delta
-        #        anti-join part — O(batch) write, the frontier itself is
-        #        NOT rewritten) --------------------------------------
-        batch.select("identity").write.mode("overwrite").parquet(
-            f"{root}/consumed/iter={it}"
-        )
+        # --- 1b+2 fused: ONE job materializes the batch AND persists the
+        #        consumed delta. The parquet write is the checkpoint (the
+        #        batch is re-read from it, truncating the rank plan) and
+        #        its identity column IS the consumed anti-join part
+        #        (column-pruned read, like the seen deltas) — previously
+        #        a localCheckpoint job + a separate identity write.
+        #        O(batch) I/O either way; the frontier is NOT rewritten.
+        batch.write.mode("overwrite").parquet(f"{root}/consumed/iter={it}")
+        batch = spark.read.parquet(f"{root}/consumed/iter={it}")
         consumed_parts.append(f"{root}/consumed/iter={it}")
+        n_consumed = batch.count()  # parquet footer metadata, no scan
 
         # --- 3. robots gate (denied rows are consumed AND logged) ----
         flagged = _robots_flag(batch, robots_cfg)
@@ -749,13 +750,12 @@ def crawl(
             )
         else:
             fresh = dedup_push(candidates, seen)
-        fresh = fresh.localCheckpoint(eager=True)
-        n_fresh = fresh.count()
-
-        # --- 9. persist deltas. Writes run once; read-back counts are
-        #        parquet-footer metadata lookups ----------------------
+        # --- 9. persist deltas — the write IS the materialization (one
+        #        job, replacing localCheckpoint + count + write); the
+        #        count is a parquet-footer metadata lookup -------------
+        fresh.write.mode("overwrite").parquet(f"{root}/fresh/iter={it}")
+        n_fresh = spark.read.parquet(f"{root}/fresh/iter={it}").count()
         if n_fresh > 0:
-            fresh.write.mode("overwrite").parquet(f"{root}/fresh/iter={it}")
             frontier_parts.append(f"{root}/fresh/iter={it}")
             seen_parts.append(f"{root}/fresh/iter={it}")
             seen = seen_view()
@@ -824,9 +824,21 @@ def crawl(
 
         # --- 11. metrics: per-host lineage written DISTRIBUTED (north
         #         rule: per-partition lineage; never collected — at
-        #         10^6+ hosts a collect here is a driver bottleneck);
-        #         iteration scalars via ONE single-row agg ------------
-        fetched_raw.groupBy("host").agg(
+        #         10^6+ hosts a collect here is a driver bottleneck).
+        #         Iteration scalars piggyback on the SAME job via
+        #         observe() (previously a second agg+collect job);
+        #         n_hosts falls out of the per-host table's own row
+        #         count (footer metadata) ----------------------------
+        from pyspark.sql import Observation
+
+        obs = Observation(f"crawl-iter-{it}")
+        fetched_raw.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_fetch"),
+            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+            F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
+            F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
+        ).groupBy("host").agg(
             F.count("*").alias("n_batch"),
             F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
             F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
@@ -834,17 +846,14 @@ def crawl(
         ).withColumn("iter", F.lit(it)).write.mode("overwrite").parquet(
             f"{root}/metrics/iter={it}"
         )
-        scal = fetched_raw.agg(
-            F.count("*").alias("n_fetch"),
-            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
-            F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
-            F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
-            F.countDistinct("host").alias("n_hosts"),
-        ).collect()[0]
-        n_fetch = int(scal.n_fetch or 0)
-        n_ok = int(scal.n_ok or 0)
-        n_tr = int(scal.n_transient or 0)
-        n_miss = int(scal.n_missing or 0)
+        scal = obs.get
+        n_hosts = spark.read.schema("host string").parquet(
+            f"{root}/metrics/iter={it}"
+        ).count()
+        n_fetch = int(scal["n_fetch"] or 0)
+        n_ok = int(scal["n_ok"] or 0)
+        n_tr = int(scal["n_transient"] or 0)
+        n_miss = int(scal["n_missing"] or 0)
         row = {
             "iter": it,
             "n_frontier": n_frontier + n_consumed - n_fresh,  # at iteration start
@@ -856,7 +865,7 @@ def crawl(
             "n_other": n_fetch - n_ok - n_tr - n_miss,
             "n_denied": n_consumed - n_fetch,
             "n_new": n_fresh,
-            "n_hosts": int(scal.n_hosts or 0),
+            "n_hosts": n_hosts,
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
         metrics.append(row)
