@@ -688,6 +688,40 @@ def q_charset_sniff(spark, sf_dir):
     )
 
 
+def q_media_gate(spark, sf_dir):
+    # media-type file gate (HttpClientDownloader.cs:130 ExcludeMediaTypes
+    # substring check) + saved-file path for media rows
+    # (Downloader.cs:390-395 CreateFilePath: host+localPath, // collapsed)
+    from dotnetspider_spark.functions.content import (
+        download_file_path,
+        is_media_type,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ctype = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("text/html; charset=utf-8"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("application/json"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("video/mp4"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("application/pdf"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/files/"), F.col("doc_id").cast("string"),
+        F.lit(".bin"),
+    )
+    m = is_media_type(ctype)
+    return d.select(
+        "doc_id",
+        ctype.alias("content_type"),
+        m.alias("is_media"),
+        F.when(m, download_file_path(url))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("file_path"),
+    )
+
+
 def q_priority_poll_rank(spark, sf_dir):
     # opt-in priority polling (Page.cs:9 / DistributeDesign.md:149-161):
     # per-host fetch batch ranked by (priority desc, seq desc) through
@@ -1076,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpath_value_options": q_xpath_value_options,
         "content_type_detect": q_content_type_detect,
         "charset_sniff": q_charset_sniff,
+        "media_gate": q_media_gate,
         "priority_poll_rank": q_priority_poll_rank,
         "docs_word_jaccard": q_docs_word_jaccard,
         "docs_simhash64": q_docs_simhash64,
@@ -1242,6 +1277,44 @@ def oracle_sql() -> dict[str, str]:
                                 THEN '<html><META Charset="windows-1251"><p>' || text
                             ELSE '<html><p>' || text END AS body
                 FROM documents)
+        """,
+        "media_gate": """
+            SELECT doc_id, content_type, is_media,
+                   CASE WHEN is_media
+                        THEN 'downloads/' || replace(substr(url, 8), '//', '/')
+                   END AS file_path
+            FROM (
+                SELECT doc_id, content_type,
+                       content_type IS NOT NULL
+                       AND trim(content_type) <> ''
+                       AND NOT (
+                           contains(lower(content_type), 'text/html')
+                        OR contains(lower(content_type), 'text/plain')
+                        OR contains(lower(content_type), 'text/richtext')
+                        OR contains(lower(content_type), 'text/xml')
+                        OR contains(lower(content_type), 'text/json')
+                        OR contains(lower(content_type), 'text/javascript')
+                        OR contains(lower(content_type), 'application/soap+xml')
+                        OR contains(lower(content_type), 'application/xml')
+                        OR contains(lower(content_type), 'application/json')
+                        OR contains(lower(content_type), 'application/x-javascript')
+                        OR contains(lower(content_type), 'application/javascript')
+                        OR contains(lower(content_type), 'application/x-www-form-urlencoded')
+                       ) AS is_media,
+                       url
+                FROM (
+                    SELECT doc_id,
+                           CASE doc_id % 6
+                                WHEN 0 THEN 'image/png'
+                                WHEN 1 THEN 'text/html; charset=utf-8'
+                                WHEN 2 THEN 'application/json'
+                                WHEN 3 THEN 'video/mp4'
+                                WHEN 4 THEN 'application/pdf'
+                           END AS content_type,
+                           'http://host' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example/files/' || CAST(doc_id AS VARCHAR)
+                               || '.bin' AS url
+                    FROM documents))
         """,
         "priority_poll_rank": """
             SELECT host, url, priority, seq, host_rank FROM (

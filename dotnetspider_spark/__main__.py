@@ -22,6 +22,7 @@ Config (YAML or JSON) — every key optional unless marked:
     cycle_retry_times: 5
     per_host_limit: 8
     priority_first: false
+    download_files: false       # store media-type payloads (downloads/)
     bucketed_seen: false
     seen_buckets: 32
     use_bloom: false
@@ -62,6 +63,7 @@ def build_spider(spark, cfg: dict):
         bucketed_seen=bool(cfg.get("bucketed_seen", False)),
         seen_buckets=int(cfg.get("seen_buckets", 32)),
         use_bloom=bool(cfg.get("use_bloom", False)),
+        download_files=bool(cfg.get("download_files", False)),
         checkpoint_dir=cfg.get("checkpoint_dir"),
         max_iterations=int(cfg.get("max_iterations", 100_000)),
     )
@@ -107,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
         res.crawl.fetched.write.mode("overwrite").parquet(f"{out}/fetched")
         if res.crawl.errors is not None:
             res.crawl.errors.write.mode("overwrite").parquet(f"{out}/errors")
+        if res.crawl.downloads is not None:
+            res.crawl.downloads.write.mode("overwrite").parquet(f"{out}/downloads")
         with open(f"{out}/metrics.json", "w") as f:
             json.dump(res.crawl.metrics, f)
     summary = {

@@ -119,6 +119,15 @@ class CrawlConfig:
     #: processor reports zero result items for a page, do not extract its
     #: target links. Only meaningful with a ``processor``.
     skip_targets_when_result_empty: bool = False
+    #: media-type file gate (HttpClientDownloader.cs:130-140): when the
+    #: fetcher emits ``content_type``, successful fetches whose type is
+    #: a file/media type (functions.content.is_media_type) skip decode /
+    #: link discovery / extraction. True stores their rows (payload
+    #: bytes included when present) under ``downloads/iter=N`` with the
+    #: reference's host+path file_path (Downloader.cs:390-395); False —
+    #: the reference's ``DownloadFiles`` default — ignores them. Either
+    #: way they count as fetched successes and yield no children.
+    download_files: bool = False
     #: order polls by (priority desc, seq) instead of seq only. The
     #: reference stores Priority but never reads it (Page.cs:9); its
     #: Broker DB schema orders by priority (DistributeDesign.md:149-161),
@@ -148,6 +157,9 @@ class CrawlRunResult:
     seen: DataFrame  # identity strings
     frontier: DataFrame  # remaining (empty when converged)
     errors: DataFrame | None = None  # failing.log analog (ERRORS_SCHEMA)
+    #: stored media payloads (download_files=True): url/host/identity/
+    #: target_url/content_type[/bytes]/file_path/iter rows
+    downloads: DataFrame | None = None
     metrics: list[dict] = field(default_factory=list)
     iterations: int = 0
 
@@ -518,6 +530,7 @@ def crawl(
         seen_parts = list(m["seen_parts"])
         fetched_paths = list(m["fetched_paths"])
         errors_paths = list(m.get("errors_paths", []))
+        downloads_paths = list(m.get("downloads_paths", []))
         n_frontier = int(m["n_frontier"])
         seen_table = m.get("seen_table")
         if seen_table is not None:
@@ -532,6 +545,7 @@ def crawl(
         consumed_parts = []
         fetched_paths = []
         errors_paths = []
+        downloads_paths = []
         n_frontier = init.count()  # parquet footer metadata, no scan
         if cfg.bucketed_seen:
             seen_table = write_seen_table(
@@ -685,6 +699,35 @@ def crawl(
         transient = fetched_raw.filter(F.col("status") >= 500)
         retryable = transient.filter(F.col("retried") < cfg.cycle_retry_times)
 
+        # --- 4c. media-type file gate (HttpClientDownloader.cs:130-140):
+        #         successes whose Content-Type marks a FILE payload are
+        #         not decoded/parsed/extracted. download_files=True
+        #         stores them under downloads/iter=N with the
+        #         reference's host+path file_path (Downloader.cs:390-395
+        #         CreateFilePath; its "file already exists" skip is the
+        #         upstream identity dedup); False (the DownloadFiles
+        #         default) ignores them. Either way they remain fetched
+        #         successes and yield no children -------------------
+        media = None
+        if "content_type" in fetched_raw.columns:
+            from dotnetspider_spark.functions.content import (
+                download_file_path,
+                is_media_type,
+            )
+
+            m_flag = is_media_type(F.col("content_type"))
+            media = success.filter(m_flag)
+            success = success.filter(~m_flag)
+            if cfg.download_files:
+                media.select(
+                    "url", "host", "identity", "target_url", "content_type",
+                    *(["bytes"] if "bytes" in media.columns else []),
+                    download_file_path(F.col("target_url")).alias("file_path"),
+                ).withColumn("iter", F.lit(it)).write.mode(
+                    "overwrite"
+                ).parquet(f"{root}/downloads/iter={it}")
+                downloads_paths.append(f"{root}/downloads/iter={it}")
+
         # --- 5. page processor hook (Spider.cs:1129-1163) ------------
         if processor is not None:
             proc = processor(success).localCheckpoint(eager=True)
@@ -771,10 +814,18 @@ def crawl(
         if n_frontier == 0:
             exhausted = True
 
-        success.select(
+        fetched_out = success.select(
             *_FRONTIER_COLS, "status", "rank", "target_url",
             F.lit(it).alias("iter"),
-        ).write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
+        )
+        if media is not None:
+            fetched_out = fetched_out.unionByName(
+                media.select(
+                    *_FRONTIER_COLS, "status", "rank", "target_url",
+                    F.lit(it).alias("iter"),
+                )
+            )
+        fetched_out.write.mode("overwrite").parquet(f"{root}/fetched/iter={it}")
         fetched_paths.append(f"{root}/fetched/iter={it}")
 
         # --- 10. errors table: the failing.log analog ----------------
@@ -908,6 +959,7 @@ def crawl(
                     "seen_parts": seen_parts,
                     "fetched_paths": fetched_paths,
                     "errors_paths": errors_paths,
+                    "downloads_paths": downloads_paths,
                     "n_frontier": n_frontier,
                     "seen_table": seen_table,
                     # layout the CURRENT table's files were written with
@@ -936,6 +988,7 @@ def crawl(
         errors=spark.read.schema(ERRORS_SCHEMA).parquet(*errors_paths)
         if errors_paths
         else spark.createDataFrame([], ERRORS_SCHEMA),
+        downloads=spark.read.parquet(*downloads_paths) if downloads_paths else None,
         metrics=metrics,
         iterations=it - start_iter,
     )

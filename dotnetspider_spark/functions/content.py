@@ -39,6 +39,54 @@ def detect_content_type(content: Column, header: Column | None = None) -> Column
     return F.when(has_header, by_header).otherwise(by_body)
 
 
+#: Media types NOT treated as downloadable files (Downloader.cs:39-55
+#: ``ExcludeMediaTypes``). The reference list also contains ``""`` —
+#: and ``MediaType.Contains("")`` is true for every string, which makes
+#: its file branch unreachable as shipped; we implement the intended
+#: gate (the list minus the degenerate entry, substring match kept).
+EXCLUDE_MEDIA_TYPES = (
+    "text/html",
+    "text/plain",
+    "text/richtext",
+    "text/xml",
+    "text/json",
+    "text/javascript",
+    "application/soap+xml",
+    "application/xml",
+    "application/json",
+    "application/x-javascript",
+    "application/javascript",
+    "application/x-www-form-urlencoded",
+)
+
+
+def is_media_type(header: Column) -> Column:
+    """True when the Content-Type header marks a FILE payload — i.e. it
+    is present and contains none of :data:`EXCLUDE_MEDIA_TYPES`
+    (HttpClientDownloader.cs:130 ``!ExcludeMediaTypes.Any(t =>
+    MediaType.Contains(t))``). Media rows skip content decode, link
+    discovery and extraction; with ``download_files`` they are stored
+    under the host+path layout (Downloader.cs:390-395), else ignored.
+    Pure codegen'd boolean algebra (lower + contains folds)."""
+    hdr = F.lower(header)
+    textual = F.lit(False)
+    for t in EXCLUDE_MEDIA_TYPES:
+        textual = textual | hdr.contains(t.lower())
+    return header.isNotNull() & (F.trim(header) != "") & ~textual
+
+
+def download_file_path(url: Column, folder: str = "downloads") -> Column:
+    """The reference's saved-file path for a media payload:
+    ``<folder>/<host><localPath>`` with ``//`` collapsed
+    (Downloader.cs:390-395 ``CreateFilePath``). JVM-side parse_url +
+    string ops; no UDF."""
+    raw = F.concat(
+        F.parse_url(url, F.lit("HOST")),
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+    )
+    return F.concat(F.lit(folder + "/"), F.regexp_replace(raw, "//", "/"))
+
+
 # (?i) works in both Java regex (Spark) and RE2 (the DuckDB oracle)
 _CHARSET_HDR = r"""(?i)charset\s*=\s*["']?([\w.:-]+)"""
 _CHARSET_META = r"""(?i)<meta[^>]+charset\s*=\s*["']?([\w.:-]+)"""

@@ -203,6 +203,91 @@ def test_crawl_through_http_fetcher_matches_corpus_replay(spark):
     assert redirected, "fixture produced no fetched redirects"
 
 
+_MEDIA_PAGES = {
+    # the image BODY contains an anchor — the gate must stop the parser
+    # from ever seeing it (reference: media responses get no Content,
+    # HttpClientDownloader.cs:130-140)
+    "http://m.example/": {
+        "body": "<a href='/img.png'>i</a><a href='/p2'>p</a>",
+        "content_type": "text/html; charset=utf-8",
+    },
+    "http://m.example/p2": {
+        "body": "<html>leaf</html>", "content_type": "text/html"
+    },
+    "http://m.example/img.png": {
+        "body": b"\x89PNG fake <a href='/phantom'>x</a>",
+        "content_type": "image/png",
+    },
+    "http://m.example/phantom": {
+        "body": "must never be fetched", "content_type": "text/html"
+    },
+}
+
+
+def _media_crawl(spark, download_files):
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+
+    seeds = spark.createDataFrame(
+        [("http://m.example/", 0)], "url string, seq long"
+    )
+    return crawl(
+        spark, None, seeds,
+        CrawlConfig(per_host_limit=4, download_files=download_files),
+        fetcher=HttpFetcher(DictTransport(_MEDIA_PAGES), n_partitions=2),
+    )
+
+
+def test_media_type_gate_yields_no_links(spark):
+    """A media response is a fetched success but is never parsed: the
+    anchor inside the PNG body must not reach the frontier."""
+    res = _media_crawl(spark, download_files=False)
+    fetched = sorted(r.url for r in res.fetched.select("url").collect())
+    assert fetched == [
+        "http://m.example/", "http://m.example/img.png", "http://m.example/p2"
+    ]
+    # DownloadFiles default false -> media ignored, nothing stored
+    assert res.downloads is None
+
+
+def test_media_type_gate_stores_payload_with_reference_path(spark):
+    """download_files=True stores media rows under the CreateFilePath
+    host+localPath layout (Downloader.cs:390-395), payload bytes
+    included."""
+    res = _media_crawl(spark, download_files=True)
+    assert res.downloads is not None
+    rows = res.downloads.collect()
+    assert len(rows) == 1
+    dl = rows[0]
+    assert dl.url == "http://m.example/img.png"
+    assert dl.file_path == "downloads/m.example/img.png"
+    assert bytes(dl.bytes) == b"\x89PNG fake <a href='/phantom'>x</a>"
+    assert dl.content_type == "image/png"
+
+
+def test_is_media_type_matches_reference_exclude_list(spark):
+    from dotnetspider_spark.functions.content import is_media_type
+
+    cases = [
+        ("image/png", True),
+        ("video/mp4; codecs=avc1", True),
+        ("application/pdf", True),
+        ("application/octet-stream", True),
+        ("text/html; charset=utf-8", False),
+        ("TEXT/HTML", False),  # reference Contains is on raw strings; we
+        ("application/json", False),  # normalize case — gate intent kept
+        ("application/x-javascript", False),
+        ("text/plain", False),
+        ("", False),
+        (None, False),
+    ]
+    df = spark.createDataFrame(
+        [(c,) for c, _ in cases], "ct string"
+    ).select(F.col("ct"), is_media_type(F.col("ct")).alias("m"))
+    got = {r.ct: r.m for r in df.collect()}
+    for ct, want in cases:
+        assert got[ct] is want, (ct, got[ct])
+
+
 def test_redirected_seed_dedups_on_post_redirect_url(spark):
     """A crawl that fetches /r (301 -> /t) must NOT later fetch /t when a
     link to it is discovered (VERDICT r2 item 4)."""
