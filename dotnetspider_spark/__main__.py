@@ -15,6 +15,9 @@ Config (YAML or JSON) — every key optional unless marked:
     seeds: [http://h0.example/p/0.html, ...]   # inline seed URLs, or
     seed_file: seeds.parquet                   # a seed-schema parquet
     corpus: corpus.parquet      # REQUIRED: offline fetch source (sandbox)
+    corpus_columns: [status, html, content_type, bytes]  # fetch projection
+                                # (default [status, html]; include
+                                # content_type to activate the media gate)
     robots: robots.parquet      # (host, path_prefix, allow) rules table
     host_delays: delays.parquet # (host, crawl_delay_ms)
     strategy: dfs | bfs         # default dfs
@@ -22,7 +25,9 @@ Config (YAML or JSON) — every key optional unless marked:
     cycle_retry_times: 5
     per_host_limit: 8
     priority_first: false
-    download_files: false       # store media-type payloads (downloads/)
+    download_files: false       # store media-type payloads (downloads/);
+                                # needs content_type in corpus_columns
+                                # (or an HTTP fetcher) to have any effect
     bucketed_seen: false
     seen_buckets: 32
     use_bloom: false
@@ -69,7 +74,19 @@ def build_spider(spark, cfg: dict):
     )
     spider = Spider(spark, ccfg)
     if "corpus" in cfg:
-        spider.set_corpus(spark.read.parquet(cfg["corpus"]))
+        corpus_df = spark.read.parquet(cfg["corpus"])
+        spider.set_corpus(corpus_df)
+        if cfg.get("corpus_columns"):
+            # widen the fetch projection beyond (status, html) — e.g.
+            # content_type activates the media gate, bytes rides along
+            # into downloads/ when download_files is set
+            from dotnetspider_spark.sources.fetchers import CorpusFetcher
+
+            spider.set_fetcher(
+                CorpusFetcher(
+                    corpus_df, content_cols=tuple(cfg["corpus_columns"])
+                )
+            )
     if cfg.get("seeds"):
         spider.add_seeds(list(cfg["seeds"]))
     if cfg.get("seed_file"):

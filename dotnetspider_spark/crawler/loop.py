@@ -480,6 +480,14 @@ def crawl(
             n_buckets=cfg.bloom_n_buckets,
         )
     if fetcher is None:
+        if corpus is None:
+            # fail fast with configuration context — CorpusFetcher(None)
+            # would otherwise crash mid-iteration with a bare
+            # AttributeError after the seed write already ran
+            raise ValueError(
+                "crawl() needs a corpus DataFrame or an explicit fetcher "
+                "(no ambient network in this engine)"
+            )
         from dotnetspider_spark.sources.fetchers import CorpusFetcher
 
         # the scheduling path must never scan payload columns: the
@@ -675,10 +683,18 @@ def crawl(
                 )
                 .distinct()
             )
-            if extra_seen.count() > 0:
-                extra_seen.write.mode("overwrite").parquet(
-                    f"{root}/seen_extra/iter={it}"
-                )
+            # write first, count from parquet footers — ONE job instead
+            # of a count job plus a second job recomputing the same
+            # filter+distinct for the write (the fresh-delta pattern)
+            extra_seen.write.mode("overwrite").parquet(
+                f"{root}/seen_extra/iter={it}"
+            )
+            if (
+                spark.read.schema("identity string")
+                .parquet(f"{root}/seen_extra/iter={it}")
+                .count()
+                > 0
+            ):
                 seen_parts.append(f"{root}/seen_extra/iter={it}")
                 seen = seen_view()
                 if cfg.use_bloom and blooms is not None:

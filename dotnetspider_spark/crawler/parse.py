@@ -167,9 +167,6 @@ def extract_region_links_udf(html, xpaths: tuple[str, ...]):
     return _region_links_udf(tuple(xpaths))(html)
 
 
-_STRIP_NONLINK = re.compile(
-    r"<!--.*?-->|<script\b.*?</script\s*>|<style\b.*?</style\s*>", re.S | re.I
-)
 _STRIP_MARKER = re.compile(r"<script|<style|<!--", re.I)
 # attribute scan tolerates '>' inside earlier quoted attribute values
 # (title="a>b" href=...), matching what a real parser sees. The href
@@ -184,21 +181,23 @@ _ABS_CLEAN = re.compile(r"^https?://[a-z0-9.\-:]+/[^?#]*$")
 
 
 def _hot_hrefs(html_text: str) -> list:
-    """Anchor hrefs on the crawl hot path: strip comment/script/style
-    regions (HtmlAgilityPack's ``//a[@href]`` never sees them either,
-    XPathRequestExtractor.cs:21-38), then a compiled attribute scan —
+    """Anchor hrefs on the crawl hot path: a compiled attribute scan —
     several times faster than the stdlib HTMLParser tree walk at 2M
-    pages per iteration. The strip pass runs only when a marker substring
-    is present (C-speed ``in`` probes), and entity-unescape only when an
-    ampersand is (HTMLParser's convert_charrefs parity)."""
+    pages per iteration — on pages with no comment/script/style marker;
+    pages WITH one fall back to the exact HTMLParser reference (a regex
+    cannot safely delimit CDATA/comment regions, see below).
+    Entity-unescape runs only when an ampersand is present
+    (HTMLParser's convert_charrefs parity)."""
     if _STRIP_MARKER.search(html_text) is not None:  # case-insensitive probe
-        html_text = _STRIP_NONLINK.sub("", html_text)
-        # a marker that SURVIVES the closed-block strip is an unclosed
-        # <script>/<style>/<!-- : HTMLParser switches to CDATA/comment
-        # mode and never sees another tag, so truncate the page there
-        m = _STRIP_MARKER.search(html_text)
-        if m is not None:
-            html_text = html_text[: m.start()]
+        # any <script>/<style>/<!-- takes the exact HTMLParser path: a
+        # regex cannot distinguish a real CDATA/comment opener from the
+        # same bytes inside a quoted attribute value (<a title="<!--"
+        # href=...>), and a non-greedy strip anchored on an in-attribute
+        # marker eats real links up to the next closer; an UNCLOSED
+        # marker flips HTMLParser into CDATA mode for the page rest.
+        # Byte-parity with the reference is what the fuzz suite pins —
+        # the regex fast path is reserved for the marker-free shape.
+        return _extract(html_text, include_src=False)
     out = []
     for m in _HREF_ATTR.finditer(html_text):
         raw = m.group(1) or m.group(2) or m.group(3) or ""

@@ -113,18 +113,20 @@ def select_fetch_batch(
     per_host_limit: int | None = None,
     budget_col: str | None = None,
     salt_buckets: int = 16,
-    salt_threshold: int = 100_000,
     priority_first: bool = False,
 ) -> DataFrame:
     """One iteration's fetch batch: per-host top-k in DFS/BFS order.
 
-    Two-level rank to survive Zipf-hot hosts (north rule): when a host's
-    frontier exceeds ``salt_threshold`` rows, rank first inside
-    ``(host, salt)`` sub-groups (salt = xxhash64(url) mod salt_buckets) and
-    keep only k-per-subgroup survivors, THEN exact-rank the <= k*buckets
-    survivors per host. Result is identical to a direct per-host rank
-    (proof: the true per-host top-k is contained in the union of per-salt
-    top-k), but the expensive first pass parallelizes across salt buckets.
+    Two-level rank to survive Zipf-hot hosts (north rule): rank first
+    inside ``(host, salt)`` sub-groups (salt = xxhash64(url) mod
+    salt_buckets) and keep only k-per-subgroup survivors, THEN
+    exact-rank the <= k*buckets survivors per host. Result is identical
+    to a direct per-host rank (proof: the true per-host top-k is
+    contained in the union of per-salt top-k), but the expensive first
+    pass parallelizes across salt buckets. Salting is UNCONDITIONAL —
+    deciding per-host whether to salt would itself cost a counting pass
+    over the frontier, and on uniform hosts the extra narrow window adds
+    only a second local sort of already-k-bounded groups.
 
     ``budget_col``: optional per-row int column (from politeness_budget)
     used as the host's k; else ``per_host_limit``; else unlimited order

@@ -219,33 +219,53 @@ class HttpFetcher:
         out_fields = [f.split()[0] for f in self.EXTRA_SCHEMA.split(", ")]
 
         def fetch_partition(batches):
+            from urllib.parse import urlsplit
+
             send = factory()  # ONE pooled client per partition
             last_at: dict[str, float] = {}
+
+            def spaced_send(method, cur, headers):
+                # politeness applies to EVERY send, redirect hops
+                # included, keyed by the host actually being hit — a
+                # chain r1 -> r2 on the same host must still space the
+                # two requests (SleepTime, Spider.cs:181,805)
+                hop_host = urlsplit(cur).netloc
+                delay = delays.get(hop_host, 0) / 1000.0
+                if delay > 0 and hop_host in last_at:
+                    wait = last_at[hop_host] + delay - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                try:
+                    return send(method or "GET", cur, headers, timeout_s)
+                finally:
+                    last_at[hop_host] = time.monotonic()
+
             for pdf in batches:
                 extras: dict[str, list] = {f: [] for f in out_fields}
                 for url, host, method, headers in zip(
                     pdf["url"], pdf["host"], pdf["method"], pdf["headers"]
                 ):
-                    delay = delays.get(host, 0) / 1000.0
-                    if delay > 0 and host in last_at:
-                        wait = last_at[host] + delay - time.monotonic()
-                        if wait > 0:
-                            time.sleep(wait)
                     t0 = time.monotonic()
                     cur, status, hdrs, body = url, 599, {}, b""
                     try:
-                        for _ in range(max_redirects + 1):
-                            status, hdrs, body = send(
-                                method or "GET", cur, headers, timeout_s
+                        for hop in range(max_redirects + 1):
+                            status, hdrs, body = spaced_send(
+                                method, cur, headers
                             )
+                            # header names are case-insensitive (RFC
+                            # 9110); transports return their own casing
+                            hdrs = {k.lower(): v for k, v in hdrs.items()}
                             loc = hdrs.get("location")
-                            if 300 <= status < 400 and loc:
+                            # only advance when another hop will
+                            # actually be fetched: target_url must be a
+                            # URL that WAS requested, even when the
+                            # redirect budget runs out mid-chain
+                            if 300 <= status < 400 and loc and hop < max_redirects:
                                 cur = urljoin(cur, loc)
                                 continue
                             break
                     except TransportError:
                         status, hdrs, body = 599, {}, b""
-                    last_at[host] = time.monotonic()
                     ctype = hdrs.get("content-type")
                     enc = sniff_charset_py(ctype, body)
                     try:

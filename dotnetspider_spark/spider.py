@@ -184,22 +184,33 @@ class Spider:
             raise ValueError(
                 "set_corpus() or set_fetcher() required (no ambient network)"
             )
+        if self._models and self._corpus is None:
+            # validate BEFORE the crawl runs: this uses configuration
+            # only, and raising after a converged multi-hour crawl would
+            # discard the entire result
+            raise ValueError(
+                "entity extraction re-reads page content from the corpus; "
+                "set_corpus() is required alongside add_entity_model()"
+            )
+        # inline add_seeds() rows and an add_seed_df() frame COMBINE —
+        # dropping one silently (e.g. a CLI config with both `seeds:`
+        # and `seed_file:`) would crawl fewer pages with no diagnostic.
+        # Both carry explicit seq columns; duplicate identities across
+        # the two sources collapse first-push-wins in seeds_to_frontier.
         seeds = self._seed_df
+        if self._seed_rows:
+            inline = self.spark.createDataFrame(self._seed_rows, SEED_SCHEMA)
+            seeds = inline if seeds is None else seeds.unionByName(
+                inline, allowMissingColumns=True
+            )
         if seeds is None:
-            if not self._seed_rows:
-                raise ValueError("no seeds")
-            seeds = self.spark.createDataFrame(self._seed_rows, SEED_SCHEMA)
+            raise ValueError("no seeds")
         res = crawl(
             self.spark, self._corpus, seeds, self.config,
             robots=self._robots, host_delays=self._host_delays,
             resume=resume, processor=self._processor, fetcher=self._fetcher,
         )
         items: dict[str, DataFrame] = {}
-        if self._models and self._corpus is None:
-            raise ValueError(
-                "entity extraction re-reads page content from the corpus; "
-                "set_corpus() is required alongside add_entity_model()"
-            )
         if self._models:
             # re-join fetched urls to the corpus html (the loop's fetched
             # table carries frontier cols; content lives in the corpus)

@@ -434,6 +434,15 @@ def test_hot_link_extraction_matches_htmlparser_reference():
                 parts.append(f"<a data-href='/phantom/{k}'>x</a>")
             if rng.random() < 0.04:
                 parts.append(f"<a ng-href='/ng/{k}' href='/real/{k}'>x</a>")
+            # marker substrings INSIDE quoted attribute values are plain
+            # text to a real parser, not CDATA switches — links before
+            # AND after them must survive (r3 review regression)
+            if rng.random() < 0.05:
+                parts.append(f'<a title="<!--" href="/attr-marker/{k}">x</a>')
+            if rng.random() < 0.03:
+                parts.append(
+                    f'<a onclick="a<script>b" href="/attr-script/{k}">x</a>'
+                )
         # truncated/malformed pages: an UNCLOSED <script>/<style>/<!--
         # puts HTMLParser in CDATA/comment mode for the rest of the page —
         # anchors after it (including ones inside the JS text) must vanish

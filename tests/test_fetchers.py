@@ -102,6 +102,70 @@ def test_charset_sniff_header_then_meta_then_default(fetched):
     assert sniff_charset_py(None, None) == "utf-8"
 
 
+def test_response_header_lookup_is_case_insensitive(spark):
+    """HTTP header names are case-insensitive (RFC 9110); a production
+    transport returns its own casing ('Location', 'Content-Type') and
+    redirects/charset/media-gate must still work (r3 review)."""
+
+    class CasedTransport:
+        def __call__(self):
+            def send(method, url, headers, timeout_s):
+                if url.endswith("/r"):
+                    return 301, {"Location": "/t"}, b""
+                return 200, {"Content-Type": "image/png"}, b"\x89PNG"
+
+            return send
+
+    f = HttpFetcher(CasedTransport(), n_partitions=1)
+    out = {r.url: r for r in f.fetch(_batch(spark, ["http://c.example/r"])).collect()}
+    r = out["http://c.example/r"]
+    assert r.status == 200
+    assert r.target_url == "http://c.example/t"
+    assert r.content_type == "image/png"
+
+
+def test_exhausted_redirect_budget_reports_fetched_url(spark):
+    """When max_redirects runs out mid-chain, target_url must be a URL
+    that WAS requested — not the never-fetched next hop (r3 review).
+    a <-> b is a 2-cycle; with max_redirects=3 the sends are
+    a, b, a, b and the final row must report b."""
+    pages = {
+        "http://x.example/a": {"status": 302, "location": "/b"},
+        "http://x.example/b": {"status": 302, "location": "/a"},
+    }
+    f = HttpFetcher(DictTransport(pages), n_partitions=1, max_redirects=3)
+    out = {r.url: r for r in f.fetch(_batch(spark, ["http://x.example/a"])).collect()}
+    r = out["http://x.example/a"]
+    assert r.status == 302
+    assert r.target_url == "http://x.example/b"
+
+
+def test_politeness_spacing_applies_to_redirect_hops(spark):
+    """Redirect hops are real requests: two same-host sends in one chain
+    must still be spaced by crawl_delay_ms (r3 review)."""
+    import time as _time
+
+    class RedirTimestampTransport:
+        def __call__(self):
+            def send(method, url, headers, timeout_s):
+                now = f"{_time.monotonic():.6f}".encode()
+                if url.endswith("/r"):
+                    return 301, {"location": "/t?" + now.decode()}, b""
+                return 200, {}, now
+
+            return send
+
+    f = HttpFetcher(
+        RedirTimestampTransport(), n_partitions=1,
+        crawl_delay_ms={"d.example": 80},
+    )
+    out = f.fetch(_batch(spark, ["http://d.example/r"])).collect()
+    row = out[0]
+    t_first = float(row.target_url.split("?")[1])  # hop-1 send time
+    t_second = float(row.html)  # hop-2 (final) send time
+    assert t_second - t_first >= 0.075, (t_first, t_second)
+
+
 def test_politeness_delay_spaces_same_host_sends(spark):
     """Consecutive same-host sends inside a partition must be spaced by
     crawl_delay_ms (SleepTime, Spider.cs:181,805). The fake transport

@@ -68,6 +68,51 @@ Disallow:
 """
 
 
+def test_inline_seeds_and_seed_df_both_crawl(spark, corpus):
+    """add_seeds() + add_seed_df() combine — neither source is silently
+    dropped (r3 review: a CLI config with both `seeds:` and `seed_file:`
+    lost the inline ones)."""
+    seed_df = spark.createDataFrame(
+        [(page_url(0, CFG), 0)], "url string, seq long"
+    )
+    res = (
+        Spider(spark)
+        .add_seed_df(seed_df)
+        .add_seeds([page_url(1, CFG)])
+        .set_corpus(corpus)
+        .depth(1)
+        .run()
+    )
+    fetched = {r.url for r in res.crawl.fetched.select("url").collect()}
+    assert page_url(0, CFG) in fetched
+    assert page_url(1, CFG) in fetched
+
+
+def test_entity_model_without_corpus_fails_before_crawl(spark):
+    """The corpus-required validation must fire BEFORE any crawl work
+    (r3 review: it previously raised after the full crawl completed)."""
+    from dotnetspider_spark.sources.fetchers import DictTransport
+
+    spider = (
+        Spider(spark)
+        .add_seeds(["http://v.example/"])
+        .set_fetcher(HttpFetcher(DictTransport({}), n_partitions=1))
+        .add_entity_model(
+            EntityModel(name="m", fields=(Field("u", "env", "url"),))
+        )
+    )
+    with pytest.raises(ValueError, match="set_corpus"):
+        spider.run()
+
+
+def test_crawl_without_corpus_or_fetcher_fails_fast(spark):
+    from dotnetspider_spark.crawler.loop import crawl
+
+    seeds = spark.createDataFrame([("http://v.example/", 0)], "url string, seq long")
+    with pytest.raises(ValueError, match="corpus DataFrame or an explicit fetcher"):
+        crawl(spark, None, seeds)
+
+
 def test_parse_robots_txt_groups_and_rules():
     rules = parse_robots_txt(ROBOTS_TXT, agent="dotnetspider")
     by_prefix = {r["path_prefix"]: r for r in rules}
