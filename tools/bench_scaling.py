@@ -43,7 +43,8 @@ Methodology notes (what made the number honest and scalable):
   the raw-multiprocessing ceiling on this host measures ~0.84-0.92
   efficiency 8->32, which bounds any Spark job from above).
 
-Usage: python tools/bench_scaling.py [frontier_rows]  -> BENCH.md + JSON
+Usage: python tools/bench_scaling.py [frontier_rows]  -> BENCH_lastrun.md
++ one JSON line (BENCH.md holds the curated multi-run evidence)
 """
 
 from __future__ import annotations
@@ -255,7 +256,12 @@ def main() -> None:
         "total_wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH.md"), "w") as f:
+    # single-run report goes to a scratch file — BENCH.md is the
+    # hand-curated MULTI-run evidence document (3 committed runs +
+    # N-sweep + decomposition); one re-run must not clobber it
+    with open(
+        os.path.join(os.path.dirname(__file__), "..", "BENCH_lastrun.md"), "w"
+    ) as f:
         f.write(
             "# BENCH — scaling-efficiency evidence (north rule)\n\n"
             "One full crawl iteration in the engine's real shape\n"
