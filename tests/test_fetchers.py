@@ -352,6 +352,45 @@ def test_is_media_type_matches_reference_exclude_list(spark):
         assert got[ct] is want, (ct, got[ct])
 
 
+def test_downloads_survive_kill_and_resume(spark, tmp_path):
+    """downloads_paths rides the checkpoint manifest: a resumed crawl's
+    result must surface media stored BEFORE the kill as well as after."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+
+    corpus = spark.createDataFrame(
+        [
+            ("http://k.example/", 200,
+             "<a href='/img1.png'>i</a><a href='/p2'>p</a>",
+             "text/html", None),
+            ("http://k.example/p2", 200,
+             "<a href='/img2.png'>i</a>", "text/html", None),
+            ("http://k.example/img1.png", 200, None, "image/png", b"P1"),
+            ("http://k.example/img2.png", 200, None, "image/png", b"P2"),
+        ],
+        "url string, status int, html string, content_type string, bytes binary",
+    )
+    fetcher = CorpusFetcher(
+        corpus, content_cols=("status", "html", "content_type", "bytes")
+    )
+    seeds = spark.createDataFrame(
+        [("http://k.example/", 0)], "url string, seq long"
+    )
+    ck = str(tmp_path / "ck")
+    kw = dict(per_host_limit=4, download_files=True, checkpoint_dir=ck)
+    # phase 1: seed + first level (img1 stored), then "killed"
+    crawl(spark, None, seeds, CrawlConfig(max_iterations=2, **kw), fetcher=fetcher)
+    # phase 2: resume to convergence (img2 stored)
+    res = crawl(
+        spark, None, seeds, CrawlConfig(**kw), fetcher=fetcher, resume=True
+    )
+    assert res.downloads is not None
+    got = {r.url: bytes(r.bytes) for r in res.downloads.collect()}
+    assert got == {
+        "http://k.example/img1.png": b"P1",
+        "http://k.example/img2.png": b"P2",
+    }
+
+
 def test_redirected_seed_dedups_on_post_redirect_url(spark):
     """A crawl that fetches /r (301 -> /t) must NOT later fetch /t when a
     link to it is discovered (VERDICT r2 item 4)."""
