@@ -23,8 +23,8 @@ def test_cli_runs_crawl_from_config(tmp_path, spark):
     )
     conf = {
         "name": "cli-test",
-        "master": "local[4]",
-        "shuffle_partitions": 4,
+        "master": "local[2]",
+        "shuffle_partitions": 2,
         "seeds": [page_url(0, cfg), page_url(1, cfg)],
         "corpus": str(tmp_path / "corpus"),
         "robots": str(tmp_path / "robots"),
@@ -40,7 +40,10 @@ def test_cli_runs_crawl_from_config(tmp_path, spark):
     env = dict(os.environ, PYTHONPATH="/root/repo")
     proc = subprocess.run(
         [sys.executable, "-m", "dotnetspider_spark", "--config", str(cfg_path)],
-        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+        # generous: the subprocess boots its own JVM and pays ~10 tiny-job
+        # fixed costs per crawl iteration while sharing the box with the
+        # pytest session's JVM — measured ~270 s under contention
+        capture_output=True, text=True, timeout=600, env=env, cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     summary = json.loads(proc.stdout.strip().splitlines()[-1])
