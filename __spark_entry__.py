@@ -746,6 +746,56 @@ def q_priority_poll_rank(spark, sf_dir):
     )
 
 
+def _portable_phash_images(spark, sf_dir):
+    """Deterministic image-id/phash table both engines can derive: phash
+    = first 15 md5 hex chars of doc_id (60 bits, portable — the simhash64
+    trick), plus a planted near-twin (2 bits flipped) for every 10th id.
+    Lets the DuckDB oracle brute-force ALL pairs while Spark runs the
+    banded join — an end-to-end completeness check of the pigeonhole
+    banding (5×13-bit bands guarantee no false negatives at hamming≤4)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ph = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("image_id"), ph.alias("phash")
+    )
+    # twin mask flips exactly 2 distinct bits (29 ≢ 0 mod 58);
+    # shiftleft() needs a literal shift amount, so column shifts go via SQL
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(image_id % 58 AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST((image_id + 29) % 58 AS INT))"
+    )
+    twins = base.filter(F.col("image_id") % 10 == 0).select(
+        (F.col("image_id") + 1000000).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    return base.unionByName(twins)
+
+
+def q_phash_banded_pairs(spark, sf_dir):
+    # banded phash near-dup pairs vs a brute-force all-pairs oracle:
+    # proves the 5-band pigeonhole join finds EVERY hamming<=4 pair
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    imgs = _portable_phash_images(spark, sf_dir)
+    return phash_near_duplicates(imgs, max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_image_dedup_keep(spark, sf_dir):
+    # image dedup tail on the portable phash table: banded pairs ->
+    # connected components -> keep the min-id survivor per cluster
+    # (oracle: recursive-CTE reachability over brute-forced pairs)
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    imgs = _portable_phash_images(spark, sf_dir)
+    pairs = phash_near_duplicates(imgs, max_hamming=4)
+    return dedup_keep_canonical(imgs, pairs, id_col="image_id")
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 # Oracle-free entries: genuinely non-SQL-expressible pipelines (pandas-UDF
 # codecs, iterative crawl). The driver records a rows-only check; full
@@ -1127,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validate": q_payload_validate,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
+        "phash_banded_pairs": q_phash_banded_pairs,
+        "image_dedup_keep": q_image_dedup_keep,
         "image_dedup_canonical": q_image_dedup_canonical,
         "image_quality_screen": q_image_quality_screen,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1189,6 +1241,26 @@ def _simhash16_sql() -> str:
             FROM hv GROUP BY doc_id)
         SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM sums
     """
+
+
+# portable deterministic image/phash table (mirror of
+# _portable_phash_images): phash = first 15 md5 hex chars of doc_id,
+# plus a 2-bit-flipped near-twin for every 10th id
+_PHASH_IMGS_SQL = """
+    WITH RECURSIVE base AS (
+        SELECT CAST(doc_id AS BIGINT) AS image_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS phash
+        FROM documents WHERE doc_id < 300),
+    twins AS (
+        SELECT image_id + 1000000 AS image_id,
+               xor(phash,
+                   xor(1::BIGINT << CAST(image_id % 58 AS INTEGER),
+                       1::BIGINT << CAST((image_id + 29) % 58 AS INTEGER)))
+                   AS phash
+        FROM base WHERE image_id % 10 = 0),
+    imgs AS (SELECT * FROM base UNION ALL SELECT * FROM twins)
+"""
 
 
 def _simhash64_sql() -> str:
@@ -1486,6 +1558,31 @@ def oracle_sql() -> dict[str, str]:
                  AND d.doc_id NOT IN
                      (SELECT id FROM lab WHERE id <> component)"""
         ),
+        # brute-force ALL-pairs hamming oracle vs Spark's banded join —
+        # pigeonhole completeness check (phash = portable 60-bit md5)
+        "phash_banded_pairs": _PHASH_IMGS_SQL + """
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+            FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        """,
+        "image_dedup_keep": _PHASH_IMGS_SQL + """,
+            bf AS (
+                SELECT a.image_id AS ia, b.image_id AS ib
+                FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+                WHERE bit_count(xor(a.phash, b.phash)) <= 4),
+            sym AS (SELECT ia AS a, ib AS b FROM bf
+                    UNION SELECT ib, ia FROM bf),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+            SELECT i.image_id, i.phash FROM imgs i
+            WHERE i.image_id NOT IN (SELECT id FROM lab WHERE id <> component)
+        """,
         "jsonpath_select": """
             SELECT event_id,
                    CAST(user_id % 10 AS VARCHAR) AS first_v,
