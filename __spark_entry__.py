@@ -746,6 +746,23 @@ def q_priority_poll_rank(spark, sf_dir):
     )
 
 
+def q_ann_ivf_fixed_probe(spark, sf_dir):
+    # IVF SEARCH path, oracle-backed: with centroids fixed to known
+    # vectors (embeddings 0..3) the whole search — argmax-cosine bucket
+    # assignment, nprobe probe selection, bucket-join candidates, exact
+    # cosine re-rank — is deterministic SQL both engines can run. Only
+    # k-means TRAINING stays rows-only (ann_ivf_topk + tests/test_ann.py)
+    from dotnetspider_spark.operators.ann import ann_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    queries_df = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103))
+    return ann_search(e, queries_df, cents, k=3, nprobe=2)
+
+
 def _portable_phash_images(spark, sf_dir):
     """Deterministic image-id/phash table both engines can derive: phash
     = first 15 md5 hex chars of doc_id (60 bits, portable — the simhash64
@@ -1177,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_validate": q_payload_validate,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
+        "ann_ivf_fixed_probe": q_ann_ivf_fixed_probe,
         "phash_banded_pairs": q_phash_banded_pairs,
         "image_dedup_keep": q_image_dedup_keep,
         "image_dedup_canonical": q_image_dedup_canonical,
@@ -1240,6 +1258,56 @@ def _simhash16_sql() -> str:
             SELECT doc_id, {sums}
             FROM hv GROUP BY doc_id)
         SELECT doc_id, CAST({sim} AS BIGINT) AS simhash16 FROM sums
+    """
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Exact-cosine SQL between two FLOAT[] columns (DOUBLE math — the
+    proven ann_cosine_topk pattern)."""
+    d = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    return f"{d} / ({na} * {nb})"
+
+
+def _ann_ivf_fixed_probe_sql() -> str:
+    # mirrors ann_search with centroids = embeddings 0..3: argmax-cosine
+    # bucket per base vector (numpy argmax ties -> lowest index, matched
+    # by cid ASC), top-2 probes per query (argsort is stable -> cid ASC),
+    # bucket-join candidates, exact-cosine re-rank, top-3
+    cos_ec = _cos_sql("e.embedding", "c.cv")
+    cos_qc = _cos_sql("q.qv", "c.cv")
+    cos_qb = _cos_sql("p.qv", "b.embedding")
+    return f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings WHERE vec_id < 4),
+        b AS (
+            SELECT e.vec_id, e.embedding,
+                   (SELECT c.cid FROM cents c
+                    ORDER BY {cos_ec} DESC, c.cid ASC LIMIT 1) AS bucket
+            FROM embeddings e),
+        q AS (
+            SELECT vec_id AS q_vec_id, embedding AS qv
+            FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+        probes AS (
+            SELECT * FROM (
+                SELECT q.q_vec_id, q.qv, c.cid AS bucket,
+                       row_number() OVER (PARTITION BY q.q_vec_id
+                           ORDER BY {cos_qc} DESC, c.cid ASC) AS pr
+                FROM q CROSS JOIN cents c)
+            WHERE pr <= 2),
+        cand AS (
+            SELECT p.q_vec_id, b.vec_id, {cos_qb} AS cos
+            FROM probes p JOIN b USING (bucket)
+            WHERE p.q_vec_id <> b.vec_id),
+        ranked AS (
+            SELECT q_vec_id, vec_id,
+                   row_number() OVER (PARTITION BY q_vec_id
+                       ORDER BY cos DESC, vec_id ASC) AS rn,
+                   round(cos, 6) AS cos_sim
+            FROM cand)
+        SELECT q_vec_id, vec_id, rn, cos_sim FROM ranked WHERE rn <= 3
     """
 
 
@@ -1558,6 +1626,7 @@ def oracle_sql() -> dict[str, str]:
                  AND d.doc_id NOT IN
                      (SELECT id FROM lab WHERE id <> component)"""
         ),
+        "ann_ivf_fixed_probe": _ann_ivf_fixed_probe_sql(),
         # brute-force ALL-pairs hamming oracle vs Spark's banded join —
         # pigeonhole completeness check (phash = portable 60-bit md5)
         "phash_banded_pairs": _PHASH_IMGS_SQL + """
