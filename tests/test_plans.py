@@ -228,7 +228,7 @@ def test_no_unbounded_single_partition_window_in_any_query(spark):
         # result DataFrame; their plan shape is pinned by their own tests
         "ann_ivf_topk", "docs_neardup_clusters", "docs_neardup_keep",
         "docs_neardup_verified", "image_dedup_canonical",
-        "crawl_schedule_iteration",
+        "image_dedup_keep", "crawl_schedule_iteration",
     }
     offenders = {}
     for name, fn in em.queries().items():
