@@ -50,34 +50,28 @@ def bench_frontier_iteration(spark) -> tuple[float, int]:
     """
     from pyspark.sql import functions as F
 
-    from dotnetspider_spark.crawler.parse import extract_canonical_links_udf
-    from dotnetspider_spark.functions.identity import request_identity
-    from dotnetspider_spark.functions.urlops import is_fetchable
-    from dotnetspider_spark.operators.frontier import dedup_push, select_fetch_batch
+    from dotnetspider_spark.testing.benchjob import (
+        crawl_iteration,
+        store_bucketed_corpus,
+        zipf_frontier,
+        zipf_hostnum,
+    )
 
     n = FRONTIER_ROWS
     parts = 64
 
-    def zipf_host():
-        return (
-            F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20))
-        )
-
-    frontier = (
-        spark.range(n, numPartitions=parts)
-        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), zipf_host() * 14)).cast("long"))
-        .withColumn("host", F.concat(F.lit("host"), F.col("hostnum"), F.lit(".example")))
-        .withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")))
-        .withColumn("seq", F.col("id"))
-        .drop("hostnum")
-    )
+    frontier = zipf_frontier(spark, n, parts)
     anchor = lambda s: F.concat(
         F.lit('<a href="/p/'), F.pmod(F.xxhash64("id", F.lit(s)), F.lit(n)),
         F.lit('.html">l</a>'),
     )
+    # SMALL pages (4 anchors) so the driver can run this every round;
+    # the scaling harness (tools/bench_child.py) uses the representative
+    # ~2 KB / 24-anchor shape. The iteration PIPELINE is the single
+    # shared definition in testing/benchjob.py for both.
     corpus = (
         spark.range(n, numPartitions=parts)
-        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), zipf_host() * 14)).cast("long"))
+        .withColumn("hostnum", zipf_hostnum())
         .withColumn("url", F.concat(F.lit("http://host"), F.col("hostnum"), F.lit(".example/p/"), F.col("id")))
         .withColumn(
             "html",
@@ -89,44 +83,14 @@ def bench_frontier_iteration(spark) -> tuple[float, int]:
         )
         .select("url", "html")
     )
-    # setup (untimed): the page corpus is a STORED url-bucketed+sorted
-    # table — the engine's layout for every big table it joins (seen
-    # set, Iceberg page store); production pages arrive fetched+stored
-    # once, they are not re-synthesized per iteration. The fetch join
-    # then reads the page side IN PLACE and shuffles only the narrow
-    # batch columns (same shape tools/bench_scaling.py measures).
     import tempfile
 
-    spark.sql("DROP TABLE IF EXISTS bench_corpus")
-    (
-        corpus.write.mode("overwrite")
-        .bucketBy(parts, "url").sortBy("url")
-        .option("path", tempfile.mkdtemp(prefix="bench-corpus-"))
-        .saveAsTable("bench_corpus")
+    store_bucketed_corpus(
+        spark, corpus, parts, tempfile.mkdtemp(prefix="bench-corpus-")
     )
+
     def run_once() -> int:
-        batch = select_fetch_batch(frontier, dfs=True, per_host_limit=256)
-        fetched = (
-            batch.select("url")
-            .join(spark.table("bench_corpus").hint("merge"), "url", "inner")
-            .select("url", "html")
-        )
-        children = (
-            fetched.select(
-                F.posexplode(
-                    extract_canonical_links_udf(F.col("html"), F.col("url"))
-                ).alias("pos", "curl2")
-            )
-            .filter(is_fetchable(F.col("curl2")))
-            .select(F.col("curl2").alias("url"), F.xxhash64("curl2").alias("seq"))
-            .withColumn("identity", request_identity(F.col("url")))
-        )
-        seen_delta = spark.range(0, n, 5).select(
-            F.md5(F.concat_ws("|", F.lit("seen"), F.col("id"))).alias("identity")
-        )
-        return dedup_push(children, F.broadcast(seen_delta)).select(
-            F.count("*")
-        ).collect()[0][0]
+        return crawl_iteration(spark, frontier, n)
 
     # warmup pass excluded from the wall, same methodology as
     # tools/bench_scaling.py: the first execution of this pipeline in a

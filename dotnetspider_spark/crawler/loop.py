@@ -222,6 +222,14 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     ]:
         if col not in df.columns:
             df = df.withColumn(col, default)
+        elif col in ("method", "priority", "depth", "retried"):
+            # present-but-NULL rows (e.g. Spider.run unions seed sources
+            # with allowMissingColumns=True, which fills the narrower
+            # frame's columns with NULL) must take the default too: a
+            # NULL depth silently drops children at the depth gate, a
+            # NULL retried disables cycle retry, and a NULL priority
+            # diverges from the oracle under priority_first
+            df = df.withColumn(col, F.coalesce(F.col(col), default))
     if "seq" not in df.columns:
         df = _dense_seq_by_url(df)
     df = df.withColumn("host", url_host(F.col("url"))).withColumn(
@@ -233,6 +241,14 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
         ),
     )
     return dedup_push(df.select(*_FRONTIER_COLS), seen=None)
+
+
+def _status_ok():
+    """Fetch-success predicate: any 2xx (Downloader.cs:57-64
+    ``EnsureSuccessStatusCode`` semantics). The corpus replay path only
+    ever emits 200, but a real transport returns 201/204/206 etc. —
+    those are fetched pages, not ``http_2xx`` error rows."""
+    return (F.col("status") >= 200) & (F.col("status") < 300)
 
 
 def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
@@ -670,7 +686,7 @@ def crawl(
         if track_redirects:
             extra_seen = (
                 fetched_raw.filter(
-                    (F.col("status") == 200)
+                    _status_ok()
                     & (F.col("target_url") != F.col("url"))
                 )
                 .select(
@@ -711,7 +727,7 @@ def crawl(
                     )
                     blooms = spark.read.parquet(f"{root}/blooms/iter={it}_redir")
 
-        success = fetched_raw.filter(F.col("status") == 200)
+        success = fetched_raw.filter(_status_ok())
         transient = fetched_raw.filter(F.col("status") >= 500)
         retryable = transient.filter(F.col("retried") < cfg.cycle_retry_times)
 
@@ -725,6 +741,17 @@ def crawl(
         #         default) ignores them. Either way they remain fetched
         #         successes and yield no children -------------------
         media = None
+        if cfg.download_files and "content_type" not in fetched_raw.columns:
+            # same loudness contract as the use_bloom/bucketed_seen
+            # check: the config asked for media downloads but this
+            # fetcher cannot say what is media — completing the crawl
+            # with downloads=None and no diagnostic hides real behavior
+            raise ValueError(
+                "download_files=True needs a fetcher that emits "
+                "content_type (HttpFetcher, or CorpusFetcher with "
+                "content_cols including 'content_type') — this fetcher "
+                f"returned columns {fetched_raw.columns}"
+            )
         if "content_type" in fetched_raw.columns:
             from dotnetspider_spark.functions.content import (
                 download_file_path,
@@ -856,7 +883,7 @@ def crawl(
                 F.lit("retries_exhausted"),
             )
             .when(
-                (F.col("status") != 200) & (F.col("status") < 500),
+                ~_status_ok() & (F.col("status") < 500),
                 F.concat(F.lit("http_"), F.col("status").cast("string")),
             )
         )
@@ -902,12 +929,12 @@ def crawl(
         fetched_raw.observe(
             obs,
             F.count(F.lit(1)).alias("n_fetch"),
-            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+            F.sum(_status_ok().cast("int")).alias("n_ok"),
             F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
             F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
         ).groupBy("host").agg(
             F.count("*").alias("n_batch"),
-            F.sum((F.col("status") == 200).cast("int")).alias("n_ok"),
+            F.sum(_status_ok().cast("int")).alias("n_ok"),
             F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
             F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
         ).withColumn("iter", F.lit(it)).write.mode("overwrite").parquet(

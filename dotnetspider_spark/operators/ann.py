@@ -125,7 +125,10 @@ def _probe_udf(centroids: np.ndarray, nprobe: int):
     def f(vecs: pd.Series) -> pd.Series:
         m = _norm_rows(_mat(vecs))
         sims = m @ c.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        # stable sort: equal-similarity centroids tie-break to the LOWER
+        # id, matching the oracle's "cos DESC, cid ASC" (default
+        # quicksort would order ties arbitrarily)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in order])
 
     return f

@@ -145,22 +145,39 @@ class DictTransport:
 def sniff_charset_py(content_type: str | None, body: bytes | None) -> str:
     """Charset detection, header -> <meta> -> utf-8 default — the
     Downloader.cs:211-220 ReadContent order. Pure so the mapInPandas
-    fetch stage and tests share it; the column-expression twin is
-    ``functions.content.sniff_charset``."""
+    fetch stage and tests share it. The PATTERNS are imported from
+    ``functions.content`` (the column-expression twin and the DuckDB
+    oracle SQL use the same strings — three consumers, one definition;
+    ``(?i)`` is inline so no flag argument is needed here either)."""
     import re
 
+    from dotnetspider_spark.functions.content import (
+        _CHARSET_HDR,
+        _CHARSET_META,
+    )
+
     if content_type:
-        m = re.search(r"charset\s*=\s*[\"']?([\w.:-]+)", content_type, re.I)
+        m = re.search(_CHARSET_HDR, content_type)
         if m:
             return m.group(1).lower()
     if body:
         head = body[:2048].decode("iso-8859-1", "replace")
-        m = re.search(
-            r"""<meta[^>]+charset\s*=\s*["']?([\w.:-]+)""", head, re.I
-        )
+        m = re.search(_CHARSET_META, head)
         if m:
             return m.group(1).lower()
     return "utf-8"
+
+
+def is_media_type_py(content_type: str | None) -> bool:
+    """Python twin of ``functions.content.is_media_type`` (same
+    EXCLUDE_MEDIA_TYPES substring semantics) for use INSIDE the
+    mapInPandas fetch stage, where rows exist as Python values."""
+    from dotnetspider_spark.functions.content import EXCLUDE_MEDIA_TYPES
+
+    if not content_type or not content_type.strip():
+        return False
+    lowered = content_type.lower()
+    return not any(t in lowered for t in EXCLUDE_MEDIA_TYPES)
 
 
 class HttpFetcher:
@@ -267,11 +284,21 @@ class HttpFetcher:
                     except TransportError:
                         status, hdrs, body = 599, {}, b""
                     ctype = hdrs.get("content-type")
-                    enc = sniff_charset_py(ctype, body)
-                    try:
-                        html = body.decode(enc, "replace") if body else None
-                    except LookupError:  # unknown codec name in the wild
-                        html = body.decode("utf-8", "replace") if body else None
+                    if is_media_type_py(ctype):
+                        # media payload: bytes only — charset-decoding a
+                        # multi-MB image into a garbage string doubles
+                        # the Arrow row for a column the loop's media
+                        # gate then discards unread
+                        enc = sniff_charset_py(ctype, None)
+                        html = None
+                    else:
+                        enc = sniff_charset_py(ctype, body)
+                        try:
+                            html = body.decode(enc, "replace") if body else None
+                        except LookupError:  # unknown codec name in the wild
+                            html = (
+                                body.decode("utf-8", "replace") if body else None
+                            )
                     for f, v in zip(
                         out_fields,
                         (

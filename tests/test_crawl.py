@@ -500,6 +500,17 @@ def test_bucketed_seen_crawl_matches_oracle(spark, small_corpus, tmp_path_factor
         compact_every=2,
     )
     crawl(spark, small_corpus, seeds, CrawlConfig(max_iterations=3, **kw), robots=robots)
+    # simulate a NEW session: drop the catalog registration (files stay —
+    # the table is external). Without this the shared pytest session
+    # still holds phase 1's saveAsTable entry, restore_seen_table's
+    # tableExists short-circuits, and the manifest-bucket-count CREATE
+    # path this test exists to pin never executes (vacuous test).
+    import hashlib
+
+    _tag = hashlib.md5(ck.encode()).hexdigest()[:10]
+    for t in spark.catalog.listTables():
+        if t.name.startswith(f"seen_{_tag}"):
+            spark.sql(f"DROP TABLE {t.name}")
     # resume with a DIFFERENT cfg.seen_buckets: the manifest persists the
     # layout the table files were written with, so the re-registered
     # table keeps buckets=4 — a mis-declared layout would silently miss

@@ -419,3 +419,82 @@ def test_redirected_seed_dedups_on_post_redirect_url(spark):
         r.url: r.target_url for r in res.fetched.select("url", "target_url").collect()
     }
     assert tgt["http://h.example/a"] == "http://h.example/t"
+
+
+def test_non_200_2xx_statuses_are_fetched_successes(spark):
+    """success = ANY 2xx (Downloader.cs:57-64): a 204 and a 206 page must
+    land in fetched/ (the 206's links discovered), not in errors/ as
+    http_2xx rows (r3 review #2 — only the corpus's {200,404,500} were
+    reachable before HttpFetcher made arbitrary 2xx real)."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+
+    pages = {
+        "http://h.example/": {
+            "status": 206,
+            "body": "<html><a href='/child'>c</a></html>",
+            "content_type": "text/html",
+        },
+        "http://h.example/child": {"status": 204, "content_type": "text/html"},
+    }
+    seeds = spark.createDataFrame(
+        [("http://h.example/", 0)], "url string, seq long"
+    )
+    res = crawl(
+        spark, None, seeds, CrawlConfig(dfs=True, max_depth=2, per_host_limit=4),
+        fetcher=HttpFetcher(DictTransport(pages), n_partitions=1),
+    )
+    fetched = {r.url: r.status for r in res.fetched.select("url", "status").collect()}
+    assert fetched == {
+        "http://h.example/": 206, "http://h.example/child": 204,
+    }
+    assert res.errors.count() == 0
+
+
+def test_media_body_is_not_charset_decoded(spark):
+    """A media-type response carries bytes only: decoding a binary body
+    into a garbage html string ships a second payload-sized column
+    through Arrow for a row the loop's media gate then discards unread
+    (r3 review #4)."""
+    payload = bytes(range(256)) * 8
+    f = HttpFetcher(
+        DictTransport(
+            {
+                "http://a.example/pic": {
+                    "body": payload, "content_type": "image/png"
+                },
+                "http://a.example/page": {
+                    "body": "<html>t</html>", "content_type": "text/html"
+                },
+            }
+        ),
+        n_partitions=1,
+    )
+    rows = {
+        r.url: r
+        for r in f.fetch(
+            _batch(spark, ["http://a.example/pic", "http://a.example/page"])
+        ).collect()
+    }
+    pic, page = rows["http://a.example/pic"], rows["http://a.example/page"]
+    assert pic.html is None and bytes(pic.bytes) == payload
+    assert page.html == "<html>t</html>"
+
+
+def test_download_files_without_content_type_fails_loudly(spark):
+    """download_files=True with a fetcher that cannot emit content_type
+    previously completed with downloads=None and no diagnostic (r3
+    review #8) — same loudness contract as use_bloom+bucketed_seen."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+
+    corpus = spark.createDataFrame(
+        [("http://h.example/", 200, "<html></html>")],
+        "url string, status int, html string",
+    )
+    seeds = spark.createDataFrame(
+        [("http://h.example/", 0)], "url string, seq long"
+    )
+    with pytest.raises(ValueError, match="content_type"):
+        crawl(
+            spark, corpus, seeds,
+            CrawlConfig(dfs=True, max_depth=1, download_files=True),
+        )

@@ -80,12 +80,19 @@ def test_inline_seeds_and_seed_df_both_crawl(spark, corpus):
         .add_seed_df(seed_df)
         .add_seeds([page_url(1, CFG)])
         .set_corpus(corpus)
-        .depth(1)
+        .depth(2)
         .run()
     )
-    fetched = {r.url for r in res.crawl.fetched.select("url").collect()}
-    assert page_url(0, CFG) in fetched
-    assert page_url(1, CFG) in fetched
+    fetched = res.crawl.fetched.select("url", "depth").collect()
+    urls = {r.url for r in fetched}
+    assert page_url(0, CFG) in urls
+    assert page_url(1, CFG) in urls
+    # depth 2 so CHILD discovery runs: the union fills the narrow
+    # seed_df's missing columns with NULL, and a NULL depth silently
+    # dropped every child at the depth gate (r3 review #1 — the old
+    # depth(1) version of this test could never see it)
+    assert all(r.depth is not None for r in fetched)
+    assert any(r.depth == 2 for r in fetched), "no children were crawled"
 
 
 def test_entity_model_without_corpus_fails_before_crawl(spark):

@@ -8,10 +8,9 @@ submitted archive, not an ambient checkout. (A ``sys.path`` fallback
 keeps ``python tools/bench_child.py`` runnable for debugging.)
 
 The measured job is one FULL crawl iteration in the engine's real shape
-(crawler/loop.py): politeness-ranked batch selection over a Zipf-skewed
-frontier -> fetch (bucket-local join against a stored page corpus with
-real HTML) -> fused link-parse/canonicalize pandas UDF -> child identity
--> child dedup (min_by) -> anti-join vs the iteration's seen delta.
+— the SHARED definition in ``dotnetspider_spark.testing.benchjob``
+(same pipeline ``bench.py`` times; only the page fixture differs:
+representative ~2 KB / 24-anchor pages here, small pages there).
 Emits one JSON line on stdout.
 """
 
@@ -28,10 +27,12 @@ except ImportError:  # direct `python tools/bench_child.py` debugging
 from pyspark.sql import functions as F
 
 from dotnetspider_spark.session import get_spark
-from dotnetspider_spark.functions.identity import request_identity
-from dotnetspider_spark.functions.urlops import is_fetchable
-from dotnetspider_spark.crawler.parse import extract_canonical_links_udf
-from dotnetspider_spark.operators.frontier import dedup_push, select_fetch_batch
+from dotnetspider_spark.testing.benchjob import (
+    crawl_iteration,
+    store_bucketed_corpus,
+    zipf_frontier,
+    zipf_hostnum,
+)
 
 cpus = int(os.environ["BENCH_CPUS"])
 rows = int(os.environ["BENCH_ROWS"])
@@ -54,20 +55,6 @@ spark = get_spark(
 )
 
 
-def frontier_df():
-    return (
-        spark.range(rows, numPartitions=parts)
-        .withColumn("u", F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20)))
-        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), F.col("u") * 14)).cast("long"))
-        .withColumn("host", F.concat(F.lit("host"), F.col("hostnum"), F.lit(".example")))
-        .withColumn("url", F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("id")))
-        .withColumn("seq", F.col("id"))
-        .withColumn("depth", F.lit(1))
-        .withColumn("retried", F.lit(0))
-        .drop("u", "hostnum")
-    )
-
-
 def corpus_df():
     # REPRESENTATIVE page shape: ~2 KB of text + 24 anchors. Real crawl
     # pages are KB-scale with dozens of links; a 200-byte/5-link toy page
@@ -86,8 +73,7 @@ def corpus_df():
             anchors.append(filler)
     return (
         spark.range(rows, numPartitions=parts)
-        .withColumn("u", F.pmod(F.xxhash64("id"), F.lit(1 << 20)) / F.lit(float(1 << 20)))
-        .withColumn("hostnum", F.floor(F.pow(F.lit(2.0), F.col("u") * 14)).cast("long"))
+        .withColumn("hostnum", zipf_hostnum())
         .withColumn("url", F.concat(F.lit("http://host"), F.col("hostnum"), F.lit(".example/p/"), F.col("id")))
         .withColumn(
             "html",
@@ -103,51 +89,15 @@ def corpus_df():
     )
 
 
-# setup (untimed): the corpus is a STORED, url-bucketed + sorted table —
-# exactly the engine's 100 TB design for every big table it joins (the
-# bucketed seen set, the Iceberg page store). The fetch join then reads
-# the page side IN PLACE (zero corpus-side exchange, no sort) and
-# shuffles only the narrow batch — shipping the KB-scale html rows
-# through an exchange per iteration is precisely what the engine's
-# bucketed-table layout exists to avoid. Synthesizing the table is
-# setup, not crawl work: production pages arrive fetched+stored once.
-spark.sql("DROP TABLE IF EXISTS bench_corpus")
-(
-    corpus_df().write.mode("overwrite")
-    .bucketBy(parts, "url").sortBy("url")
-    .option("path", "/dev/shm/spark-bench-tmp/corpus_tbl")
-    .saveAsTable("bench_corpus")
-)
+# setup (untimed): stored url-bucketed+sorted corpus — the engine's
+# 100 TB table layout; the fetch join reads it in place (benchjob doc)
+store_bucketed_corpus(spark, corpus_df(), parts, "/dev/shm/spark-bench-tmp/corpus_tbl")
+
+frontier = zipf_frontier(spark, rows, parts, with_depth=True)
 
 
-def job():
-    frontier = frontier_df()
-    # 1. politeness-ranked fetch batch (the frontier enters an iteration
-    #    already deduped — dedup applies to DISCOVERED children below)
-    batch = select_fetch_batch(frontier, dfs=True, per_host_limit=256)
-    # 2. fetch: join against the bucketed page store — batch side
-    #    shuffles (narrow cols), corpus side reads its buckets in place
-    fetched = batch.select("url", "depth").join(
-        spark.table("bench_corpus").hint("merge"), "url", "inner"
-    ).select("url", "depth", "html")
-    # 3. fused parse/canonicalize/in-page-dedup -> children
-    children = fetched.select(
-        F.col("depth"),
-        F.posexplode(
-            extract_canonical_links_udf(F.col("html"), F.col("url"))
-        ).alias("pos", "curl2"),
-    ).filter(is_fetchable(F.col("curl2"))).select(
-        F.col("curl2").alias("url"),
-        (F.col("depth") + 1).alias("depth"),
-        (F.xxhash64("curl2")).alias("seq"),
-    ).withColumn("identity", request_identity(F.col("url")))
-    # 4. child dedup + anti-join vs the iteration's seen delta (broadcast
-    #    — the full 10^10 seen set is handled by the bloom prune path)
-    seen_delta = spark.range(0, rows, 5).select(
-        F.md5(F.concat_ws("|", F.lit("seen"), F.col("id"))).alias("identity")
-    )
-    fresh = dedup_push(children, F.broadcast(seen_delta))
-    return fresh.select(F.count("*")).collect()[0][0]
+def job() -> int:
+    return crawl_iteration(spark, frontier, rows, with_depth=True)
 
 
 job()  # warmup
