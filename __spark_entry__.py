@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dotnetspider_spark.operators.curation import EMAIL_RE, IPV4_RE, PHONE_RE
 from dotnetspider_spark.operators.frontier import select_fetch_batch
 
 
@@ -322,17 +323,14 @@ def q_docs_fingerprint(spark, sf_dir):
 
 
 def q_docs_minhash_signature(spark, sf_dir):
-    # MinHash signature (4 salted permutations) over whitespace tokens
+    # MinHash signature (4 salted permutations) over whitespace tokens.
+    # MAP-ONLY per-row fold (operators/textdedup.minhash_signature) — no
+    # explode+groupBy shuffle; the DuckDB oracle keeps the unnest/GROUP
+    # BY shape and the values match exactly (same salted-md5 minima).
+    from dotnetspider_spark.operators.textdedup import minhash_signature
+
     d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    return tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
-            for i in range(4)
-        ]
-    )
+    return minhash_signature(d, "doc_id", "text", k=4)
 
 
 def _dot(a, b):
@@ -391,6 +389,37 @@ def q_sessionize_gap(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.min("event_id").alias("first_event_id"),
         )
+    )
+
+
+def q_windowed_metrics(spark, sf_dir):
+    # tumbling event-time windows per host (streaming.metrics operator in
+    # its batch twin — the SAME code runs under readStream with a
+    # watermark; test_streaming pins the late-data semantics). Events are
+    # mapped into the fetch-event shape; 5-min windows are epoch-aligned
+    # in both engines (Spark window origin = epoch; DuckDB time_bucket
+    # origin 2000-01-03 is 300s-divisible from epoch).
+    from dotnetspider_spark.streaming.metrics import windowed_host_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    fetch_events = ev.select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.concat(F.lit("http://x/"), F.col("event_id").cast("string")).alias(
+            "url"
+        ),
+        "ts",
+        F.when(F.col("event_type") == "error", 500)
+        .otherwise(200)
+        .cast("int")
+        .alias("status"),
+        F.round(F.col("value") * 100).cast("long").alias("n_bytes"),
+        (F.col("event_id") % 997).cast("long").alias("fetch_ms"),
+    )
+    return windowed_host_metrics(fetch_events, window="5 minutes").withColumn(
+        "avg_fetch_ms", F.round("avg_fetch_ms", 6)
     )
 
 
@@ -501,16 +530,11 @@ def q_docs_minhash_band_pairs(spark, sf_dir):
     # Bounded to doc_id < 100: the synthetic corpus' tiny vocabulary makes
     # signature collisions common, and the oracle compare is row-exact —
     # the operator semantics are fully exercised on the bounded set.
+    from dotnetspider_spark.operators.textdedup import minhash_signature
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
-            for i in range(4)
-        ]
-    )
+    # map-only signature fold (no token shuffle) — see textdedup
+    sig = minhash_signature(d, "doc_id", "text", k=4)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1131,6 +1155,77 @@ def q_jsonpath_select(spark, sf_dir):
     )
 
 
+def q_docs_decontaminate(spark, sf_dir):
+    # benchmark decontamination (Brown et al. 2020 appendix C): flag
+    # training docs sharing any word 3-gram with the benchmark set
+    # (deterministically: every doc_id % 97 == 0 doc). Benchmark grams
+    # broadcast; only hit rows reach the per-doc count shuffle.
+    from dotnetspider_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, n=3)
+
+
+def q_docs_pii_scrub(spark, sf_dir):
+    # PII redaction pass (CCNet/Dolma-style scrub): emails, IPv4s and
+    # phone-shaped digit runs -> typed placeholders + audit counts.
+    # PII is synthesized deterministically from doc_id so both engines
+    # scrub the identical byte stream; all codegen regexp_replace.
+    from dotnetspider_spark.operators.curation import pii_counts, pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" end"),
+    )
+    counts = pii_counts(raw)
+    return d.select(
+        "doc_id",
+        pii_scrub(raw).alias("scrubbed"),
+        counts["n_email"].cast("int").alias("n_email"),
+        counts["n_ip"].cast("int").alias("n_ip"),
+        counts["n_phone"].cast("int").alias("n_phone"),
+    )
+
+
+def q_docs_normalize(spark, sf_dir):
+    # canonical text normalization (lowercase / punct strip / whitespace
+    # collapse / trim) over deterministically-dirtied text — the pass
+    # before fingerprinting so trivially-different bytes dedup together
+    from dotnetspider_spark.operators.curation import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  MiXeD ,,, "), F.col("text"), F.lit(" !!END?? "),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", normalize_text(raw).alias("norm"))
+
+
+def q_semantic_dedup_keep(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023) with centroids fixed to embeddings
+    # 0..3 so the whole pipeline — argmax-cosine bucketing, intra-bucket
+    # cosine>=0.30 pairs, connected components, keep-min-id — is
+    # deterministic SQL the oracle can replay (recursive-CTE closure).
+    from dotnetspider_spark.operators.curation import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    survivors = semantic_dedup(
+        e.filter(F.col("vec_id") < 300), cents, threshold=0.30
+    )
+    return survivors.select("vec_id", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -1161,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "ann_cosine_topk": q_ann_cosine_topk,
         "sessionize_gap": q_sessionize_gap,
+        "windowed_metrics": q_windowed_metrics,
         "pricing_summary": q_pricing_summary,
         "rollup_counts": q_rollup_counts,
         "join_agg_revenue": q_join_agg_revenue,
@@ -1189,6 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "docs_gopher_filter": q_docs_gopher_filter,
         "docs_neardup_verified": q_docs_neardup_verified,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_pii_scrub": q_docs_pii_scrub,
+        "docs_normalize": q_docs_normalize,
+        "semantic_dedup_keep": q_semantic_dedup_keep,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1620,6 +1720,91 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach GROUP BY a)
             SELECT id AS doc_id, component FROM lab
         """,
+        "docs_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents),
+            pos AS (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks WHERE len(t) >= 3),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+                FROM pos),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "docs_pii_scrub": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       substr(text, 1, 40) || ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@mail.example from 10.1.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.9 call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' end' AS s
+                FROM documents),
+            st1 AS (
+                SELECT doc_id, s,
+                       regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g') AS s1
+                FROM raw),
+            st2 AS (
+                SELECT doc_id, s, s1,
+                       regexp_replace(s1, '{IPV4_RE}', '<IP>', 'g') AS s2
+                FROM st1)
+            SELECT doc_id,
+                   regexp_replace(s2, '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(s, '{EMAIL_RE}')) AS INTEGER)
+                       AS n_email,
+                   CAST(len(regexp_extract_all(s1, '{IPV4_RE}')) AS INTEGER)
+                       AS n_ip,
+                   CAST(len(regexp_extract_all(s2, '{PHONE_RE}')) AS INTEGER)
+                       AS n_phone
+            FROM st2
+        """,
+        "docs_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       lower('  MiXeD ,,, ' || text || ' !!END?? '
+                             || CAST(doc_id AS VARCHAR)),
+                       '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        """,
+        "semantic_dedup_keep": f"""
+            WITH RECURSIVE cents AS (
+                SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE vec_id < 4),
+            b AS (
+                SELECT e.vec_id, e.embedding, e.label,
+                       (SELECT c.cid FROM cents c
+                        ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC,
+                                 c.cid ASC LIMIT 1) AS bucket
+                FROM embeddings e WHERE e.vec_id < 300),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+                FROM b a JOIN b b2
+                  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+                WHERE round({_cos_sql('a.embedding', 'b2.embedding')}, 6)
+                      >= 0.30),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+            SELECT vec_id, label FROM b
+            WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> component)
+        """,
         "docs_neardup_keep": _neardup_cc_sql(
             """SELECT d.doc_id, d.n_chars FROM documents d
                WHERE d.doc_id < 100
@@ -1706,6 +1891,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(event_id) AS first_event_id
             FROM s GROUP BY user_id, session_idx
+        """,
+        "windowed_metrics": """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+                       AS window_end,
+                   'host' || CAST(user_id % 20 AS VARCHAR) || '.example' AS host,
+                   count(*) AS n_fetched,
+                   sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                       AS n_success,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS n_error,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS bytes,
+                   round(avg(event_id % 997), 6) AS avg_fetch_ms
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,180 @@
+"""Corpus-curation operators — the training-data pipeline tail.
+
+Beyond-reference (driver mandate): the ops a 100 TB pretraining-data
+pipeline runs AFTER crawling — benchmark decontamination, PII
+redaction, text normalization, and embedding-space semantic dedup. All
+public algorithms:
+
+- :func:`decontaminate` — word-n-gram overlap against a benchmark/eval
+  set (the Brown et al. 2020 appendix-C / Dodge et al. 2021 C4-audit
+  method): a training doc is contaminated when any of its n-grams
+  appears in the benchmark n-gram set.
+- :func:`pii_scrub` / :func:`pii_counts` — regex redaction of emails,
+  E.164-ish phone numbers and IPv4 addresses (the standard
+  CCNet/Dolma-style scrub pass), pure ``regexp_replace`` codegen.
+- :func:`normalize_text` — deterministic lowercase/whitespace/punct
+  normalization as one codegen'd column expression.
+- :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023, public): assign
+  each embedding to its nearest centroid, find intra-bucket pairs with
+  cosine ≥ threshold, cluster them (connected components), keep the
+  minimum-id vector per cluster.
+
+Scale notes (the 100 TB shapes):
+
+- ``decontaminate`` broadcast-joins the benchmark gram set (benchmarks
+  are MBs, corpora are TBs): docs explode their DISTINCT grams
+  map-side, the broadcast inner join prunes ~everything, and only HIT
+  rows (rare by construction) reach the per-doc aggregation shuffle.
+  The returned frame joins hit counts back by id — text never rides
+  the gram exchange.
+- ``pii_scrub``/``normalize_text`` are map-only whole-stage-codegen
+  expressions — zero shuffles, no Python.
+- ``semantic_dedup`` buckets first so the pair join is per-bucket (the
+  SemDeDup trick that makes n² tractable); the pair join carries
+  (bucket, id, vec) but only within buckets, and the cluster/keep tail
+  shuffles ids only (``graph.dedup_keep_canonical``).
+
+No analog in the reference (its dedup is per-request identity:
+HashSetDuplicateRemover.cs); these are driver-mandate additions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .graph import dedup_keep_canonical
+from .textdedup import shingles
+
+# -- PII regexes ------------------------------------------------------
+# Kept to portable syntax (no lookarounds/back-references) so the exact
+# same pattern runs under Spark (Java regex) and DuckDB (RE2) — that is
+# what makes the scrub oracle-checkable.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lowercase, strip non-alphanumeric-or-space
+    characters, collapse whitespace runs, trim. One codegen'd
+    expression — the normalization pass before hashing/fingerprinting
+    so trivially-different bytes dedup together."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails, phone-number-shaped digit runs and IPv4 addresses
+    to typed placeholders. Email first: a phone-ish digit run inside an
+    address must not be half-redacted before the email pattern sees it."""
+    t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, IPV4_RE, "<IP>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row match counts (audit columns for a scrub report)."""
+    return {
+        "n_email": F.regexp_count(text, F.lit(EMAIL_RE)),
+        "n_ip": F.regexp_count(F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), F.lit(IPV4_RE)),
+        "n_phone": F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+            ),
+            F.lit(PHONE_RE),
+        ),
+    }
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with the benchmark
+    set (Brown et al. 2020 appendix C). Returns one row per input doc:
+    (id, n_hit_grams = #distinct contaminated grams, contaminated).
+
+    Shape: benchmark grams are distinct'd then BROADCAST; docs explode
+    their distinct grams map-side and inner-join — only hit rows (rare)
+    reach the per-doc count shuffle, and doc text never leaves the
+    final id-keyed join."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): keep one representative per
+    semantic-duplicate cluster. Buckets = nearest fixed centroid
+    (argmax cosine, ties -> lowest centroid index); duplicate pairs =
+    same-bucket cosine ≥ ``threshold``; clusters = connected
+    components; survivor = minimum id. Returns the surviving rows of
+    ``embeddings``.
+
+    At scale: centroids come from ``ann.train_centroids`` on a sample;
+    the pair join is per-bucket (n²/k instead of n²), and the
+    cluster/keep tail shuffles ids only."""
+    from .ann import assign_buckets
+
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    indexed = assign_buckets(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        c,
+        vec_col="v",
+    )
+    vd = lambda col: F.transform(col, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(vd(F.col("v_a")), vd(F.col("v_b")), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(
+        F.aggregate(
+            F.transform(vd(col), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    a = indexed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = indexed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_keep_canonical(embeddings, pairs, id_col=id_col)

@@ -85,16 +85,36 @@ def simhash64(text: Column, n_bits: int = 64) -> Column:
 
 
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
-    """k-permutation MinHash signature via salted md5 minima (one shuffle:
-    explode tokens -> groupBy doc)."""
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    """k-permutation MinHash signature via salted md5 minima.
+
+    MAP-ONLY: each signature is a per-row ``aggregate()`` fold over the
+    token array — zero shuffle. The naive shape (explode tokens ->
+    groupBy doc -> k min aggs) ships every token through an exchange
+    keyed by doc_id: at 10^10 docs x ~10^3 tokens that is a 10^13-row
+    shuffle for a value each row can compute locally. The fold keeps a
+    k-wide running-minimum array and costs the same k md5s per token,
+    all inside whole-stage codegen. Values are identical (min over the
+    same salted-hash set), so the DuckDB unnest/GROUP BY oracle still
+    matches byte-for-byte.
+
+    Zero-token docs are dropped, matching the explode+groupBy shape
+    (explode of an empty array emits nothing)."""
+    toks = tokens(F.col(text_col))
+    # "~" (0x7e) sorts after every md5 hex char, so it is the fold's +inf
+    init = F.array_repeat(F.lit("~"), k)
+    sig = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.md5(F.concat(F.lit(f"s{i}|"), t)) for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("token")))).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    return tok.groupBy(id_col).agg(*aggs)
+    return docs.where(F.size(toks) > 0).select(
+        F.col(id_col),
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(k)],
+    )
 
 
 def minhash_band_pairs(

@@ -1,0 +1,136 @@
+"""Curation operators: decontamination, PII scrub, normalization,
+SemDeDup — semantics plus the plan shapes that make them 100 TB-safe."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dotnetspider_spark.operators.curation import (
+    decontaminate,
+    normalize_text,
+    pii_counts,
+    pii_scrub,
+    semantic_dedup,
+)
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_normalize_text_examples(spark):
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! (x)  ",), ("a\tb\nc",), ("",)], ["s"]
+    )
+    got = [r.n for r in df.select(normalize_text(F.col("s")).alias("n")).collect()]
+    assert got == ["hello world x", "a b c", ""]
+
+
+def test_normalize_is_idempotent(spark):
+    df = spark.createDataFrame([("  MiXeD ,,, case !!END?? 7",)], ["s"])
+    once = df.select(normalize_text(F.col("s")).alias("n"))
+    twice = once.select(normalize_text(F.col("n")).alias("n"))
+    assert once.first().n == twice.first().n == "mixed case end 7"
+
+
+def test_pii_scrub_and_counts(spark):
+    s = (
+        "mail a.b-c@sub.example.org or x@y.io, server 192.168.0.1, "
+        "call +44-207-946-0958 now"
+    )
+    df = spark.createDataFrame([(s,)], ["s"])
+    c = pii_counts(F.col("s"))
+    row = df.select(
+        pii_scrub(F.col("s")).alias("out"),
+        c["n_email"].alias("ne"), c["n_ip"].alias("ni"), c["n_phone"].alias("np"),
+    ).first()
+    assert row.out == "mail <EMAIL> or <EMAIL>, server <IP>, call <PHONE> now"
+    assert (row.ne, row.ni, row.np) == (2, 1, 1)
+
+
+def test_pii_scrub_email_digits_not_half_redacted(spark):
+    # digit runs inside an address must scrub as ONE email, not a phone
+    df = spark.createDataFrame([("reach 555-123-4567@ex.com ok",)], ["s"])
+    assert df.select(pii_scrub(F.col("s")).alias("o")).first().o == "reach <EMAIL> ok"
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over"),  # shares 5-gram with bench
+            (2, "totally different words here now entirely"),
+            (3, "short"),  # < n tokens -> zero grams, clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "see the quick brown fox jumps high")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_hit_grams, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False)}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # a gram repeated in the doc counts once (array_distinct before explode)
+    docs = spark.createDataFrame([(1, "a b c a b c a b c")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    row = decontaminate(docs, bench, n=3).first()
+    assert (row.n_hit_grams, row.contaminated) == (1, True)
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w x y z q t "), F.col("id")).alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = _plan(decontaminate(docs, bench, n=3))
+    assert "BroadcastHashJoin" in plan, plan  # bench grams never shuffle docs
+
+
+def test_pii_and_normalize_are_map_only(spark):
+    df = spark.range(10).select(F.concat(F.lit("t "), F.col("id")).alias("s"))
+    for expr in (pii_scrub(F.col("s")), normalize_text(F.col("s"))):
+        plan = _plan(df.select(expr.alias("o")))
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    # two exact-duplicate directions + one orthogonal singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),   # cos=1 with 0 -> same cluster, loses to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 3.0, 0.0]),   # cos=1 with 2 -> loses to 2
+        (4, [0.0, 0.0, 1.0]),   # singleton survives
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(e, cents, threshold=0.95).collect()
+    )
+    assert kept == [0, 2, 4]
+
+
+def test_semantic_dedup_same_direction_across_buckets_survives(spark):
+    # duplicates landing in DIFFERENT buckets are not paired — SemDeDup's
+    # documented approximation (pairs are intra-bucket only)
+    rows = [(0, [1.0, 0.05, 0.0]), (1, [0.05, 1.0, 0.0])]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(e, cents, threshold=0.0).collect()
+    )
+    assert kept == [0, 1]

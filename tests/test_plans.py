@@ -285,3 +285,23 @@ def test_ivf_search_reads_fraction_of_bucketed_base(spark, tmp_path):
         assert n_exchange == 1, plan  # probe side only
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_base_t")
+
+
+def test_minhash_signature_is_map_only(spark):
+    """MinHash signatures must compute as a per-row fold — zero Exchange
+    in the plan. The explode+groupBy shape ships every token through a
+    shuffle keyed by doc id (10^13 rows at the design point) for a value
+    each row can compute locally."""
+    import re
+
+    from dotnetspider_spark.operators.textdedup import minhash_signature
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon doc "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    plan = _plan(minhash_signature(docs, "doc_id", "text", k=8))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+    assert "Generate" not in plan, plan  # no explode either

@@ -1,0 +1,92 @@
+"""Property-based invariants (hypothesis) for the pure-Python cores of
+the seen-set filters and URL canonicalization — the components whose
+bugs corrupt a crawl silently (a false negative re-crawls; a wrong
+canonical form splits one URL into two frontier rows).
+
+These run WITHOUT Spark (numpy/stdlib only), so hundreds of generated
+cases cost milliseconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dotnetspider_spark.operators.cuckoo import CuckooFilter
+
+hashes = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(hashes)
+def test_cuckoo_no_false_negatives(hs):
+    """Every successfully inserted hash is found (the contract that
+    makes the prune-not-drop hybrid exact)."""
+    f = CuckooFilter(n_fp_buckets=1024)
+    arr = np.array(hs, dtype=np.int64)
+    inserted = f.add_many(arr)
+    assert inserted == len(arr)  # sized generously: all must fit
+    assert bool(f.contains(arr).all())
+
+
+@settings(max_examples=60, deadline=None)
+@given(hashes, hashes)
+def test_cuckoo_delete_removes_only_deleted(hs, to_delete):
+    """After deleting a disjoint set, originals still test positive;
+    deleted-and-reinserted keys test positive again (deletability is
+    WHY the north rule asks for cuckoo as the fallback)."""
+    keep = np.array(sorted(set(hs) - set(to_delete)), dtype=np.int64)
+    dele = np.array(sorted(set(to_delete)), dtype=np.int64)
+    f = CuckooFilter(n_fp_buckets=2048)
+    if len(keep):
+        f.add_many(keep)
+    if len(dele):
+        f.add_many(dele)
+        f.delete(dele)
+    if len(keep):
+        assert bool(f.contains(keep).all())
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+)
+def test_canonicalize_agrees_with_urllib(path):
+    """The fused hot-path canonicalizer must agree with the stdlib
+    urljoin+urlsplit reference for arbitrary printable hrefs."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    from dotnetspider_spark.crawler.parse import _canonical_links
+
+    import pandas as pd
+
+    from html import escape
+
+    base = "http://Host1.Example/a/b/c.html?x=1#f"
+    # escape() so a path containing '"' or '&' still yields WELL-FORMED
+    # markup whose attribute VALUE is exactly `path` after the parser's
+    # entity unescape — raw quotes would truncate the attribute and test
+    # malformed-HTML recovery instead of canonicalization
+    html = f'<a href="{escape(path, quote=True)}">x</a>'
+    got = list(_canonical_links(pd.Series([html]), pd.Series([base]))[0])
+
+    raw = path
+    # the reference junk gates (Page.cs:121-127,202-222)
+    expect = []
+    if raw and not raw.startswith("#") and not raw.lower().startswith("javascript:"):
+        try:
+            s = urlsplit(urljoin(base, raw.strip()))
+            canon = urlunsplit(
+                (s.scheme.lower(), s.netloc.lower(), s.path or "/", s.query, "")
+            )
+            if len(canon) >= 6 and canon.startswith(("http://", "https://")):
+                expect = [canon]
+        except ValueError:
+            expect = []
+    assert got == expect
