@@ -1208,6 +1208,30 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_image_pair_screen(spark, sf_dir):
+    # LAION/DataComp-style image-caption pair curation gates (the
+    # model-free subset: resolution, aspect, caption length, alpha
+    # fraction, format) over a pair table derived deterministically from
+    # documents in the north-rule input shape — map-only codegen.
+    from dotnetspider_spark.operators.curation import image_caption_screen
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.md5(F.col("doc_id").cast("string")).alias("image_id"),
+        (8 + (F.col("doc_id") * 7) % 1024).cast("int").alias("w"),
+        (8 + (F.col("doc_id") * 13) % 1024).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("gif")
+        .alias("fmt"),
+        F.concat(
+            F.substring("text", 1, 80), F.lit(" id "),
+            F.col("doc_id").cast("string"),
+        ).alias("caption"),
+    )
+    return image_caption_screen(pairs)
+
+
 def q_semantic_dedup_keep(spark, sf_dir):
     # SemDeDup (Abbas et al. 2023) with centroids fixed to embeddings
     # 0..3 so the whole pipeline — argmax-cosine bucketing, intra-bucket
@@ -1289,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": q_docs_pii_scrub,
         "docs_normalize": q_docs_normalize,
         "semantic_dedup_keep": q_semantic_dedup_keep,
+        "image_pair_screen": q_image_pair_screen,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1775,6 +1800,42 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "image_pair_screen": """
+            WITH pairs AS (
+                SELECT md5(CAST(doc_id AS VARCHAR)) AS image_id,
+                       CAST(8 + (doc_id * 7) % 1024 AS INTEGER) AS w,
+                       CAST(8 + (doc_id * 13) % 1024 AS INTEGER) AS h,
+                       CASE WHEN doc_id % 3 = 0 THEN 'png'
+                            WHEN doc_id % 3 = 1 THEN 'jpeg'
+                            ELSE 'gif' END AS fmt,
+                       substr(text, 1, 80) || ' id ' || CAST(doc_id AS VARCHAR)
+                           AS caption
+                FROM documents),
+            scored AS (
+                SELECT image_id, w, h, fmt,
+                       CAST(greatest(w, h) AS DOUBLE)
+                           / CAST(least(w, h) AS DOUBLE) AS aspect,
+                       list_filter(string_split_regex(caption, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM pairs),
+            feat AS (
+                SELECT image_id, w, h, fmt, aspect,
+                       len(toks) AS n_toks,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(len(list_filter(toks,
+                               x -> regexp_full_match(x, '[A-Za-z]+')))
+                               AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS alpha_frac
+                FROM scored)
+            SELECT image_id, w, h, round(aspect, 6) AS aspect,
+                   CAST(n_toks AS INTEGER) AS n_caption_tokens,
+                   round(alpha_frac, 6) AS caption_alpha_frac,
+                   (least(w, h) >= 64 AND aspect <= 3.0
+                    AND n_toks >= 3 AND n_toks <= 128
+                    AND alpha_frac >= 0.5
+                    AND fmt IN ('png', 'jpeg')) AS keep
+            FROM feat
         """,
         "semantic_dedup_keep": f"""
             WITH RECURSIVE cents AS (

@@ -128,12 +128,19 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        df = fn(spark, sf)
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+        # best of 2 executions: on a shared-CPU box a single timing can
+        # catch a co-tenant burst and record noise as a regression; the
+        # min of two is a far tighter estimator of the engine's cost
+        # (same rationale as tools/bench_scaling.py's best-of-reps)
+        best = None
+        for _ in range(2):
+            df = fn(spark, sf)
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
+        total += best
 
     f_dt, f_scheduled = bench_frontier_iteration(spark)
     per_query["frontier_iteration"] = round(f_dt, 3)

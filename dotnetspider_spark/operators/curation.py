@@ -18,6 +18,10 @@ public algorithms:
   each embedding to its nearest centroid, find intra-bucket pairs with
   cosine ≥ threshold, cluster them (connected components), keep the
   minimum-id vector per cluster.
+- :func:`image_caption_screen` — the LAION/DataComp structural gates
+  for image–caption pairs (resolution, aspect ratio, caption length,
+  alphabetic fraction, format) as map-only column algebra over the
+  north-rule pair table shape.
 
 Scale notes (the 100 TB shapes):
 
@@ -127,6 +131,52 @@ def decontaminate(
             F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def image_caption_screen(
+    pairs: DataFrame,
+    min_side: int = 64,
+    max_aspect: float = 3.0,
+    min_caption_tokens: int = 3,
+    max_caption_tokens: int = 128,
+    min_alpha_frac: float = 0.5,
+    formats: tuple[str, ...] = ("png", "jpeg"),
+) -> DataFrame:
+    """LAION/DataComp-style image–caption pair curation filter.
+
+    Input is the north-rule pair table shape (``image_id, w, h, fmt,
+    caption``); output adds the audit columns and a ``keep`` verdict:
+    both sides ≥ ``min_side`` px, aspect ratio ≤ ``max_aspect``,
+    caption token count in range, alphabetic-token fraction ≥
+    ``min_alpha_frac``, format allowed. Pure map-only whole-stage
+    codegen — no Python, no shuffle — so it composes with the decode /
+    phash stages without adding an exchange. (The CLIP-score filter the
+    published pipelines add on top needs a model; the structural gates
+    here are the model-free subset.)"""
+    toks = F.filter(F.split(F.col("caption"), r"\s+"), lambda t: t != "")
+    n_toks = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    alpha_frac = F.when(n_toks > 0, alpha / n_toks).otherwise(F.lit(0.0))
+    aspect = (
+        F.greatest("w", "h").cast("double") / F.least("w", "h").cast("double")
+    )
+    keep = (
+        (F.least("w", "h") >= min_side)
+        & (aspect <= max_aspect)
+        & (n_toks >= min_caption_tokens)
+        & (n_toks <= max_caption_tokens)
+        & (alpha_frac >= min_alpha_frac)
+        & F.col("fmt").isin(*formats)
+    )
+    return pairs.select(
+        "image_id",
+        "w",
+        "h",
+        F.round(aspect, 6).alias("aspect"),
+        n_toks.cast("int").alias("n_caption_tokens"),
+        F.round(alpha_frac, 6).alias("caption_alpha_frac"),
+        keep.alias("keep"),
     )
 
 

@@ -107,6 +107,38 @@ def test_pii_and_normalize_are_map_only(spark):
         assert not re.search(r"\(\d+\) Exchange", plan), plan
 
 
+def test_image_caption_screen_gates(spark):
+    from dotnetspider_spark.operators.curation import image_caption_screen
+
+    rows = [
+        # image_id, w, h, fmt, caption
+        ("ok", 256, 256, "png", "a clear photo of a dog"),
+        ("tiny", 32, 256, "png", "a clear photo of a dog"),       # side < 64
+        ("panorama", 640, 64, "jpeg", "a clear photo of a dog"),  # aspect 10
+        ("shortcap", 256, 256, "jpeg", "dog photo"),              # 2 tokens
+        ("numeric", 256, 256, "png", "123 456 789 000"),          # alpha 0
+        ("gif", 256, 256, "gif", "a clear photo of a dog"),       # bad fmt
+    ]
+    df = spark.createDataFrame(rows, ["image_id", "w", "h", "fmt", "caption"])
+    got = {r.image_id: r.keep for r in image_caption_screen(df).collect()}
+    assert got == {
+        "ok": True, "tiny": False, "panorama": False,
+        "shortcap": False, "numeric": False, "gif": False,
+    }
+
+
+def test_image_caption_screen_is_map_only(spark):
+    from dotnetspider_spark.operators.curation import image_caption_screen
+
+    df = spark.range(10).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.lit(100).alias("w"), F.lit(100).alias("h"),
+        F.lit("png").alias("fmt"), F.lit("a b c d").alias("caption"),
+    )
+    plan = _plan(image_caption_screen(df))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
 def test_semantic_dedup_keeps_min_id_per_cluster(spark):
     # two exact-duplicate directions + one orthogonal singleton
     rows = [
