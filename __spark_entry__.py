@@ -1208,6 +1208,22 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_docs_line_dedup(spark, sf_dir):
+    # C4 corpus-level duplicate-line removal (Raffel et al. 2020): any
+    # line occurring >=3 times anywhere in the corpus is discarded from
+    # every doc. Multi-line docs are synthesized deterministically
+    # (replace ' a ' with newline — same left-to-right non-overlapping
+    # literal replace in both engines).
+    from dotnetspider_spark.operators.curation import remove_duplicate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    return remove_duplicate_lines(multi, min_occurrences=3)
+
+
 def q_image_pair_screen(spark, sf_dir):
     # LAION/DataComp-style image-caption pair curation gates (the
     # model-free subset: resolution, aspect, caption length, alpha
@@ -1314,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_normalize": q_docs_normalize,
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "image_pair_screen": q_image_pair_screen,
+        "docs_line_dedup": q_docs_line_dedup,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1800,6 +1817,34 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "docs_line_dedup": """
+            WITH d AS (
+                SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+                FROM documents),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+            pos AS (
+                SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+                FROM sp),
+            lines AS (SELECT doc_id, i AS pos, l[i] AS line FROM pos),
+            dup AS (
+                SELECT line FROM lines WHERE line <> ''
+                GROUP BY line HAVING count(*) >= 3),
+            kept AS (
+                SELECT doc_id, pos, line FROM lines
+                WHERE line NOT IN (SELECT line FROM dup)),
+            re AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(l) AS n_total FROM sp)
+            SELECT t.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+                   CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT)
+                       AS n_lines_removed
+            FROM tot t LEFT JOIN re r USING (doc_id)
         """,
         "image_pair_screen": """
             WITH pairs AS (

@@ -22,6 +22,8 @@ public algorithms:
   for image–caption pairs (resolution, aspect ratio, caption length,
   alphabetic fraction, format) as map-only column algebra over the
   north-rule pair table shape.
+- :func:`remove_duplicate_lines` — the C4 cleanup rule (Raffel et al.
+  2020): discard any line occurring ≥3 times anywhere in the corpus.
 
 Scale notes (the 100 TB shapes):
 
@@ -131,6 +133,63 @@ def decontaminate(
             F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
             (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4 cleanup rule,
+    Raffel et al. 2020: discard any line occurring ≥3 times in the
+    corpus — boilerplate nav/footer/cookie banners). Returns one row
+    per input doc: (id, clean_text, n_lines_kept, n_lines_removed),
+    document line order preserved.
+
+    Shape (two shuffles, the published C4 pipeline's own cost): line
+    counts aggregate with map-side partial agg keyed on the line;
+    the duplicate set (counts ≥ N — far smaller than the corpus) anti-
+    joins the exploded lines; reassembly groups by doc id carrying
+    (pos, line) only. At 10^10 docs key the count/anti-join stages on
+    ``xxhash64(line)`` instead of the raw line bytes to shrink the
+    exchange (the oracle-parity version here keys on the line itself).
+    Empty lines are kept verbatim (they are structure, not content)
+    and never counted as duplicates."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    dup = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_occurrences)
+        .select("line")
+    )
+    kept = lines.join(dup, "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_total")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        (F.col("n_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+            "n_lines_removed"
+        ),
     )
 
 

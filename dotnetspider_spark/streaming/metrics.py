@@ -124,10 +124,13 @@ def sessionize_hosts(events: DataFrame, gap_s: int = 30) -> DataFrame:
     query's rule); the closed session is emitted and the new event
     opens the next one. State per host is (start, last, count) — three
     longs regardless of event volume, the shape that survives 10^10
-    events. The still-open tail session is emitted only when the stream
-    ends (batch twin) or the state times out; closed-session rows are
-    identical between the batch and streaming runs, which is what the
-    test pins.
+    events. The still-open tail session stays in state (never emitted)
+    until a later same-host event closes it — a host's tail is, by
+    definition, a session that may still grow; a deployment that wants
+    tails flushed on idle would switch ``timeoutConf`` to
+    ``ProcessingTimeTimeout`` and emit on ``state.hasTimedOut``.
+    Closed-session rows are identical between the batch and streaming
+    runs, which is what the test pins.
     """
     import pandas as pd
 

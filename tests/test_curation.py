@@ -107,6 +107,47 @@ def test_pii_and_normalize_are_map_only(spark):
         assert not re.search(r"\(\d+\) Exchange", plan), plan
 
 
+def test_remove_duplicate_lines_c4_rule(spark):
+    from dotnetspider_spark.operators.curation import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\ncookie banner\nunique two"),
+            (2, "cookie banner\nmiddle\ncookie banner"),
+            (3, "cookie banner\n\nafter blank"),
+            (4, "all gone is not here"),
+        ],
+        ["doc_id", "text"],
+    )
+    # "cookie banner" appears 4 times corpus-wide (>=3) -> removed
+    # everywhere, including BOTH occurrences inside doc 2; blank lines
+    # are kept verbatim; order preserved
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_removed)
+        for r in remove_duplicate_lines(docs, min_occurrences=3).collect()
+    }
+    assert got == {
+        1: ("unique one\nunique two", 2, 1),
+        2: ("middle", 1, 2),
+        3: ("\nafter blank", 2, 1),
+        4: ("all gone is not here", 1, 0),
+    }
+
+
+def test_remove_duplicate_lines_fully_boilerplate_doc_survives_empty(spark):
+    from dotnetspider_spark.operators.curation import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "x\nx"), (2, "x"), (3, "y")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines_kept, r.n_lines_removed)
+        for r in remove_duplicate_lines(docs, min_occurrences=3).collect()
+    }
+    # doc 1 loses every line but still yields a row (empty text)
+    assert got == {1: ("", 0, 2), 2: ("", 0, 1), 3: ("y", 1, 0)}
+
+
 def test_image_caption_screen_gates(spark):
     from dotnetspider_spark.operators.curation import image_caption_screen
 
