@@ -1208,6 +1208,43 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_robots_parse(spark, sf_dir):
+    # robots.txt PARSER (functions/robots.py) oracle-checked: per-host
+    # robots documents are synthesized deterministically with a foreign
+    # googlebot group, a '*' group (disallow + allow + wildcard-allow
+    # that must be DROPPED + crawl-delay, plus a wildcard disallow that
+    # must be TRUNCATED on every 5th host), and an exact-agent
+    # 'dotnetspider' group on every 4th host that must override '*'.
+    # The oracle states the expected rule rows from the same arithmetic.
+    from dotnetspider_spark.functions.robots import robots_rules_table
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    a = (F.col("doc_id") % 7).cast("string")
+    delay = (F.col("doc_id") % 3).cast("string")
+    b = (F.col("doc_id") % 5).cast("string")
+    base = F.concat(
+        F.lit(
+            "# synthetic robots\nUser-agent: googlebot\n"
+            "Disallow: /google-only\n\nUser-agent: *\nDisallow: /p"
+        ),
+        a,
+        F.lit("\nAllow: /p"), a,
+        F.lit("/ok\nAllow: /w*\nCrawl-delay: "), delay,
+    )
+    wild = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("\nDisallow: /x*y$")
+    ).otherwise(F.lit(""))
+    ds = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("\n\nUser-agent: dotnetspider\nDisallow: /ds"), b),
+    ).otherwise(F.lit(""))
+    docs = d.select(
+        F.concat(F.lit("host"), F.col("doc_id").cast("string")).alias("host"),
+        F.concat(base, wild, ds).alias("robots_txt"),
+    )
+    return robots_rules_table(docs)
+
+
 def q_docs_line_dedup(spark, sf_dir):
     # C4 corpus-level duplicate-line removal (Raffel et al. 2020): any
     # line occurring >=3 times anywhere in the corpus is discarded from
@@ -1331,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": q_semantic_dedup_keep,
         "image_pair_screen": q_image_pair_screen,
         "docs_line_dedup": q_docs_line_dedup,
+        "robots_parse": q_robots_parse,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1817,6 +1855,28 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "robots_parse": """
+            WITH h AS (
+                SELECT 'host' || CAST(doc_id AS VARCHAR) AS host,
+                       CAST(doc_id % 7 AS VARCHAR) AS a,
+                       CAST(doc_id % 3 AS INTEGER) AS d,
+                       CAST(doc_id % 5 AS VARCHAR) AS b,
+                       doc_id % 4 = 0 AS has_ds,
+                       doc_id % 5 = 0 AS has_wild
+                FROM documents WHERE doc_id < 200)
+            SELECT host, '/ds' || b AS path_prefix, FALSE AS allow,
+                   CAST(NULL AS INTEGER) AS crawl_delay_ms
+            FROM h WHERE has_ds
+            UNION ALL
+            SELECT host, '/p' || a, FALSE, d * 1000
+            FROM h WHERE NOT has_ds
+            UNION ALL
+            SELECT host, '/p' || a || '/ok', TRUE, d * 1000
+            FROM h WHERE NOT has_ds
+            UNION ALL
+            SELECT host, '/x', FALSE, d * 1000
+            FROM h WHERE NOT has_ds AND has_wild
         """,
         "docs_line_dedup": """
             WITH d AS (
