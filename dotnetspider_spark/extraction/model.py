@@ -99,6 +99,14 @@ class Field:
     source: str | None = None
     attr: str | None = None
     value_option: str = "auto"
+    #: ExcelFormatter analog (ExcelFormatter.cs:18-46, ExcelEngine.cs):
+    #: the reference lets a field run an arbitrary formula over its
+    #: extracted value; the Spark-first equivalent is an arbitrary SQL
+    #: expression, applied AFTER extraction/formatters/cast and before
+    #: the NotNull gate. ``[value]`` refers to this field, and other
+    #: field names are in scope (resolved by Catalyst, codegen'd — no
+    #: per-row formula interpreter).
+    sql_formula: str | None = None
 
 
 @dataclass(frozen=True)
@@ -293,6 +301,7 @@ def extract(
         out = base.select(F.col(page_key).alias("__pk"), *cols)
     else:
         out = base.select(F.monotonically_increasing_id().alias("__pk"), *cols)
+    out = _apply_sql_formulas(out, model.fields)
     for f in model.fields:
         if f.not_null:
             out = out.filter(F.col(f.name).isNotNull())
@@ -311,6 +320,18 @@ def extract(
 def _sql_ident(name: str) -> str:
     assert _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name), name
     return name
+
+
+def _apply_sql_formulas(out: DataFrame, fields) -> DataFrame:
+    """Apply ``Field.sql_formula`` expressions (ExcelFormatter analog)
+    over the selected entity columns; ``[value]`` = the field itself."""
+    for f in fields:
+        if f.sql_formula:
+            out = out.withColumn(
+                f.name,
+                F.expr(f.sql_formula.replace("[value]", _sql_ident(f.name))),
+            )
+    return out
 
 
 @lru_cache(maxsize=None)
@@ -430,6 +451,7 @@ def extract_rows(
             raw_col = raw_col.cast(f.dtype)
         cols.append(raw_col.alias(f.name))
     out = ex.select(*keep_cols, *cols)
+    out = _apply_sql_formulas(out, model.fields)
     for f in model.fields:
         if f.not_null:
             out = out.filter(F.col(f.name).isNotNull())

@@ -142,6 +142,43 @@ def test_extract_rows_multi_node(spark, list_pages):
     assert all(r.cat == "phones" for r in out)  # env property column
 
 
+def test_field_sql_formula_excel_formatter_analog(spark, list_pages):
+    """ExcelFormatter analog (ExcelFormatter.cs:18-46): a per-field SQL
+    formula over the extracted value — [value] = the field itself, other
+    fields in scope — applied after extraction, before NotNull."""
+    model = EntityModel(
+        name="product",
+        selector="//li[@class='gl-item']/div[contains(@class,'j-sku-item')]",
+        fields=(
+            Field("sku", "xpath", "./@data-sku", dtype="bigint"),
+            Field(
+                "pname",
+                "xpath",
+                ".//div[@class='p-name']/a/em",
+                value_option="inner_text",
+                sql_formula="upper(substring([value], 1, 7))",
+            ),
+            Field(
+                "label",
+                "const",
+                "",
+                sql_formula="concat(pname, '#', cast(sku AS STRING))",
+            ),
+            Field(
+                "shop",
+                "xpath",
+                ".//div[@class='p-shop']/@data-shop_name",
+                sql_formula="coalesce([value], 'noshop')",
+                not_null=True,  # formula runs first -> no row is dropped
+            ),
+        ),
+    )
+    out = extract_rows(model, list_pages).collect()
+    assert [r.pname for r in out] == ["PRODUCT", "PRODUCT", "PRODUCT"]
+    assert [r.label for r in out] == ["PRODUCT#100", "PRODUCT#101", "PRODUCT#102"]
+    assert [r.shop for r in out] == ["shop0", "shop1", "noshop"]
+
+
 def test_extract_rows_take_and_notnull(spark, list_pages):
     # Take slices the NODE LIST before extraction (ModelExtractor.cs:52-55)
     head = EntityModel(
