@@ -1208,6 +1208,51 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_sitemap_parse(spark, sf_dir):
+    # sitemaps-protocol ingestion (sources/sitemap.py): per-host
+    # sitemap.xml synthesized deterministically — a urlset entry with
+    # lastmod/priority and whitespace-padded loc, a bare-loc entry, an
+    # entry WITHOUT loc (dropped), plus a sitemapindex child (kind=
+    # 'sitemap'). Map-only regexp block parse; the oracle re-parses the
+    # same XML with DuckDB regexes.
+    from dotnetspider_spark.sources.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    h = F.col("doc_id").cast("string")
+    day = F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>  http://host"), h, F.lit("/p/"), h,
+        F.lit("  </loc><lastmod>2024-01-"), day,
+        F.lit("</lastmod><priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>http://host"), h, F.lit("/q/"), h,
+        F.lit("</loc></url><url><lastmod>orphan</lastmod></url></urlset>"
+              "<sitemapindex><sitemap><loc>http://host"), h,
+        F.lit("/sitemap2.xml</loc></sitemap></sitemapindex>"),
+    )
+    docs = d.select(
+        F.concat(F.lit("host"), h).alias("host"), xml.alias("sitemap_xml")
+    )
+    return parse_sitemaps(docs)
+
+
+def q_revisit_schedule(spark, sf_dir):
+    # adaptive recrawl policy (operators/frontier.revisit_schedule):
+    # interval doubles per trailing no-change fetch, resets on change,
+    # clamped — per-URL windows + one aggregation, both url-keyed.
+    from dotnetspider_spark.operators.frontier import revisit_schedule
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(
+            F.lit("http://site/"), (F.col("user_id") % 50).cast("string")
+        ).alias("url"),
+        "ts",
+        (F.col("event_id") % 4).cast("string").alias("content_hash"),
+        F.col("event_id").alias("seq"),
+    )
+    return revisit_schedule(hist, seq_col="seq")
+
+
 def q_robots_parse(spark, sf_dir):
     # robots.txt PARSER (functions/robots.py) oracle-checked: per-host
     # robots documents are synthesized deterministically with a foreign
@@ -1369,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_screen": q_image_pair_screen,
         "docs_line_dedup": q_docs_line_dedup,
         "robots_parse": q_robots_parse,
+        "sitemap_parse": q_sitemap_parse,
+        "revisit_schedule": q_revisit_schedule,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1855,6 +1902,74 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "sitemap_parse": """
+            WITH d AS (
+                SELECT 'host' || CAST(doc_id AS VARCHAR) AS host,
+                       '<urlset><url><loc>  http://host' || CAST(doc_id AS VARCHAR)
+                       || '/p/' || CAST(doc_id AS VARCHAR)
+                       || '  </loc><lastmod>2024-01-'
+                       || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                       || '</lastmod><priority>0.'
+                       || CAST(doc_id % 10 AS VARCHAR)
+                       || '</priority></url><url><loc>http://host'
+                       || CAST(doc_id AS VARCHAR) || '/q/'
+                       || CAST(doc_id AS VARCHAR)
+                       || '</loc></url><url><lastmod>orphan</lastmod></url></urlset>'
+                       || '<sitemapindex><sitemap><loc>http://host'
+                       || CAST(doc_id AS VARCHAR)
+                       || '/sitemap2.xml</loc></sitemap></sitemapindex>' AS xml
+                FROM documents WHERE doc_id < 300),
+            blocks AS (
+                SELECT host, 'url' AS kind,
+                       unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+                           AS b
+                FROM d
+                UNION ALL
+                SELECT host, 'sitemap',
+                       unnest(regexp_extract_all(
+                           xml, '(?s)<sitemap>(.*?)</sitemap>', 1))
+                FROM d),
+            parsed AS (
+                SELECT host, kind,
+                       nullif(regexp_extract(
+                           b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '') AS url,
+                       nullif(regexp_extract(
+                           b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')
+                           AS lastmod,
+                       CAST(nullif(regexp_extract(
+                           b, '(?s)<priority>\\s*(.*?)\\s*</priority>', 1), '')
+                           AS DOUBLE) AS priority
+                FROM blocks)
+            SELECT host, kind, url, lastmod, priority
+            FROM parsed WHERE url IS NOT NULL
+        """,
+        "revisit_schedule": """
+            WITH h AS (
+                SELECT 'http://site/' || CAST(user_id % 50 AS VARCHAR) AS url,
+                       ts, CAST(event_id % 4 AS VARCHAR) AS content_hash,
+                       event_id AS seq
+                FROM events),
+            f AS (
+                SELECT url,
+                       CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                            THEN lag(content_hash) OVER w <> content_hash
+                       END AS changed,
+                       row_number() OVER (PARTITION BY url
+                           ORDER BY ts DESC, seq DESC) AS rn_desc
+                FROM h
+                WINDOW w AS (PARTITION BY url ORDER BY ts ASC, seq ASC)),
+            a AS (
+                SELECT url, count(*) AS n_fetches,
+                       sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+                       coalesce(min(CASE WHEN changed THEN rn_desc END) - 1,
+                                count(*) - 1) AS streak
+                FROM f GROUP BY url)
+            SELECT url, n_fetches, CAST(n_changes AS BIGINT) AS n_changes,
+                   CAST(streak AS BIGINT) AS unchanged_streak,
+                   CAST(least(604800.0, 3600.0 * pow(2.0, streak)) AS BIGINT)
+                       AS next_interval_s
+            FROM a
         """,
         "robots_parse": """
             WITH h AS (

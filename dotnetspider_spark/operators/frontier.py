@@ -189,3 +189,61 @@ def eligible(
             .drop("__denied")
         )
     return df
+
+
+def revisit_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    seq_col: str | None = None,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 7 * 86400,
+) -> DataFrame:
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina's change-driven
+    revisit policy, public): per URL, the next fetch interval doubles
+    for every consecutive fetch that observed NO content change and
+    resets to ``min_interval_s`` on a change, clamped to
+    [min_interval_s, max_interval_s]. The reference crawls once
+    (frontier rows are consumed); a continuous-crawl deployment feeds
+    this table back in as seed priorities.
+
+    Input: fetch history rows (url, ts, content_hash[, seq]); ``seq``
+    breaks equal-timestamp ties deterministically. Output one row per
+    URL: (url, n_fetches, n_changes, unchanged_streak, next_interval_s).
+
+    Shape: one url-keyed window (change flags + reverse row number) and
+    one url-keyed aggregation — both partition-parallel on the url key;
+    no global window, nothing driver-side. unchanged_streak counts the
+    TRAILING no-change observations: min reverse-rank among changed
+    rows - 1, or n_fetches - 1 when the content never changed (the
+    first fetch has no baseline and is not an observation).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(seq_col).asc()] if seq_col else []
+    )
+    w = Window.partitionBy(url_col).orderBy(*order)
+    w_desc = Window.partitionBy(url_col).orderBy(
+        *[c.desc() for c in
+          ([F.col(ts_col)] + ([F.col(seq_col)] if seq_col else []))]
+    )
+    prev = F.lag(F.col(hash_col)).over(w)
+    flags = history.select(
+        F.col(url_col).alias("url"),
+        F.when(prev.isNotNull(), prev != F.col(hash_col)).alias("changed"),
+        F.row_number().over(w_desc).alias("rn_desc"),
+    )
+    streak = F.coalesce(
+        F.min(F.when(F.col("changed"), F.col("rn_desc"))) - 1,
+        F.count("*") - 1,
+    )
+    interval = F.least(
+        F.lit(float(max_interval_s)),
+        F.lit(float(min_interval_s)) * F.pow(F.lit(2.0), streak),
+    )
+    return flags.groupBy("url").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("n_changes"),
+        streak.cast("bigint").alias("unchanged_streak"),
+        interval.cast("bigint").alias("next_interval_s"),
+    )

@@ -168,3 +168,59 @@ def test_formatter_reference_cases(spark):
     assert by_s[""].disp == ""
     # StringFormat (FormatterTest.cs:124-160)
     assert r.fmt == "http://a"
+
+
+def test_parse_sitemaps_entries_and_index(spark):
+    from dotnetspider_spark.sources.sitemap import parse_sitemaps
+
+    xml = (
+        "<urlset>"
+        "<url><loc> http://a/1 </loc><lastmod>2024-02-03</lastmod>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>http://a/2</loc></url>"
+        "<url><lastmod>no-loc-dropped</lastmod></url>"
+        "</urlset>"
+        "<sitemapindex><sitemap><loc>http://a/more.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame([("a", xml)], ["host", "sitemap_xml"])
+    rows = {
+        (r.kind, r.url): (r.lastmod, r.priority)
+        for r in parse_sitemaps(df).collect()
+    }
+    assert rows == {
+        ("url", "http://a/1"): ("2024-02-03", 0.8),
+        ("url", "http://a/2"): (None, None),
+        ("sitemap", "http://a/more.xml"): (None, None),
+    }
+
+
+def test_revisit_schedule_streak_doubling_and_clamp(spark):
+    from datetime import datetime as dt
+
+    from dotnetspider_spark.operators.frontier import revisit_schedule
+
+    t = lambda m: dt(2024, 1, 1, 0, m)
+    rows = [
+        # steady: h changes at fetch 2, then 3 unchanged -> streak 3,
+        # interval 3600 * 2^3 = 28800
+        ("u1", t(0), "A", 0), ("u1", t(1), "B", 1), ("u1", t(2), "B", 2),
+        ("u1", t(3), "B", 3), ("u1", t(4), "B", 4),
+        # never changed, 12 fetches -> streak 11, clamped to 604800
+        *[("u2", t(m), "X", m) for m in range(12)],
+        # single fetch: no observations -> streak 0, interval 3600
+        ("u3", t(0), "Z", 0),
+        # change on the LAST fetch -> streak 0, interval resets to 3600
+        ("u4", t(0), "A", 0), ("u4", t(1), "A", 1), ("u4", t(2), "B", 2),
+    ]
+    hist = spark.createDataFrame(rows, ["url", "ts", "content_hash", "seq"])
+    got = {
+        r.url: (r.n_fetches, r.n_changes, r.unchanged_streak, r.next_interval_s)
+        for r in revisit_schedule(hist, seq_col="seq").collect()
+    }
+    assert got == {
+        "u1": (5, 1, 3, 28800),
+        "u2": (12, 0, 11, 604800),
+        "u3": (1, 0, 0, 3600),
+        "u4": (3, 1, 0, 3600),
+    }
