@@ -498,3 +498,63 @@ def test_download_files_without_content_type_fails_loudly(spark):
             spark, corpus, seeds,
             CrawlConfig(dfs=True, max_depth=1, download_files=True),
         )
+
+
+def test_warc_split_pure(tmp_path):
+    """Record splitter: response records kept, request records skipped,
+    bodies sliced by Content-Length (payload containing 'WARC/1.0' must
+    not confuse the walk), gzip transparently handled."""
+    import gzip
+
+    from dotnetspider_spark.sources.warc import build_warc, split_warc_records
+
+    body0 = b"<html>page WARC/1.0 inside</html>"
+    raw = build_warc(
+        [
+            {"url": "http://a/1", "date": "2024-01-01T00:00:00Z",
+             "status": 200, "content_type": "text/html", "body": body0},
+            {"url": "http://a/2", "date": "2024-01-01T00:00:01Z",
+             "status": 404, "content_type": "text/plain", "body": b"gone"},
+        ]
+    )
+    # splice in a non-response record between the two
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://a/2\r\n"
+        b"Content-Length: 4\r\n\r\nGETx\r\n\r\n"
+    )
+    first_end = raw.find(b"\r\n\r\n", raw.find(b"HTTP/1.1 200")) + 4 + len(body0) + 4
+    raw = raw[:first_end] + req + raw[first_end:]
+
+    rows = split_warc_records(raw, "f.warc")
+    assert [(r["url"], r["http_status"], r["body"]) for r in rows] == [
+        ("http://a/1", 200, body0),
+        ("http://a/2", 404, b"gone"),
+    ]
+    assert rows[0]["http_content_type"] == "text/html"
+    # gzip path (same records; warc_path reflects the .gz file)
+    gz = gzip.compress(raw)
+    gz_rows = split_warc_records(gz, "f.warc.gz")
+    strip = lambda rs: [{k: v for k, v in r.items() if k != "warc_path"} for r in rs]
+    assert strip(gz_rows) == strip(rows)
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    from dotnetspider_spark.sources.warc import build_warc, read_warc
+
+    for i in range(2):
+        raw = build_warc(
+            [
+                {"url": f"http://h{i}/p/{j}", "date": "2024-01-01T00:00:00Z",
+                 "status": 200 if j else 500, "content_type": "text/html",
+                 "body": f"<html>{i}-{j}</html>".encode()}
+                for j in range(3)
+            ]
+        )
+        (tmp_path / f"part{i}.warc").write_bytes(raw)
+    df = read_warc(spark, f"{tmp_path}/*.warc")
+    rows = df.collect()
+    assert len(rows) == 6
+    got = {(r.url, r.http_status, bytes(r.body).decode()) for r in rows}
+    assert ("http://h1/p/2", 200, "<html>1-2</html>") in got
+    assert ("http://h0/p/0", 500, "<html>0-0</html>") in got
+    assert all(r.record_content_type == "application/http;msgtype=response" for r in rows)
