@@ -1208,6 +1208,38 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    # int8 scalar quantization for embedding storage (ann.quantize_int8)
+    # — scale + codes per vector, pure map-only column algebra; the
+    # oracle recomputes the same rounding in SQL list transforms.
+    from dotnetspider_spark.operators.ann import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    q = quantize_int8(e)
+    return q.select("vec_id", F.round("scale", 9).alias("scale"), "codes")
+
+
+def q_corpus_stats(spark, sf_dir):
+    # corpus composition report (the rollup every training-data pipeline
+    # publishes): per (source, lang) doc counts, whitespace-token
+    # volume, char stats incl. exact interpolated median. Pure partial-
+    # agg groupBy except the median (median needs the group's values;
+    # group cardinality is tiny — sources × langs).
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    return (
+        d.select("source", "lang", F.col("n_chars"), toks.alias("n_toks"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.median("n_chars"), 6).alias("med_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def q_sitemap_parse(spark, sf_dir):
     # sitemaps-protocol ingestion (sources/sitemap.py): per-host
     # sitemap.xml synthesized deterministically — a urlset entry with
@@ -1416,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_parse": q_sitemap_parse,
         "revisit_schedule": q_revisit_schedule,
+        "corpus_stats": q_corpus_stats,
+        "embedding_quantize": q_embedding_quantize,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1902,6 +1936,35 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "embedding_quantize": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                FROM embeddings WHERE vec_id < 300),
+            s AS (
+                SELECT vec_id, x,
+                       CASE WHEN list_max(list_transform(x, e -> abs(e))) > 0
+                            THEN list_max(list_transform(x, e -> abs(e)))
+                                 / 127.0
+                            ELSE 1.0 END AS scale
+                FROM v)
+            SELECT vec_id, round(scale, 9) AS scale,
+                   list_transform(x, e -> CAST(round(e / scale) AS INTEGER))
+                       AS codes
+            FROM s
+        """,
+        "corpus_stats": """
+            WITH t AS (
+                SELECT source, lang, n_chars,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS n_toks
+                FROM documents)
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 6) AS avg_chars,
+                   round(median(n_chars), 6) AS med_chars,
+                   max(n_chars) AS max_chars
+            FROM t GROUP BY source, lang
         """,
         "sitemap_parse": """
             WITH d AS (

@@ -297,3 +297,35 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the standard
+    ANN-at-rest compression, e.g. faiss SQ8): scale = max|x| / 127,
+    codes = round(x / scale) — 4x smaller than float32 on disk, and the
+    bucket-join candidate stages can ship codes instead of floats
+    (dequantize only for the final exact re-rank). Map-only column
+    algebra: zero Python, zero shuffle. All-zero vectors take scale=1
+    so codes stay all-zero instead of dividing by zero.
+
+    Returns (id, scale, codes array<int>); reconstruction error per
+    component is bounded by scale/2 (pinned in tests)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return embeddings.select(
+        F.col(id_col), scale.alias("scale"), codes.alias("codes")
+    )
+
+
+def dequantize_int8(quantized: DataFrame, out_col: str = "vec") -> DataFrame:
+    """Inverse of :func:`quantize_int8`: vec[i] = codes[i] * scale."""
+    s = F.col("scale")
+    return quantized.withColumn(
+        out_col, F.transform(F.col("codes"), lambda c: c.cast("double") * s)
+    )

@@ -173,3 +173,35 @@ def test_ivf_recall_on_clustered_data(spark):
     truth = {(r.q_vec_id, r.vec_id) for r in _brute_topk(spark, df, 5, 10).collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    """SQ8 reconstruction error per component <= scale/2; cosine of
+    dequantized vs original >= 0.999 on smooth vectors; all-zero
+    vectors stay zero (scale=1, no divide-by-zero)."""
+    import math
+
+    from dotnetspider_spark.operators.ann import dequantize_int8, quantize_int8
+
+    rows = [
+        (0, [0.5, -1.5, 3.0, 0.25]),
+        (1, [127.0, -127.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: (r.scale, r.codes, r.vec)
+        for r in dequantize_int8(quantize_int8(e)).collect()
+    }
+    orig = dict(rows)
+    for vid, (scale, codes, vec) in out.items():
+        assert all(-127 <= c <= 127 for c in codes), codes
+        for a, b in zip(orig[vid], vec):
+            assert abs(a - b) <= scale / 2 + 1e-12
+    # zero vector: scale 1, codes all zero
+    assert out[2][0] == 1.0 and out[2][1] == [0, 0, 0, 0]
+    # cosine fidelity on a non-trivial vector
+    a, b = orig[0], out[0][2]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+    assert dot / (na * nb) > 0.999
