@@ -1208,6 +1208,64 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_curation_pipeline(spark, sf_dir):
+    # END-TO-END curation flagship: normalize -> exact dedup (keep min
+    # id per md5 of normalized text) -> MinHash-band near-dup clustering
+    # keep-canonical -> benchmark decontamination gate. Every stage is
+    # the engine's real operator; the oracle replays the identical
+    # composition in one SQL statement (recursive-CTE closure for the
+    # clustering stage). Returns the surviving (doc_id, n_chars).
+    from dotnetspider_spark.operators.curation import (
+        decontaminate,
+        normalize_text,
+    )
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+    from dotnetspider_spark.operators.textdedup import (
+        minhash_band_pairs,
+        minhash_signature,
+    )
+
+    d_all = _t(spark, sf_dir, "documents")
+    d0 = d_all.filter(F.col("doc_id") < 150)
+    normed = d0.select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    keepers = (
+        normed.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = normed.join(keepers, "doc_id")
+    sig = minhash_signature(exact, "doc_id", "text", k=4)
+    pairs = minhash_band_pairs(sig, "doc_id", k=4, rows_per_band=2)
+    # exact token-set Jaccard VERIFY (banding alone has false positives
+    # on this tiny-vocab corpus and would collapse everything)
+    toks = exact.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", r"\s+"), lambda w: w != "")
+        ).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    verified = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(F.round(jac, 6) >= 0.7)
+        .select("id_a", "id_b")
+    )
+    survivors = dedup_keep_canonical(exact, verified)
+    bench = d_all.filter(F.col("doc_id") % 97 == 0).select(
+        normalize_text(F.col("text")).alias("text")
+    )
+    flags = decontaminate(survivors, bench, n=3)
+    clean = flags.filter(~F.col("contaminated")).select("doc_id")
+    return survivors.join(clean, "doc_id").join(
+        d0.select("doc_id", "n_chars"), "doc_id"
+    ).select("doc_id", "n_chars")
+
+
 def q_embedding_quantize(spark, sf_dir):
     # int8 scalar quantization for embedding storage (ann.quantize_int8)
     # — scale + codes per vector, pure map-only column algebra; the
@@ -1450,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule": q_revisit_schedule,
         "corpus_stats": q_corpus_stats,
         "embedding_quantize": q_embedding_quantize,
+        "curation_pipeline": q_curation_pipeline,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1936,6 +1995,95 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "curation_pipeline": """
+            WITH RECURSIVE d0 AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t,
+                       n_chars
+                FROM documents WHERE doc_id < 150),
+            fp AS (SELECT doc_id, t, md5(t) AS f FROM d0),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+            exact AS (SELECT fp.doc_id, fp.t FROM fp JOIN keepers USING (doc_id)),
+            tok AS (
+                SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS token
+                FROM exact),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM tok WHERE token <> '' GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS band_key
+                FROM sig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) FROM sig),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            w AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(t, '\\s+'), x -> x <> ''))
+                           AS toks
+                FROM exact),
+            verified AS (
+                SELECT id_a, id_b
+                FROM pairs p
+                JOIN w wa ON wa.doc_id = p.id_a
+                JOIN w wb ON wb.doc_id = p.id_b
+                WHERE round(CAST(len(list_intersect(wa.toks, wb.toks))
+                                 AS DOUBLE)
+                            / len(list_distinct(wa.toks || wb.toks)), 6)
+                      >= 0.7),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM verified
+                UNION SELECT id_b, id_a FROM verified),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a),
+            surv AS (
+                SELECT doc_id, t FROM exact
+                WHERE doc_id NOT IN
+                      (SELECT id FROM lab WHERE id <> component)),
+            benchd AS (
+                SELECT trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+                FROM documents WHERE doc_id % 97 = 0),
+            btoks AS (
+                SELECT list_filter(string_split_regex(t, '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM benchd),
+            bpos AS (
+                SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i
+                FROM btoks WHERE len(tk) >= 3),
+            bgrams AS (
+                SELECT DISTINCT array_to_string(tk[i:i+2], ' ') AS gram
+                FROM bpos),
+            stoks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM surv),
+            spos AS (
+                SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+                FROM stoks WHERE len(tk) >= 3),
+            sgrams AS (
+                SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM spos),
+            contaminated AS (
+                SELECT DISTINCT doc_id FROM sgrams JOIN bgrams USING (gram))
+            SELECT s.doc_id, d.n_chars
+            FROM surv s JOIN d0 d USING (doc_id)
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "embedding_quantize": """
             WITH v AS (
