@@ -1208,6 +1208,25 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_pagerank_2iter(spark, sf_dir):
+    # PageRank over a deterministic crawl-graph slice (graph.pagerank,
+    # dangling-mass formulation) — the oracle unrolls the same two
+    # power iterations in SQL.
+    from dotnetspider_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2000)
+        & ((F.col("user_id") + F.col("event_id")) % 7 == 0)
+    )
+    edges = ev.select(
+        F.concat(F.lit("n"), (F.col("user_id") % 30).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("event_id") % 30).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=2).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -1509,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "embedding_quantize": q_embedding_quantize,
         "curation_pipeline": q_curation_pipeline,
+        "pagerank_2iter": q_pagerank_2iter,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -1995,6 +2015,50 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "pagerank_2iter": """
+            WITH e AS (
+                SELECT DISTINCT
+                       'n' || CAST(user_id % 30 AS VARCHAR) AS src,
+                       'n' || CAST(event_id % 30 AS VARCHAR) AS dst
+                FROM events
+                WHERE event_id < 2000 AND (user_id + event_id) % 7 = 0
+                  AND user_id % 30 <> event_id % 30),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+            dang0 AS (
+                SELECT coalesce(sum(r.rank), 0) AS dang
+                FROM r0 r LEFT JOIN deg ON r.id = deg.src
+                WHERE deg.src IS NULL),
+            c1 AS (
+                SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS contrib
+                FROM e JOIN r0 r ON e.src = r.id
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            r1 AS (
+                SELECT n.id,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (SELECT dang FROM dang0) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(c1.contrib, 0) AS rank
+                FROM nodes n LEFT JOIN c1 USING (id)),
+            dang1 AS (
+                SELECT coalesce(sum(r.rank), 0) AS dang
+                FROM r1 r LEFT JOIN deg ON r.id = deg.src
+                WHERE deg.src IS NULL),
+            c2 AS (
+                SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS contrib
+                FROM e JOIN r1 r ON e.src = r.id
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            r2 AS (
+                SELECT n.id,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (SELECT dang FROM dang1) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(c2.contrib, 0) AS rank
+                FROM nodes n LEFT JOIN c2 USING (id))
+            SELECT id, round(rank, 6) AS rank FROM r2
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -140,3 +140,75 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """PageRank power iteration over the crawl link graph (Page & Brin
+    1998) — the classic frontier-prioritization signal (feed the scores
+    into ``select_fetch_batch(priority_first=True)``).
+
+    Standard formulation with dangling-mass redistribution: every node
+    starts at 1/N; each iteration
+    ``rank(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/out(u) + dangling/N)``
+    where ``dangling`` is the total rank of nodes with no out-links.
+
+    Scale shape: per iteration one join keyed on ``src`` (contribs) and
+    one aggregation keyed on ``dst`` — both partition-parallel on node
+    ids; the dangling mass is a single scalar aggregate. State is
+    parquet-round-tripped between iterations (the Spark-4 checkpoint
+    stats-compounding hazard the CC operator documents). Returns
+    (id, rank) over all nodes appearing as src or dst.
+    """
+    import tempfile
+
+    spark = edges.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="spark-pr-state-")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e.write.mode("overwrite").parquet(f"{root}/edges")
+    e = spark.read.parquet(f"{root}/edges")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes.write.mode("overwrite").parquet(f"{root}/nodes")
+    nodes = spark.read.parquet(f"{root}/nodes")
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg.write.mode("overwrite").parquet(f"{root}/deg")
+    deg = spark.read.parquet(f"{root}/deg")
+
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for it in range(1, n_iter + 1):
+        with_deg = ranks.join(
+            deg, ranks["id"] == deg["src"], "left"
+        ).select("id", "rank", "out_deg")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("out_deg").isNotNull()),
+                   e["src"] == F.col("id"))
+            .select(F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base)
+             + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+        ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
+        ranks = spark.read.parquet(f"{root}/iter={it}")
+    return ranks

@@ -74,3 +74,32 @@ def test_dedup_keep_canonical(spark):
         r.doc_id for r in dedup_keep_canonical(docs, pairs).collect()
     )
     assert kept == [0, 1, 4, 6, 7]
+
+
+def test_pagerank_hand_computed_and_invariants(spark):
+    """3-node chain with a dangling sink: ranks match a hand-run of the
+    same formula; total mass sums to 1 every run; more in-links => more
+    rank."""
+    from dotnetspider_spark.operators.graph import pagerank
+
+    # A -> B, A -> C, B -> C ; C dangles
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], ["src", "dst"]
+    )
+    got = {r.id: r.rank for r in pagerank(edges, n_iter=3, damping=0.85).collect()}
+
+    # reference computation (pure python, same formula)
+    ranks = {x: 1 / 3 for x in "ABC"}
+    out = {"A": ["B", "C"], "B": ["C"]}
+    for _ in range(3):
+        dang = sum(v for k, v in ranks.items() if k not in out)
+        contrib = {x: 0.0 for x in "ABC"}
+        for u, targets in out.items():
+            for v in targets:
+                contrib[v] += ranks[u] / len(targets)
+        base = 0.15 / 3 + 0.85 * dang / 3
+        ranks = {x: base + 0.85 * contrib[x] for x in "ABC"}
+    for x in "ABC":
+        assert abs(got[x] - ranks[x]) < 1e-12, (x, got[x], ranks[x])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got["C"] > got["B"] > got["A"]
