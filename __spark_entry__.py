@@ -1208,6 +1208,30 @@ def q_docs_normalize(spark, sf_dir):
     return d.select("doc_id", normalize_text(raw).alias("norm"))
 
 
+def q_docs_stratified_sample(spark, sf_dir):
+    # language-rebalancing sample (curation.stratified_sample): keep
+    # 100% fr / 50% de / 10% en / drop other langs, via the portable
+    # 60-bit hash so the subset is identical across runs and engines;
+    # also normalizes URLs by stripping tracking params to show the two
+    # policy passes compose.
+    from dotnetspider_spark.functions.urlops import strip_tracking_params
+    from dotnetspider_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        d, "doc_id", "lang", {"fr": 1.0, "de": 0.5, "en": 0.1}
+    )
+    url = F.concat(
+        F.lit("http://ex.com/d/"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_source=feed&gclid=g"), F.col("doc_id").cast("string"),
+        F.lit("&page=2"),
+    )
+    return sampled.select(
+        "doc_id", "lang", strip_tracking_params(url).alias("clean_url")
+    )
+
+
 def q_pagerank_2iter(spark, sf_dir):
     # PageRank over a deterministic crawl-graph slice (graph.pagerank,
     # dangling-mass formulation) — the oracle unrolls the same two
@@ -1529,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "curation_pipeline": q_curation_pipeline,
         "pagerank_2iter": q_pagerank_2iter,
+        "docs_stratified_sample": q_docs_stratified_sample,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2015,6 +2040,25 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "docs_stratified_sample": """
+            WITH h AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5('sample|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 AS hv,
+                       CASE lang WHEN 'fr' THEN 1.0 WHEN 'de' THEN 0.5
+                                 WHEN 'en' THEN 0.1 END AS f
+                FROM documents),
+            s AS (
+                SELECT doc_id, lang FROM h
+                WHERE f IS NOT NULL
+                  AND hv < CAST(f * 1000000 AS BIGINT))
+            SELECT doc_id, lang,
+                   'http://ex.com/d/' || CAST(doc_id AS VARCHAR)
+                   || '?id=' || CAST(doc_id AS VARCHAR) || '&page=2'
+                       AS clean_url
+            FROM s
         """,
         "pagerank_2iter": """
             WITH e AS (

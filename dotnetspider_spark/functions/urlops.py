@@ -141,3 +141,34 @@ def next_page_url(url: Column, pagination_str: str, interval: int = 1) -> Column
         F.lit(pagination_str.split("*")[1] if "*" in pagination_str else ""),
     )
     return F.when(cur.isNotNull(), F.replace(url, old, new)).otherwise(F.lit(None))
+
+
+#: tracking/click-id query parameters stripped by URL normalization —
+#: the standard public blocklist (utm_* campaign params, Google/Facebook/
+#: Microsoft/Mailchimp click ids)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid)="
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove tracking query parameters (utm_*, gclid, fbclid, …) so
+    otherwise-identical URLs dedup together — a standard crawl
+    normalization the RFC 3986 canonicalizer deliberately does not do
+    (it must preserve semantics; this is a policy pass on top).
+
+    Pure JVM column algebra: split off the query, drop blocklisted
+    k=v pairs, rejoin preserving the order of the survivors, drop the
+    '?' entirely when nothing survives. Fragments are assumed already
+    stripped (CleanPound runs first in the canonicalize chain)."""
+    # F.get (not getItem): a URL with no '?' splits to 1 element and
+    # ANSI mode makes [1] an ArrayIndexOutOfBounds error; get() is NULL
+    base = F.get(F.split(url, r"\?", 2), 0)
+    query = F.get(F.split(url, r"\?", 2), 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.when(query.isNull(), url).otherwise(
+        F.when(F.size(kept) == 0, base).otherwise(
+            F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )

@@ -24,6 +24,10 @@ public algorithms:
   north-rule pair table shape.
 - :func:`remove_duplicate_lines` — the C4 cleanup rule (Raffel et al.
   2020): discard any line occurring ≥3 times anywhere in the corpus.
+- :func:`deterministic_sample` / :func:`stratified_sample` — hash-based
+  reproducible sampling (uniform / per-stratum, e.g. language
+  rebalancing): the sample is a function of the key, identical across
+  runs, engines and partitionings.
 
 Scale notes (the 100 TB shapes):
 
@@ -287,3 +291,52 @@ def semantic_dedup(
         .select("id_a", "id_b")
     )
     return dedup_keep_canonical(embeddings, pairs, id_col=id_col)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Hash-based deterministic sampling: keep a row iff
+    ``portable_hash(salt|key) % 1e6 < fraction * 1e6``. Unlike
+    ``DataFrame.sample`` this is reproducible across runs, engines and
+    partitionings (the property corpus-release pipelines need: the
+    sample is a FUNCTION of the key, so reruns and downstream joins see
+    the same subset), and a different ``salt`` draws an independent
+    sample. Map-only; the md5-based 60-bit hash is the engine's
+    portable hash (textdedup._hash64), so the sample is DuckDB-
+    verifiable."""
+    from .textdedup import _hash64
+
+    h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    return df.filter(F.pmod(h, F.lit(1_000_000)) < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 10% of English). ``fractions``
+    maps stratum value -> keep fraction; strata absent from the map are
+    DROPPED (explicit allowlist). The fractions table broadcasts; the
+    hash gate is the same portable function as
+    :func:`deterministic_sample`."""
+    from .textdedup import _hash64
+
+    spark = df.sparkSession
+    fr = spark.createDataFrame(
+        [(k, float(v)) for k, v in fractions.items()],
+        f"{strata_col} string, __fraction double",
+    )
+    h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    return (
+        df.join(F.broadcast(fr), strata_col)
+        .filter(
+            F.pmod(h, F.lit(1_000_000))
+            < (F.col("__fraction") * 1_000_000).cast("long")
+        )
+        .drop("__fraction")
+    )

@@ -207,3 +207,46 @@ def test_semantic_dedup_same_direction_across_buckets_survives(spark):
         r.vec_id for r in semantic_dedup(e, cents, threshold=0.0).collect()
     )
     assert kept == [0, 1]
+
+
+def test_strip_tracking_params(spark):
+    from dotnetspider_spark.functions.urlops import strip_tracking_params
+
+    cases = [
+        ("http://a/p?utm_source=x&id=1&fbclid=z", "http://a/p?id=1"),
+        ("http://a/p?utm_campaign=c", "http://a/p"),       # all stripped -> no '?'
+        ("http://a/p?id=1&page=2", "http://a/p?id=1&page=2"),  # untouched
+        ("http://a/p", "http://a/p"),                       # no query at all
+        ("http://a/p?gclid=1&msclkid=2&mc_eid=3", "http://a/p"),
+        ("http://a/p?xutm_source=keep", "http://a/p?xutm_source=keep"),  # prefix anchored
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.o for r in df.select(strip_tracking_params(F.col("u")).alias("o")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_deterministic_sample_is_reproducible_and_fraction_accurate(spark):
+    from dotnetspider_spark.operators.curation import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    assert a == b                      # same key set every run
+    assert abs(len(a) / 10_000 - 0.2) < 0.02
+    # different salt -> an (approximately) independent draw
+    c = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2, salt="v2").collect()}
+    assert c != a
+    # nested property: fraction 0.1 of the same salt is a subset of 0.2
+    d = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.1).collect()}
+    assert d < a
+
+    strat = df.withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("xx")
+    )
+    s = stratified_sample(strat, "doc_id", "lang", {"en": 0.5})
+    rows = s.collect()
+    assert all(r.lang == "en" for r in rows)   # 'xx' absent from map -> dropped
+    assert abs(len(rows) / 5_000 - 0.5) < 0.03
