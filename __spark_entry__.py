@@ -1481,6 +1481,58 @@ def q_semantic_dedup_keep(spark, sf_dir):
     return survivors.select("vec_id", "label")
 
 
+def q_docs_substring_dup(spark, sf_dir):
+    # exact-substring dedup candidates (Lee et al. 2021) via winnowing
+    # fingerprints (Schleimer et al. 2003): doc pairs sharing an exact
+    # substring of >= k+w-1 = 37 chars, guaranteed recall at any offset
+    # (textdedup.exact_substring_pairs). Only 60-bit fingerprints ride
+    # the self-join; the boilerplate cap bounds skew.
+    from dotnetspider_spark.operators.textdedup import exact_substring_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_pairs(d, k=30, w=8, max_window_freq=20)
+
+
+def q_docs_lm_score(spark, sf_dir):
+    # CCNet-style LM quality bucketing (textquality.unigram_lm_score):
+    # per-doc mean negative log-likelihood under the corpus's own
+    # unigram model, bucketed head/middle/tail at fixed cutoffs.
+    from dotnetspider_spark.operators.textquality import unigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_lm_score(d, head_nll=3.40, tail_nll=3.50)
+
+
+def q_url_blocklist_filter(spark, sf_dir):
+    # RefinedWeb-style URL filtering (curation.url_quality_filter):
+    # hard domain blocklist + soft flagged-word scoring, both compiled
+    # to map-only column algebra. URLs synthesized deterministically so
+    # the oracle can restate them.
+    from dotnetspider_spark.operators.curation import url_quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    host = F.when(F.col("doc_id") % 11 == 0, F.lit("spam.example")).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".example"))
+    )
+    word = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("casino"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("top10-free-download"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("poker-webcam"))
+        .otherwise(F.lit("news"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit("/p/"), sid, F.lit("/"), word,
+            F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    return url_quality_filter(
+        urls, blocked_hosts=("spam.example",), cutoff=1.0
+    ).select("doc_id", "url", "host", "url_score", "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -1554,6 +1606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "pagerank_2iter": q_pagerank_2iter,
         "docs_stratified_sample": q_docs_stratified_sample,
+        "docs_substring_dup": q_docs_substring_dup,
+        "docs_lm_score": q_docs_lm_score,
+        "url_blocklist_filter": q_url_blocklist_filter,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2040,6 +2095,79 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)),
                        '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
             FROM documents
+        """,
+        "docs_substring_dup": """
+            WITH g AS (
+                SELECT doc_id AS id,
+                       [CAST(concat('0x', substr(md5(
+                            substr(text, CAST(i AS INT), 30)), 1, 15)) AS BIGINT)
+                        FOR i IN range(1, len(text) - 28)] AS h
+                FROM documents
+                WHERE len(text) >= 30),
+            f AS (
+                SELECT DISTINCT id,
+                       unnest(list_distinct(
+                           CASE WHEN len(h) >= 8 THEN
+                               [list_min(h[CAST(j AS INT):CAST(j AS INT) + 7])
+                                FOR j IN range(1, len(h) - 6)]
+                           ELSE [list_min(h)] END)) AS wh
+                FROM g),
+            ok AS (SELECT wh FROM f GROUP BY wh HAVING count(*) <= 20)
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM f a JOIN ok USING (wh) JOIN f b
+              ON a.wh = b.wh AND a.id < b.id
+        """,
+        "docs_lm_score": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok WHERE token <> '' GROUP BY 1, 2),
+            vocab AS (SELECT token, sum(tf) AS ctok FROM tf GROUP BY token),
+            tot AS (SELECT sum(ctok) * 1.0 AS total FROM vocab),
+            s AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       sum(tf * (ln((SELECT total FROM tot)) - ln(ctok)))
+                           / sum(tf) AS nll
+                FROM tf JOIN vocab USING (token) GROUP BY doc_id)
+            SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
+                   CASE WHEN nll < 3.40 THEN 'head'
+                        WHEN nll < 3.50 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s
+        """,
+        "url_blocklist_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN 'spam.example'
+                            ELSE 'site' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example' END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'casino'
+                            WHEN doc_id % 7 = 1 THEN 'top10-free-download'
+                            WHEN doc_id % 7 = 2 THEN 'poker-webcam'
+                            ELSE 'news' END AS word,
+                       lang
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       'http://' || host || '/p/' || CAST(doc_id AS VARCHAR)
+                       || '/' || word || '?lang=' || lang AS url,
+                       host,
+                       CAST(CASE WHEN word LIKE '%casino%' THEN 1.0 ELSE 0 END
+                        + CASE WHEN word LIKE '%poker%' THEN 1.0 ELSE 0 END
+                        + CASE WHEN word LIKE '%porn%' THEN 1.0 ELSE 0 END
+                        + CASE WHEN word LIKE '%viagra%' THEN 1.0 ELSE 0 END
+                        + CASE WHEN word LIKE '%webcam%' THEN 0.5 ELSE 0 END
+                        + CASE WHEN word LIKE '%escort%' THEN 0.5 ELSE 0 END
+                        + CASE WHEN word LIKE '%free-download%' THEN 0.25 ELSE 0 END
+                        + CASE WHEN word LIKE '%top10%' THEN 0.25 ELSE 0 END
+                        AS DOUBLE) AS score
+                FROM u)
+            SELECT doc_id, url, host, round(score, 6) AS url_score,
+                   host <> 'spam.example' AND score < 1.0 AS keep
+            FROM s
         """,
         "docs_stratified_sample": """
             WITH h AS (

@@ -146,7 +146,9 @@ def next_page_url(url: Column, pagination_str: str, interval: int = 1) -> Column
 #: tracking/click-id query parameters stripped by URL normalization —
 #: the standard public blocklist (utm_* campaign params, Google/Facebook/
 #: Microsoft/Mailchimp click ids)
-TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid)="
+TRACKING_PARAM_RE = (
+    r"(?i)^(utm_[a-z_]+|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid)(=|$)"
+)
 
 
 def strip_tracking_params(url: Column) -> Column:

@@ -327,16 +327,72 @@ def stratified_sample(
     from .textdedup import _hash64
 
     spark = df.sparkSession
+    # thresholds are integerized DRIVER-SIDE with the same int() rule as
+    # deterministic_sample: an executor-side double->long cast truncates
+    # where DuckDB's CAST rounds (0.3*1e6 = 299999.99999999994), which
+    # would break the cross-engine reproducibility this op exists for
     fr = spark.createDataFrame(
-        [(k, float(v)) for k, v in fractions.items()],
-        f"{strata_col} string, __fraction double",
+        [(k, int(float(v) * 1_000_000)) for k, v in fractions.items()],
+        f"{strata_col} string, __threshold long",
     )
     h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
     return (
         df.join(F.broadcast(fr), strata_col)
-        .filter(
-            F.pmod(h, F.lit(1_000_000))
-            < (F.col("__fraction") * 1_000_000).cast("long")
+        .filter(F.pmod(h, F.lit(1_000_000)) < F.col("__threshold"))
+        .drop("__threshold")
+    )
+
+
+#: RefinedWeb-style URL soft-word weights (Penedo et al. 2023 §3.1 use
+#: a curated list with per-word weights; this is a deterministic
+#: public-shape stand-in — callers pass their own list in production)
+DEFAULT_URL_WORD_WEIGHTS = {
+    "casino": 1.0,
+    "poker": 1.0,
+    "porn": 1.0,
+    "viagra": 1.0,
+    "webcam": 0.5,
+    "escort": 0.5,
+    "free-download": 0.25,
+    "top10": 0.25,
+}
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocked_hosts: tuple[str, ...] = (),
+    word_weights: dict[str, float] | None = None,
+    cutoff: float = 1.0,
+) -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023, "The
+    RefinedWeb Dataset for Falcon LLM", §3.1): a hard domain blocklist
+    plus soft scoring of flagged words appearing anywhere in the URL;
+    the row is kept when the host is not blocked AND the summed word
+    weight stays under ``cutoff``.
+
+    Map-only: the blocklist and word list are config-sized, so both
+    gates compile to literal IN / CASE-sum column algebra — zero joins,
+    zero shuffles, whole-stage codegen at scan throughput. (With a
+    production-sized blocklist — millions of domains — swap the IN for
+    a broadcast left-anti join on host; the soft-word CASE sum stays.)
+
+    Emits ``host``, ``url_score`` and ``keep`` so downstream stages can
+    log WHY a URL was dropped (failing.log analog) instead of silently
+    filtering."""
+    weights = DEFAULT_URL_WORD_WEIGHTS if word_weights is None else word_weights
+    low = F.lower(F.col(url_col))
+    score = F.lit(0.0)
+    for word, wt in sorted(weights.items()):
+        score = score + F.when(low.contains(word), F.lit(float(wt))).otherwise(
+            F.lit(0.0)
         )
-        .drop("__fraction")
+    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    blocked = host.isin(*[h.lower() for h in blocked_hosts]) if blocked_hosts else F.lit(False)
+    return df.withColumns(
+        {
+            "host": host,
+            "url_score": F.round(score, 6),
+            "keep": ~blocked & (score < cutoff),
+        }
     )

@@ -181,6 +181,8 @@ def pagerank(
     nodes.write.mode("overwrite").parquet(f"{root}/nodes")
     nodes = spark.read.parquet(f"{root}/nodes")
     n = nodes.count()
+    if n == 0:  # no links extracted: empty scores, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     deg.write.mode("overwrite").parquet(f"{root}/deg")
     deg = spark.read.parquet(f"{root}/deg")

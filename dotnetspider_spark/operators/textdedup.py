@@ -194,3 +194,81 @@ def ngram_jaccard_pairs(
     return scored.select(
         F.col("id").alias("id_a"), "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 30,
+    w: int = 8,
+    max_window_freq: int | None = 50,
+) -> DataFrame:
+    """Document pairs sharing an exact substring of >= k + w - 1 chars,
+    via winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    the MOSS algorithm). Distributed stand-in for suffix-array
+    exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"; the reference has no content
+    dedup, SURVEY §2.1 — this is driver-mandate pipeline coverage).
+
+    Per doc: hash every k-char gram (one JVM-side ``transform`` over a
+    position sequence — no explode of raw grams), then select the MIN
+    hash of every window of ``w`` consecutive gram hashes. Selection is
+    content-defined, so it is position-independent: a substring shared
+    at ANY offsets in two docs yields the same gram-hash run in both,
+    and if the run spans a full window (length >= k + w - 1) its
+    minimum is selected in both — guaranteed recall above that length.
+    (A fixed-stride grid does NOT have this property: windows only
+    align when the two offsets agree mod stride.) Expected fingerprint
+    density is ~2/(w+1) of positions, so the explode that feeds the
+    join is ~w/2 times smaller than the gram count.
+
+    Scale shape: the gram-hash array (~8B x len) lives inside one
+    codegen'd projection; only the selected per-doc DISTINCT
+    fingerprints explode -> the self-join keys on the 60-bit hash,
+    shipping (id, hash) only — never text. ``max_window_freq`` drops
+    boilerplate fingerprints (headers, license blurbs) before the
+    join: the classic quadratic-blowup skew guard, same role as
+    ``max_shingle_freq`` above."""
+    t = F.col(text_col)
+    # gram hashes h[1..n], n = len-k+1; guard len<k (Spark sequence
+    # with stop<start is DESCENDING, not empty)
+    grams = F.when(
+        F.length(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: _hash64(F.substring(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # winnow: min of each w-window of gram hashes; docs with fewer than
+    # w grams still emit one fingerprint (min of all) so no doc with a
+    # full k-gram is invisible
+    fps = F.array_distinct(
+        F.when(
+            F.size(grams) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        ).otherwise(
+            F.when(F.size(grams) > 0, F.array(F.array_min(grams))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+    )
+    wdf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(fps).alias("wh"))
+        .distinct()
+    )
+    if max_window_freq is not None:
+        freq = wdf.groupBy("wh").agg(F.count("*").alias("f"))
+        wdf = wdf.join(freq.filter(F.col("f") <= max_window_freq), "wh").select(
+            "id", "wh"
+        )
+    right = wdf.select(F.col("id").alias("id_b"), F.col("wh").alias("wh_b"))
+    return (
+        wdf.join(right, (F.col("wh") == F.col("wh_b")) & (F.col("id") < F.col("id_b")))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )

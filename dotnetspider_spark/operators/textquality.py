@@ -173,3 +173,63 @@ def gopher_filter(
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
     )
     return joined.withColumn("keep", keep)
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_nll: float = 3.0,
+    tail_nll: float = 6.0,
+) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2019,
+    "CCNet: Extracting High Quality Monolingual Datasets") with the
+    corpus's own unigram model standing in for the paper's KenLM (no
+    model files in this sandbox; the pipeline shape is identical).
+
+    Two passes: (1) corpus unigram counts — one partial-agg'd groupBy on
+    token; (2) per-doc mean negative log-likelihood under that model —
+    pre-aggregate (doc, token) term frequencies so the model join ships
+    one row per DISTINCT doc-token, not one per token occurrence, then
+    a weighted-sum agg back to doc_id. The model join keys on token
+    (sort-merge; Catalyst broadcasts it when the vocabulary is small
+    enough, which for web text at any scale it usually is — vocab grows
+    ~ Heaps' law, not linearly in corpus size).
+
+    ``bucket`` is CCNet's head/middle/tail split, here at fixed
+    ``head_nll``/``tail_nll`` cutoffs rather than corpus tertiles so the
+    verdict is deterministic and engine-portable (tertiles need a global
+    percentile — a sort — and make every doc's bucket depend on every
+    other doc)."""
+    from .textdedup import tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("ctok"))
+    total = vocab.agg(F.sum("ctok")).collect()[0][0]  # one scalar job
+    scored = (
+        tf.join(vocab, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * (F.log(F.lit(float(total))) - F.log("ctok")))
+                / F.sum("tf")
+            ).alias("__nll"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round("__nll", 6).alias("avg_nll"),
+        F.when(F.col("__nll") < head_nll, F.lit("head"))
+        .when(F.col("__nll") < tail_nll, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

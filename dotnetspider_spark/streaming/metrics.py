@@ -73,7 +73,12 @@ def windowed_host_metrics(
     no-op and the same expression is a plain windowed groupBy — the
     batch twin IS the streaming query, so one oracle pins both.
     """
-    is_ok = (F.col("status") >= 200) & (F.col("status") < 400)
+    # NULL status (e.g. a timeout that never got an HTTP response) is an
+    # ERROR: without the coalesce, a null propagates through both sums
+    # and the worst failures vanish from the error counter
+    is_ok = F.coalesce(
+        (F.col("status") >= 200) & (F.col("status") < 400), F.lit(False)
+    )
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
@@ -146,6 +151,14 @@ def sessionize_hosts(events: DataFrame, gap_s: int = 30) -> DataFrame:
         all_ts = pd.concat([pdf["ts"] for pdf in pdf_iter]).sort_values()
         for ts in all_ts:
             us = int(ts.value // 1000)  # pandas ns -> epoch micros
+            if last_us is not None and us <= last_us:
+                # LATE event (batches are sorted internally, but an event
+                # in a later micro-batch can predate the open session's
+                # last-seen): merge into the open session WITHOUT moving
+                # its boundaries backward — session_end >= session_start
+                # stays invariant and counts stay monotone
+                n += 1
+                continue
             if last_us is not None and us - last_us > gap_us:
                 out.append((host, start_us, last_us, n))
                 start_us, n = us, 0

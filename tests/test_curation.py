@@ -250,3 +250,63 @@ def test_deterministic_sample_is_reproducible_and_fraction_accurate(spark):
     rows = s.collect()
     assert all(r.lang == "en" for r in rows)   # 'xx' absent from map -> dropped
     assert abs(len(rows) / 5_000 - 0.5) < 0.03
+
+
+def test_strip_tracking_params_case_and_bare_variants(spark):
+    from dotnetspider_spark.functions.urlops import strip_tracking_params
+
+    cases = [
+        ("http://a/p?UTM_Source=news&id=1", "http://a/p?id=1"),        # case-insensitive
+        ("http://a/p?utm_source_platform=x&id=1", "http://a/p?id=1"),  # GA4 double underscore
+        ("http://a/p?fbclid&id=1", "http://a/p?id=1"),                 # bare flag, no '='
+        ("http://a/p?gclidx=keep", "http://a/p?gclidx=keep"),          # '=|$' anchored
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.o for r in df.select(strip_tracking_params(F.col("u")).alias("o")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_stratified_sample_threshold_truncates_like_int(spark):
+    """The per-stratum gate must use int(fraction*1e6) computed driver-
+    side — an executor-side double cast truncates 0.3*1e6 =
+    299999.99999... the same way, but DuckDB's CAST rounds; pin the
+    operator to the int() rule shared with deterministic_sample."""
+    from dotnetspider_spark.operators.curation import stratified_sample
+    from dotnetspider_spark.operators.textdedup import _hash64
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    got = {r.doc_id for r in stratified_sample(df, "doc_id", "lang", {"en": 0.3}).collect()}
+    thr = int(0.3 * 1_000_000)  # 299999, not 300000
+    h = _hash64(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    want = {
+        r.doc_id
+        for r in df.filter(F.pmod(h, F.lit(1_000_000)) < thr).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from dotnetspider_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(edges, n_iter=2)
+    assert out.columns == ["id", "rank"] and out.count() == 0
+
+
+def test_windowed_metrics_null_status_counts_as_error(spark):
+    from datetime import datetime as dt
+
+    from dotnetspider_spark.streaming.metrics import (
+        FETCH_EVENT_SCHEMA,
+        windowed_host_metrics,
+    )
+
+    rows = [
+        ("a", "u1", dt(2024, 1, 1, 0, 0, 10), 200, 10, 5),
+        ("a", "u2", dt(2024, 1, 1, 0, 0, 20), None, 0, 5),  # timeout: no status
+    ]
+    ev = spark.createDataFrame(rows, FETCH_EVENT_SCHEMA)
+    r = windowed_host_metrics(ev, window="1 minute").first()
+    assert (r.n_fetched, r.n_success, r.n_error) == (2, 1, 1)

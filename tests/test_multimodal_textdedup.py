@@ -219,3 +219,50 @@ def test_image_quality_screening(spark):
     assert out["flat"].contrast == 0.0 and out["flat"].sharpness == 0.0
     assert out["noisy"].keep and out["noisy"].entropy > 3.0
     assert not out["broken"].decodable and not out["broken"].keep
+
+
+def test_exact_substring_pairs_guaranteed_recall_and_cap(spark):
+    """Docs sharing a substring >= k+w-1 chars MUST pair regardless of
+    where it sits in each doc (winnowing selection is content-defined —
+    the prefixes 5 and 10 chars long put the shared run at different
+    offsets AND different residues mod any stride, the case a fixed
+    stride grid misses); short docs don't crash; the boilerplate cap
+    drops ubiquitous fingerprints."""
+    from dotnetspider_spark.operators.textdedup import exact_substring_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 50 chars
+    rows = [
+        (1, "AAAA " + shared + " unique tail one"),
+        (2, "BBBBBBBBB " + shared + " other tail"),
+        (3, "completely unrelated text with nothing shared at all here"),
+        (4, "tiny"),  # shorter than k: empty fingerprint set, no crash
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = exact_substring_pairs(docs, k=30, w=8, max_window_freq=20)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p == (1, 2) for p in got)
+
+    # boilerplate cap: the same 50-char header on EVERY doc pairs
+    # everything without the cap, nothing with cap < n_docs
+    boiler = [(i, shared + f" body {i}") for i in range(10)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    assert exact_substring_pairs(bdocs, k=30, w=8, max_window_freq=5).count() == 0
+    assert exact_substring_pairs(bdocs, k=30, w=8, max_window_freq=None).count() == 45
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    """Tiny corpus where the unigram NLL is computable by hand:
+    corpus = 'a a a b' -> p(a)=3/4, p(b)=1/4."""
+    import math
+
+    from dotnetspider_spark.operators.textquality import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_lm_score(docs, head_nll=0.5, tail_nll=1.0).collect()}
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 1
+    assert abs(got[1].avg_nll - (-math.log(0.75))) < 1e-6   # 0.287682 -> head
+    assert abs(got[2].avg_nll - (-math.log(0.25))) < 1e-6   # 1.386294 -> tail
+    assert got[1].bucket == "head" and got[2].bucket == "tail"

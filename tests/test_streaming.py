@@ -183,6 +183,19 @@ def test_sessionize_hosts_state_survives_micro_batches(spark, tmp_path):
         [("a.example", t("02:00"), 200, 10, 5)],
         mtime=1_700_000_100,
     )
+    # batch 3: a LATE event (01:30 <= open session's last-seen 02:00)
+    # must merge into the open session WITHOUT moving its boundaries
+    # backward, then 03:00 closes it — emitted as [02:00, 02:00] n=2,
+    # never end-before-start
+    _write_events(
+        spark,
+        ev_dir / "f3",
+        [
+            ("a.example", t("01:30"), 200, 10, 5),
+            ("a.example", t("03:00"), 200, 10, 5),
+        ],
+        mtime=1_700_000_200,
+    )
 
     stream = (
         spark.readStream.schema(FETCH_EVENT_SCHEMA)
@@ -205,4 +218,6 @@ def test_sessionize_hosts_state_survives_micro_batches(spark, tmp_path):
     assert got == {
         ("a.example", "2024-01-01T00:00:00", "2024-01-01T00:00:10", 2),
         ("a.example", "2024-01-01T00:01:00", "2024-01-01T00:01:00", 1),
-    }  # open tails (a@02:00, b@00:05) not emitted
+        ("a.example", "2024-01-01T00:02:00", "2024-01-01T00:02:00", 2),
+    }  # late 01:30 merged into [02:00] without corrupting boundaries;
+    #    open tails (a@03:00, b@00:05) not emitted
