@@ -1533,6 +1533,54 @@ def q_url_blocklist_filter(spark, sf_dir):
     ).select("doc_id", "url", "host", "url_score", "keep")
 
 
+def q_corpus_temperature_mix(spark, sf_dir):
+    # temperature-based corpus mixing (curation.temperature_mix,
+    # alpha=0.5): each lang keeps sqrt(n_min/n_lang) of its rows via
+    # the deterministic hash gate — en (largest) flattened hardest.
+    # floor(sqrt(...)*1e6) is IEEE-identical across engines, which is
+    # what makes this oracle-checkable.
+    from dotnetspider_spark.operators.curation import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_mix(d, source_col="lang", alpha=0.5).select(
+        "doc_id", "lang", "mix_thr"
+    )
+
+
+def q_docs_pack_sequences(spark, sf_dir):
+    # contiguous sequence packing (curation.pack_sequences): docs
+    # concatenated per shard (doc_id % 8) in id order, cut every 256
+    # tokens; per-shard running-offset window — no global sort.
+    from dotnetspider_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, window=256, n_shards=8)
+
+
+def q_phash_neardup_pairs(spark, sf_dir):
+    # banded phash near-dup (validate.phash_near_duplicates) made
+    # oracle-checkable: phashes synthesized as 60-bit hashes with a
+    # planted hamming-2 partner per even/odd doc pair (odd = even's
+    # hash XOR 0b101). The 5x13-bit banding has NO false negatives for
+    # hamming <= 4 (pigeonhole), so the banded join + exact
+    # bit_count(xor) verify must equal DuckDB's brute-force all-pairs.
+    from dotnetspider_spark.operators.textdedup import _hash64
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    base = _hash64(
+        F.concat(F.lit("ph|"), F.floor(F.col("doc_id") / 2).cast("long").cast("string"))
+    )
+    imgs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 1, base.bitwiseXOR(F.lit(5)))
+        .otherwise(base)
+        .alias("phash"),
+    )
+    out = phash_near_duplicates(imgs, max_hamming=4, id_col="doc_id")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -1609,6 +1657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_substring_dup": q_docs_substring_dup,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
+        "docs_pack_sequences": q_docs_pack_sequences,
+        "phash_neardup_pairs": q_phash_neardup_pairs,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2168,6 +2219,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, round(score, 6) AS url_score,
                    host <> 'spam.example' AND score < 1.0 AS keep
             FROM s
+        """,
+        "corpus_temperature_mix": """
+            WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            m AS (SELECT min(n) AS n_min FROM c),
+            t AS (SELECT lang,
+                         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                              * 1000000) AS BIGINT) AS mix_thr
+                  FROM c, m)
+            SELECT d.doc_id, d.lang, t.mix_thr
+            FROM documents d JOIN t USING (lang)
+            WHERE CAST(concat('0x', substr(md5('mix|' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 1000000 < t.mix_thr
+        """,
+        "docs_pack_sequences": """
+            WITH b AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS INT) AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS "offset"
+                FROM b)
+            SELECT doc_id, shard, n_tokens, "offset",
+                   CAST(floor("offset" / 256.0) AS BIGINT) AS seq_index
+            FROM o
+        """,
+        "phash_neardup_pairs": """
+            WITH p AS (
+                SELECT doc_id AS id,
+                       CASE WHEN doc_id % 2 = 1 THEN xor(base, 5)
+                            ELSE base END AS ph
+                FROM (SELECT doc_id,
+                             CAST(concat('0x', substr(md5(
+                                 'ph|' || CAST(doc_id // 2 AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS base
+                      FROM documents))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+            FROM p a JOIN p b
+              ON a.id < b.id AND bit_count(xor(a.ph, b.ph)) <= 4
         """,
         "docs_stratified_sample": """
             WITH h AS (

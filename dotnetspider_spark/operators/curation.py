@@ -396,3 +396,94 @@ def url_quality_filter(
             "keep": ~blocked & (score < cutoff),
         }
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the multi-source sampling rule
+    of Devlin et al. 2019 §A and Xue et al. 2021 mT5 §3.1: draw from
+    source s with probability proportional to ``n_s^alpha``). Recast
+    for deterministic sampling WITHOUT replacement: every source keeps
+    the fraction ``(n_min / n_s)^(1-alpha)`` of its rows — the smallest
+    source keeps everything and larger sources are flattened toward it,
+    which is the same relative re-weighting the papers' with-replacement
+    rule produces, expressed as a downsample so no row repeats.
+
+    Distributed shape: per-source counts are one partial-agg'd groupBy
+    (source cardinality is config-sized), the scalar ``n_min`` rides a
+    broadcast single-row cross join, and the per-row gate is the same
+    hash-vs-threshold filter as :func:`deterministic_sample` — map-only
+    after one broadcast join, no row ever leaves its partition.
+
+    Engine-portable determinism: the threshold is
+    ``floor(sqrt(n_min/n_s) * 1e6)`` for the default ``alpha=0.5`` —
+    IEEE 754 requires division and sqrt to be correctly rounded, so any
+    compliant engine computes the identical integer (this is why the
+    cross-engine oracle pins the sqrt path; general ``alpha`` goes
+    through ``pow``, which libms only guarantee to ~1 ulp)."""
+    from .textdedup import _hash64
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    ratio = F.col("__n_min").cast("double") / F.col("__n").cast("double")
+    factor = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, 1.0 - alpha)
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col, F.floor(factor * 1_000_000).alias("mix_thr")
+    )
+    h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .filter(F.pmod(h, F.lit(1_000_000)) < F.col("mix_thr"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Contiguous sequence packing for LM training: concatenate docs in
+    a deterministic order and cut every ``window`` tokens (the GPT-2/3
+    preprocessing step — Brown et al. 2020 pack documents end-to-end
+    into fixed-length contexts). Emits, per doc, the shard it packs
+    into, its whitespace token count, its starting token ``offset``
+    within the shard's concatenated stream, and ``seq_index`` — the
+    training sequence in which the doc begins (docs may span sequences;
+    that is the published behavior, separator/EOS accounting is the
+    tokenizer's job downstream).
+
+    Packing is inherently order-sequential, so the distributed form
+    shards the corpus first (``id % n_shards``) and packs each shard
+    independently: the running-offset window sorts WITHIN a shard only
+    — no global sort, no single-task funnel — and shards scale with the
+    cluster (at 10^10 docs set n_shards ~ a few x total cores; each
+    shard is one task's linear scan, which is the best any contiguous
+    packer can do)."""
+    from .textdedup import tokens
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    n_tok = F.size(tokens(F.col(text_col))).cast("int")
+    base = docs.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(window)).cast("long").alias("seq_index"),
+    )

@@ -310,3 +310,48 @@ def test_windowed_metrics_null_status_counts_as_error(spark):
     ev = spark.createDataFrame(rows, FETCH_EVENT_SCHEMA)
     r = windowed_host_metrics(ev, window="1 minute").first()
     assert (r.n_fetched, r.n_success, r.n_error) == (2, 1, 1)
+
+
+def test_temperature_mix_flattens_toward_smallest_source(spark):
+    from dotnetspider_spark.operators.curation import temperature_mix
+
+    rows = [(i, "big" if i < 4_000 else "small") for i in range(5_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, alpha=0.5)
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    # smallest source: thr = floor(sqrt(1)*1e6) = 1e6 -> keeps ALL rows
+    assert by["small"] == 1_000
+    # big: sqrt(1000/4000) = 0.5 of 4000, hash-gate tolerance
+    assert abs(by["big"] / 4_000 - 0.5) < 0.03
+    # deterministic: identical set on re-run
+    again = {r.doc_id for r in temperature_mix(df, alpha=0.5).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_pack_sequences_hand_computed(spark):
+    from dotnetspider_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, "f"), (3, "g h i j")],
+        "doc_id long, text string",
+    )
+    # one shard: contiguous offsets 0,3,5,6 over window=5 ->
+    # sequences 0,0,1,1 (doc 1 straddles the cut at token 5: it STARTS
+    # in seq 0, published contiguous-packing behavior)
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.offset, r.seq_index)
+        for r in pack_sequences(docs, window=5, n_shards=1).collect()
+    }
+    assert got == {
+        0: (0, 3, 0, 0),
+        1: (0, 2, 3, 0),
+        2: (0, 1, 5, 1),
+        3: (0, 4, 6, 1),
+    }
+    # two shards: even ids pack independently of odd ids
+    got2 = {
+        r.doc_id: (r.shard, r.offset)
+        for r in pack_sequences(docs, window=5, n_shards=2).collect()
+    }
+    assert got2 == {0: (0, 0), 2: (0, 3), 1: (1, 0), 3: (1, 2)}
