@@ -1581,6 +1581,36 @@ def q_phash_neardup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_docs_incremental_dedup(spark, sf_dir):
+    # incremental cross-corpus dedup (textdedup.dedup_against_corpus):
+    # drop NEW docs near-duplicating the existing corpus (RefinedWeb's
+    # dump-vs-all-previous-dumps step). Corpus = doc_id % 3 != 0; new =
+    # doc_id % 3 == 0, with planted exact dups (every doc_id % 15 == 0
+    # takes its corpus neighbor's text) that MUST be dropped. Band join
+    # is new-vs-corpus only — never a self-join.
+    from dotnetspider_spark.operators.textdedup import dedup_against_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    donor = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    newd = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 15 == 0) & F.col("donor_text").isNotNull(),
+                F.col("donor_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return dedup_against_corpus(newd, corpus, k=4, threshold=0.7).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -1660,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": q_corpus_temperature_mix,
         "docs_pack_sequences": q_docs_pack_sequences,
         "phash_neardup_pairs": q_phash_neardup_pairs,
+        "docs_incremental_dedup": q_docs_incremental_dedup,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2248,6 +2279,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, n_tokens, "offset",
                    CAST(floor("offset" / 256.0) AS BIGINT) AS seq_index
             FROM o
+        """,
+        "docs_incremental_dedup": """
+            WITH newd AS (
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 15 = 0 AND don.text IS NOT NULL
+                            THEN don.text ELSE d.text END AS text
+                FROM documents d
+                LEFT JOIN documents don ON don.doc_id = d.doc_id + 1
+                WHERE d.doc_id % 3 = 0),
+            corp AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+            ntok AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+                FROM newd),
+            nsig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM ntok WHERE token <> '' GROUP BY doc_id),
+            ctokr AS (
+                SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+                FROM corp),
+            csig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM ctokr WHERE token <> '' GROUP BY doc_id),
+            nband AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS bk FROM nsig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS bk FROM nsig),
+            cband AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS bk FROM csig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS bk FROM csig),
+            cand AS (
+                SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+                FROM nband n JOIN cband c ON n.bk = c.bk),
+            wn AS (
+                SELECT doc_id, list_distinct(list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+                FROM newd),
+            wc AS (
+                SELECT doc_id, list_distinct(list_filter(
+                    string_split_regex(text, '\\s+'), x -> x <> '')) AS toks
+                FROM corp),
+            dup AS (
+                SELECT DISTINCT cand.nid
+                FROM cand
+                JOIN wn ON wn.doc_id = cand.nid
+                JOIN wc ON wc.doc_id = cand.cid
+                WHERE round(CAST(len(list_intersect(wn.toks, wc.toks)) AS DOUBLE)
+                            / (len(wn.toks) + len(wc.toks)
+                               - len(list_intersect(wn.toks, wc.toks))), 6) >= 0.7)
+            SELECT doc_id FROM newd
+            WHERE doc_id NOT IN (SELECT nid FROM dup)
         """,
         "phash_neardup_pairs": """
             WITH p AS (

@@ -117,11 +117,10 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 8) -
     )
 
 
-def minhash_band_pairs(
-    signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+def _band_explode(
+    signatures: DataFrame, id_col: str, k: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of their signature become
-    candidate pairs (id_a < id_b, deduped)."""
+    """(id, band, key) rows: one per LSH band of each signature."""
     n_bands = k // rows_per_band
     bands = F.array(
         *[
@@ -135,9 +134,17 @@ def minhash_band_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select(
+    return signatures.select(
         F.col(id_col).alias("id"), F.explode(bands).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_band_pairs(
+    signatures: DataFrame, id_col: str, k: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become
+    candidate pairs (id_a < id_b, deduped)."""
+    exploded = _band_explode(signatures, id_col, k, rows_per_band)
     right = exploded.select(
         F.col("id").alias("id_b"), F.col("band").alias("band_b"),
         F.col("key").alias("key_b"),
@@ -272,3 +279,67 @@ def exact_substring_pairs(
         .select(F.col("id").alias("id_a"), "id_b")
         .distinct()
     )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dedup of a NEW batch against an EXISTING corpus
+    — the "dedup this crawl dump against everything already ingested"
+    step every refreshed training set runs (RefinedWeb dedups each
+    CommonCrawl dump against all earlier dumps, Penedo et al. 2023
+    §3.3). Returns the new rows that survive: no corpus doc with
+    word-token Jaccard >= ``threshold`` among the LSH band candidates.
+
+    Scale shape (why this is not the self-join op): candidates come
+    from an equi-join of the NEW batch's band keys against the corpus's
+    band keys — cross-corpus only, so cost scales with the new batch,
+    not with the 10^10-doc corpus (whose band table is append-only
+    state a refresh pipeline maintains incrementally and can bucket by
+    key). The exact-Jaccard verify touches corpus token sets ONLY for
+    candidate ids (semi-join first), and the final keep is an id-keyed
+    anti-join — corpus text never rides a shuffle."""
+    nid, cid = F.col(id_col).alias("id"), F.col(id_col).alias("cid")
+    sig_n = minhash_signature(new_docs, id_col, text_col, k)
+    sig_c = minhash_signature(corpus, id_col, text_col, k)
+    bn = _band_explode(sig_n, id_col, k, rows_per_band)
+    bc = _band_explode(sig_c, id_col, k, rows_per_band).select(
+        F.col("id").alias("cid"), "band", "key"
+    )
+    cand = bn.join(bc, ["band", "key"]).select("id", "cid").distinct()
+    tok = lambda df, out: df.select(
+        F.col(id_col).alias(out),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    ntok = tok(new_docs.join(cand.select("id").distinct(),
+                             new_docs[id_col] == F.col("id"), "left_semi"), "id")
+    ctok = tok(corpus.join(cand.select("cid").distinct(),
+                           corpus[id_col] == F.col("cid"), "left_semi"), "cid")
+    nsz = ntok.groupBy("id").agg(F.count("*").alias("n_a"))
+    csz = ctok.groupBy("cid").agg(F.count("*").alias("n_b"))
+    inter = (
+        cand.join(ntok, "id")
+        .join(ctok, ["cid", "tok"])
+        .groupBy("id", "cid")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    dup = (
+        inter.join(nsz, "id")
+        .join(csz, "cid")
+        .filter(
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup, id_col, "left_anti")

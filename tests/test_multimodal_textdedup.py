@@ -266,3 +266,28 @@ def test_unigram_lm_score_hand_computed(spark):
     assert abs(got[1].avg_nll - (-math.log(0.75))) < 1e-6   # 0.287682 -> head
     assert abs(got[2].avg_nll - (-math.log(0.25))) < 1e-6   # 1.386294 -> tail
     assert got[1].bucket == "head" and got[2].bucket == "tail"
+
+
+def test_dedup_against_corpus_is_cross_corpus_only(spark):
+    """Planted exact dup of a corpus doc is dropped; fresh docs are
+    kept; near-identical NEW docs both survive (this op dedups the new
+    batch AGAINST the corpus, never against itself — within-batch dedup
+    is the self-join op's job)."""
+    from dotnetspider_spark.operators.textdedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(i, f"archived corpus record {i} lorem ipsum dolor sit amet {i}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "archived corpus record 3 lorem ipsum dolor sit amet 3"),  # = corpus 3
+            (101, "fresh crawl page about distributed winnowing and spark"),
+            (102, "fresh crawl page about distributed winnowing and flink"),  # ~ 101
+            (103, "totally unrelated new content zzz yyy xxx"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup_against_corpus(new, corpus, k=4).collect()}
+    assert kept == {101, 102, 103}
