@@ -203,6 +203,37 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(text: Column, k: int, w: int) -> Column:
+    """Winnowing fingerprint array for one text column: hash every
+    k-char gram, select the MIN hash of each window of ``w`` consecutive
+    gram hashes, distinct. All one codegen'd expression — the gram-hash
+    array never leaves the projection. Docs shorter than k yield an
+    empty array; docs with 1..w-1 grams yield one fingerprint (min of
+    all) so no doc with a full k-gram is invisible."""
+    # gram hashes h[1..n], n = len-k+1; guard len<k (Spark sequence
+    # with stop<start is DESCENDING, not empty)
+    grams = F.when(
+        F.length(text) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            lambda i: _hash64(F.substring(text, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(
+        F.when(
+            F.size(grams) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        ).otherwise(
+            F.when(F.size(grams) > 0, F.array(F.array_min(grams))).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        )
+    )
+
+
 def exact_substring_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -238,32 +269,7 @@ def exact_substring_pairs(
     boilerplate fingerprints (headers, license blurbs) before the
     join: the classic quadratic-blowup skew guard, same role as
     ``max_shingle_freq`` above."""
-    t = F.col(text_col)
-    # gram hashes h[1..n], n = len-k+1; guard len<k (Spark sequence
-    # with stop<start is DESCENDING, not empty)
-    grams = F.when(
-        F.length(t) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (k - 1)),
-            lambda i: _hash64(F.substring(t, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # winnow: min of each w-window of gram hashes; docs with fewer than
-    # w grams still emit one fingerprint (min of all) so no doc with a
-    # full k-gram is invisible
-    fps = F.array_distinct(
-        F.when(
-            F.size(grams) >= w,
-            F.transform(
-                F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-                lambda j: F.array_min(F.slice(grams, j, w)),
-            ),
-        ).otherwise(
-            F.when(F.size(grams) > 0, F.array(F.array_min(grams))).otherwise(
-                F.array().cast("array<bigint>")
-            )
-        )
-    )
+    fps = winnow_fingerprints(F.col(text_col), k, w)
     wdf = (
         docs.select(F.col(id_col).alias("id"), F.explode(fps).alias("wh"))
         .distinct()

@@ -291,3 +291,46 @@ def test_dedup_against_corpus_is_cross_corpus_only(spark):
     )
     kept = {r.doc_id for r in dedup_against_corpus(new, corpus, k=4).collect()}
     assert kept == {101, 102, 103}
+
+
+def test_winnowing_fingerprints_match_pure_python_reference(spark):
+    """Pin exact_substring_pairs' fingerprint selection against an
+    independent pure-Python winnowing implementation (Schleimer et al.
+    2003, min-of-each-window variant) on seeded random docs — every
+    selected (id, fingerprint) must agree, not just the final pairs."""
+    import hashlib
+    import random
+
+    from dotnetspider_spark.operators.textdedup import winnow_fingerprints
+
+    k, w = 12, 5
+    rng = random.Random(42)
+    alpha = "abcdefgh "
+    docs = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(3, 120))))
+        for i in range(30)
+    ]
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def winnow(text: str) -> set:
+        grams = [h64(text[i:i + k]) for i in range(len(text) - k + 1)]
+        if not grams:
+            return set()
+        if len(grams) < w:
+            return {min(grams)}
+        return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    expected = {(i, fp) for i, t in docs for fp in winnow(t)}
+
+    # the operator's own selection stage (the pair join on top of it is
+    # pinned by the other tests)
+    fps = winnow_fingerprints(F.col("text"), k, w)
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_id, fp)
+        for r in df.select("doc_id", fps.alias("fps")).collect()
+        for fp in r.fps
+    }
+    assert got == expected
