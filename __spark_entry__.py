@@ -1611,6 +1611,66 @@ def q_docs_incremental_dedup(spark, sf_dir):
     return dedup_against_corpus(newd, corpus, k=4, threshold=0.7).select("doc_id")
 
 
+def q_domain_quota(spark, sf_dir):
+    # per-domain page cap (curation.domain_quota): hosts synthesized as
+    # in url_blocklist_filter (~10 docs per site host, ~45 on
+    # spam.example), quota=7 — survivors are the 7 lowest-hash docs per
+    # host, a deterministic within-host uniform sample.
+    from dotnetspider_spark.operators.curation import domain_quota
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 11 == 0, F.lit("spam.example")).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".example"))
+    )
+    return domain_quota(
+        d.select("doc_id", host.alias("host")), quota=7
+    ).select("doc_id", "host")
+
+
+def q_image_pipeline(spark, sf_dir):
+    # END-TO-END image-side flagship: LAION-style pair screening ->
+    # banded phash near-dup (planted hamming-2 partners) -> connected
+    # components -> keep min-id canonical per duplicate cluster. Every
+    # stage is the real operator; the oracle replays the composition in
+    # one recursive-CTE statement.
+    from dotnetspider_spark.operators.curation import image_caption_screen
+    from dotnetspider_spark.operators.graph import dedup_keep_canonical
+    from dotnetspider_spark.operators.textdedup import _hash64
+    from dotnetspider_spark.operators.validate import phash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    base = _hash64(
+        F.concat(F.lit("ph|"), F.floor(F.col("doc_id") / 2).cast("long").cast("string"))
+    )
+    pairs_tbl = d.select(
+        F.col("doc_id").alias("image_id"),
+        (8 + (F.col("doc_id") * 7) % 1024).cast("int").alias("w"),
+        (8 + (F.col("doc_id") * 13) % 1024).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("gif")
+        .alias("fmt"),
+        F.concat(
+            F.substring("text", 1, 80), F.lit(" id "), F.col("doc_id").cast("string")
+        ).alias("caption"),
+        F.when(F.col("doc_id") % 2 == 1, base.bitwiseXOR(F.lit(5)))
+        .otherwise(base)
+        .alias("phash"),
+    )
+    screened = image_caption_screen(
+        pairs_tbl.select("image_id", "w", "h", "fmt", "caption")
+    )
+    kept = (
+        pairs_tbl.join(
+            screened.filter(F.col("keep")).select("image_id"), "image_id", "left_semi"
+        )
+        .select("image_id", "phash")
+    )
+    dup_pairs = phash_near_duplicates(kept, max_hamming=4, id_col="image_id")
+    canon = dedup_keep_canonical(kept, dup_pairs, id_col="image_id")
+    return canon.select("image_id", "phash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "identity_md5": q_identity_md5,
@@ -1691,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": q_docs_pack_sequences,
         "phash_neardup_pairs": q_phash_neardup_pairs,
         "docs_incremental_dedup": q_docs_incremental_dedup,
+        "domain_quota": q_domain_quota,
+        "image_pipeline": q_image_pipeline,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2279,6 +2341,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard, n_tokens, "offset",
                    CAST(floor("offset" / 256.0) AS BIGINT) AS seq_index
             FROM o
+        """,
+        "domain_quota": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN 'spam.example'
+                            ELSE 'site' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example' END AS host
+                FROM documents),
+            r AS (
+                SELECT doc_id, host,
+                       row_number() OVER (PARTITION BY host ORDER BY
+                           CAST(concat('0x', substr(md5(
+                               'quota|' || CAST(doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) ASC,
+                           doc_id ASC) AS rn
+                FROM u)
+            SELECT doc_id, host FROM r WHERE rn <= 7
+        """,
+        "image_pipeline": """
+            WITH RECURSIVE p AS (
+                SELECT doc_id AS image_id,
+                       CAST(8 + (doc_id * 7) % 1024 AS INT) AS w,
+                       CAST(8 + (doc_id * 13) % 1024 AS INT) AS h,
+                       CASE WHEN doc_id % 3 = 0 THEN 'png'
+                            WHEN doc_id % 3 = 1 THEN 'jpeg'
+                            ELSE 'gif' END AS fmt,
+                       substr(text, 1, 80) || ' id '
+                           || CAST(doc_id AS VARCHAR) AS caption,
+                       CASE WHEN doc_id % 2 = 1 THEN xor(base, 5)
+                            ELSE base END AS ph
+                FROM (SELECT doc_id, text,
+                             CAST(concat('0x', substr(md5(
+                                 'ph|' || CAST(doc_id // 2 AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS base
+                      FROM documents)),
+            s AS (
+                SELECT image_id, ph, w, h, fmt,
+                       greatest(w, h) * 1.0 / least(w, h) AS aspect,
+                       list_filter(string_split_regex(caption, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM p),
+            kept AS (
+                SELECT image_id, ph FROM s
+                WHERE least(w, h) >= 64 AND aspect <= 3.0
+                  AND len(toks) BETWEEN 3 AND 128
+                  AND CAST(len(list_filter(toks,
+                          x -> regexp_full_match(x, '[A-Za-z]+')))
+                      AS DOUBLE) / len(toks) >= 0.5
+                  AND fmt IN ('png', 'jpeg')),
+            pairs AS (
+                SELECT a.image_id AS ia, b.image_id AS ib
+                FROM kept a JOIN kept b
+                  ON a.image_id < b.image_id
+                 AND bit_count(xor(a.ph, b.ph)) <= 4),
+            sym AS (
+                SELECT ia AS a, ib AS b FROM pairs
+                UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+            SELECT image_id, ph AS phash FROM kept
+            WHERE image_id NOT IN
+                  (SELECT id FROM lab WHERE id <> component)
         """,
         "docs_incremental_dedup": """
             WITH newd AS (

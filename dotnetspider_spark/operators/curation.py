@@ -487,3 +487,37 @@ def pack_sequences(
         offset.alias("offset"),
         F.floor(offset / F.lit(window)).cast("long").alias("seq_index"),
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    host_col: str = "host",
+    key_col: str = "doc_id",
+    quota: int = 100,
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap pages kept per domain (C4 and RefinedWeb both bound how much
+    any single site contributes to the corpus — without a cap, a few
+    mega-hosts dominate the token mix). Keeps ``quota`` rows per host,
+    chosen by the portable 60-bit hash of the key (NOT arrival order),
+    so the survivor set is a uniform within-host sample that is
+    identical across runs, engines and partitionings.
+
+    Shape: one host-keyed window (rank over hash) — parallel across
+    hosts, one shuffle keyed on host. The skew caveat is the window's
+    partition itself: a host with 10^8 pages makes one task sort 10^8
+    rows. For that regime pre-filter with the hash-threshold trick
+    instead (quota/n_host as a fraction, see ``stratified_sample``) and
+    use this exact-rank form for the long tail; at typical per-host
+    cardinalities the single window is the cheaper plan."""
+    from pyspark.sql import Window
+
+    from .textdedup import _hash64
+
+    h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(host_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

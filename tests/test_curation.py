@@ -355,3 +355,20 @@ def test_pack_sequences_hand_computed(spark):
         for r in pack_sequences(docs, window=5, n_shards=2).collect()
     }
     assert got2 == {0: (0, 0), 2: (0, 3), 1: (1, 0), 3: (1, 2)}
+
+
+def test_domain_quota_caps_per_host_deterministically(spark):
+    from dotnetspider_spark.operators.curation import domain_quota
+
+    rows = (
+        [(i, "big.example") for i in range(10)]
+        + [(100 + i, "mid.example") for i in range(5)]
+        + [(200, "tiny.example")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = domain_quota(df, quota=4)
+    by = {r[0]: r[1] for r in out.groupBy("host").count().collect()}
+    assert by == {"big.example": 4, "mid.example": 4, "tiny.example": 1}
+    # survivor set is hash-determined, not arrival/partitioning order
+    again = {r.doc_id for r in domain_quota(df.repartition(7), quota=4).collect()}
+    assert again == {r.doc_id for r in out.collect()}
