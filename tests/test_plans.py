@@ -305,3 +305,35 @@ def test_minhash_signature_is_map_only(spark):
     plan = _plan(minhash_signature(docs, "doc_id", "text", k=8))
     assert not re.search(r"\(\d+\) Exchange", plan), plan
     assert "Generate" not in plan, plan  # no explode either
+
+
+def test_cross_corpus_band_join_never_ships_text(spark):
+    """dedup_against_corpus: every exchange keyed on the LSH (band, key)
+    must carry narrow rows — document text may never ride the band
+    shuffle (the corpus side is 10^10 docs; shipping text would dwarf
+    the band keys by ~3 orders of magnitude)."""
+    import re
+
+    from dotnetspider_spark.operators.textdedup import dedup_against_corpus
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    new = d.filter("doc_id % 3 = 0")
+    corpus = d.filter("doc_id % 3 != 0")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(dedup_against_corpus(new, corpus, k=4))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    checked = 0
+    for b in re.split(r"\n\n", plan):
+        if not re.match(r"\(\d+\) Exchange", b):
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", b)
+        if not m or "key" not in m.group(1):
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert inp is not None, b
+        assert "text#" not in inp.group(1), b
+        checked += 1
+    assert checked >= 2, plan  # new side and corpus side of the band join
