@@ -311,7 +311,6 @@ def dedup_against_corpus(
     key). The exact-Jaccard verify touches corpus token sets ONLY for
     candidate ids (semi-join first), and the final keep is an id-keyed
     anti-join — corpus text never rides a shuffle."""
-    nid, cid = F.col(id_col).alias("id"), F.col(id_col).alias("cid")
     sig_n = minhash_signature(new_docs, id_col, text_col, k)
     sig_c = minhash_signature(corpus, id_col, text_col, k)
     bn = _band_explode(sig_n, id_col, k, rows_per_band)
