@@ -162,9 +162,14 @@ def remove_duplicate_lines(
     exchange (the oracle-parity version here keys on the line itself).
     Empty lines are kept verbatim (they are structure, not content)
     and never counted as duplicates."""
+    import re as _re
+
+    # F.split takes a REGEX but array_join takes a literal — quote the
+    # separator so a metachar sep ("|", ".") splits literally instead of
+    # silently exploding every character
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
     )
     dup = (
         lines.filter(F.col("line") != "")
@@ -270,23 +275,19 @@ def semantic_dedup(
         c,
         vec_col="v",
     )
-    vd = lambda col: F.transform(col, lambda x: x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(vd(F.col("v_a")), vd(F.col("v_b")), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(
-        F.aggregate(
-            F.transform(vd(col), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
+    from .ann import _cos_col
+
     a = indexed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = indexed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # shared exact-cosine kernel (ann._cos_col): zero-norm vectors score
+    # 0.0 rather than NULL/NaN, one edge-case policy for both paths
+    cos = _cos_col(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6))
+        .withColumn("cos", F.round(cos, 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -331,9 +332,13 @@ def stratified_sample(
     # deterministic_sample: an executor-side double->long cast truncates
     # where DuckDB's CAST rounds (0.3*1e6 = 299999.99999999994), which
     # would break the cross-engine reproducibility this op exists for
+    # strata keys keep the column's OWN type (an int/date stratum would
+    # crash a hardcoded-string schema, and stringified keys would break
+    # the equi-join)
+    strata_type = df.schema[strata_col].dataType.simpleString()
     fr = spark.createDataFrame(
         [(k, int(float(v) * 1_000_000)) for k, v in fractions.items()],
-        f"{strata_col} string, __threshold long",
+        f"{strata_col} {strata_type}, __threshold long",
     )
     h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
     return (

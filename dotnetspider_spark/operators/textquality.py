@@ -212,14 +212,18 @@ def unigram_lm_score(
         .agg(F.count("*").alias("tf"))
     )
     vocab = tf.groupBy("token").agg(F.sum("tf").alias("ctok"))
-    total = vocab.agg(F.sum("ctok")).collect()[0][0]  # one scalar job
+    # scalar total stays IN the plan (broadcast single-row cross join,
+    # same shape as temperature_mix) — a driver-side collect would force
+    # the tokenize/explode/tf/vocab lineage to execute twice
+    total = vocab.agg(F.sum("ctok").cast("double").alias("__total"))
     scored = (
         tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
             (
-                F.sum(F.col("tf") * (F.log(F.lit(float(total))) - F.log("ctok")))
+                F.sum(F.col("tf") * (F.log(F.col("__total")) - F.log("ctok")))
                 / F.sum("tf")
             ).alias("__nll"),
         )

@@ -15,8 +15,15 @@ from hypothesis import strategies as st
 
 from dotnetspider_spark.operators.cuckoo import CuckooFilter
 
+# unique=True: >8 copies of one value share a fingerprint and both its
+# buckets (2 buckets x 4 slots), so the kick loop can NEVER place a 9th
+# copy — the all-inserted assertion below is only a contract for
+# distinct hashes (the seen-set use case dedups upstream anyway)
 hashes = st.lists(
-    st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=1,
+    max_size=200,
+    unique=True,
 )
 
 
