@@ -128,8 +128,16 @@ def main(argv: list[str] | None = None) -> int:
             res.crawl.errors.write.mode("overwrite").parquet(f"{out}/errors")
         if res.crawl.downloads is not None:
             res.crawl.downloads.write.mode("overwrite").parquet(f"{out}/downloads")
-        with open(f"{out}/metrics.json", "w") as f:
-            json.dump(res.crawl.metrics, f)
+        # Hadoop FS, not a local open(): `output` may be an hdfs://-style
+        # URI in cluster runs — the parquet writes above would succeed
+        # and then a local open() would crash before the summary prints
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{out}/metrics.json")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(jpath, True)
+        try:
+            stream.write(bytearray(json.dumps(res.crawl.metrics), "utf-8"))
+        finally:
+            stream.close()
     summary = {
         "iterations": res.crawl.iterations,
         "fetched": res.crawl.fetched.count(),

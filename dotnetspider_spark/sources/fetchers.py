@@ -245,8 +245,12 @@ class HttpFetcher:
                 # politeness applies to EVERY send, redirect hops
                 # included, keyed by the host actually being hit — a
                 # chain r1 -> r2 on the same host must still space the
-                # two requests (SleepTime, Spider.cs:181,805)
-                hop_host = urlsplit(cur).netloc
+                # two requests (SleepTime, Spider.cs:181,805).
+                # .hostname, not .netloc: the delay config and the
+                # batch 'host' column use the lowercased port-less host
+                # (urlops.url_host), so netloc ('H0.example:8080') would
+                # silently miss the lookup and skip the spacing
+                hop_host = urlsplit(cur).hostname or ""
                 delay = delays.get(hop_host, 0) / 1000.0
                 if delay > 0 and hop_host in last_at:
                     wait = last_at[hop_host] + delay - time.monotonic()
@@ -332,7 +336,9 @@ class DirectoryFetcher:
             spark.read.format("binaryFile")
             .load(f"{self.root}/*")
             .select(
-                F.regexp_extract(F.col("path"), r"([^/]+)\.[a-z]+$", 1).alias(
+                # extension class covers JPG/jp2-style names; lowercase-
+                # alpha-only returned '' for them -> spurious 404s
+                F.regexp_extract(F.col("path"), r"([^/]+)\.[A-Za-z0-9]+$", 1).alias(
                     "image_id"
                 ),
                 F.col("content").alias("bytes"),

@@ -32,10 +32,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dotnetspider_spark.testing.datagen import SEED_SCHEMA
 
-_SEED_COLS = [
-    "url", "method", "referer", "origin", "content", "headers",
-    "priority", "depth", "retried", "seq",
-]
+# derived from SEED_SCHEMA (not hand-listed) so a schema change cannot
+# silently misalign the generator's DataFrame columns
+_SEED_COLS = [f.split()[0] for f in SEED_SCHEMA.split(", ")]
 
 
 @dataclass(frozen=True)

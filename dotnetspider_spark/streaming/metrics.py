@@ -75,9 +75,13 @@ def windowed_host_metrics(
     """
     # NULL status (e.g. a timeout that never got an HTTP response) is an
     # ERROR: without the coalesce, a null propagates through both sums
-    # and the worst failures vanish from the error counter
+    # and the worst failures vanish from the error counter. Success =
+    # 2xx ONLY — the same predicate as the batch loop's _status_ok
+    # (crawler/loop.py): fetchers follow redirects internally, so a
+    # FINAL 3xx means the redirect budget ran out / no Location, which
+    # the loop counts as an error — the streaming view must agree
     is_ok = F.coalesce(
-        (F.col("status") >= 200) & (F.col("status") < 400), F.lit(False)
+        (F.col("status") >= 200) & (F.col("status") < 300), F.lit(False)
     )
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
