@@ -1358,9 +1358,9 @@ def q_sitemap_parse(spark, sf_dir):
         F.lit("  </loc><lastmod>2024-01-"), day,
         F.lit("</lastmod><priority>0."), (F.col("doc_id") % 10).cast("string"),
         F.lit("</priority></url><url><loc>http://host"), h, F.lit("/q/"), h,
-        F.lit("</loc></url><url><lastmod>orphan</lastmod></url></urlset>"
-              "<sitemapindex><sitemap><loc>http://host"), h,
-        F.lit("/sitemap2.xml</loc></sitemap></sitemapindex>"),
+        F.lit("?a=1&amp;b=2</loc></url><url><lastmod>orphan</lastmod></url>"
+              "</urlset><sitemapindex><sitemap><loc><![CDATA[http://host"), h,
+        F.lit("/sitemap2.xml]]></loc></sitemap></sitemapindex>"),
     )
     docs = d.select(
         F.concat(F.lit("host"), h).alias("host"), xml.alias("sitemap_xml")
@@ -2677,10 +2677,11 @@ def oracle_sql() -> dict[str, str]:
                        || '</priority></url><url><loc>http://host'
                        || CAST(doc_id AS VARCHAR) || '/q/'
                        || CAST(doc_id AS VARCHAR)
-                       || '</loc></url><url><lastmod>orphan</lastmod></url></urlset>'
-                       || '<sitemapindex><sitemap><loc>http://host'
+                       || '?a=1&amp;b=2</loc></url>'
+                       || '<url><lastmod>orphan</lastmod></url></urlset>'
+                       || '<sitemapindex><sitemap><loc><![CDATA[http://host'
                        || CAST(doc_id AS VARCHAR)
-                       || '/sitemap2.xml</loc></sitemap></sitemapindex>' AS xml
+                       || '/sitemap2.xml]]></loc></sitemap></sitemapindex>' AS xml
                 FROM documents WHERE doc_id < 300),
             blocks AS (
                 SELECT host, 'url' AS kind,
@@ -2694,8 +2695,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM d),
             parsed AS (
                 SELECT host, kind,
-                       nullif(regexp_extract(
-                           b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), '') AS url,
+                       replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               nullif(regexp_extract(
+                                   b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1), ''),
+                               '^<!\\[CDATA\\[(.*)\\]\\]>$', '\\1'),
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&apos;', ''''), '&amp;', '&') AS url,
                        nullif(regexp_extract(
                            b, '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '')
                            AS lastmod,

@@ -34,6 +34,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _drop_stale(path: str) -> None:
+    """Delete a superseded iteration snapshot so iterative state stays
+    bounded at ~2 copies instead of one per round (a 25-round CC over a
+    large graph would otherwise keep 26 full edge-set snapshots on
+    disk). Local paths only — the mkdtemp default; callers passing a
+    remote state_dir manage their own retention."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def _canon(edges: DataFrame, a: str, b: str) -> DataFrame:
     """Distinct undirected edges as (hi, lo), self-loops dropped."""
     return (
@@ -110,6 +123,7 @@ def connected_components(
         nxt = _small_star(_large_star(cur))
         nxt.write.mode("overwrite").parquet(f"{root}/iter={it}")
         nxt = spark.read.parquet(f"{root}/iter={it}")
+        _drop_stale(f"{root}/iter={it - 1}")  # consumed by the write above
         nfp = _fingerprint(nxt)
         cur = nxt
         if nfp == fp:
@@ -166,8 +180,6 @@ def pagerank(
     stats-compounding hazard the CC operator documents). Returns
     (id, rank) over all nodes appearing as src or dst.
     """
-    import tempfile
-
     spark = edges.sparkSession
     root = state_dir or tempfile.mkdtemp(prefix="spark-pr-state-")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -189,28 +201,37 @@ def pagerank(
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
     for it in range(1, n_iter + 1):
-        with_deg = ranks.join(
-            deg, ranks["id"] == deg["src"], "left"
-        ).select("id", "rank", "out_deg")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # persisted: consumed by TWO actions per iteration (the dangling
+        # scalar and the ranks write) — unpersisted, the rank-deg join
+        # would execute twice per round
+        with_deg = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left")
+            .select("id", "rank", "out_deg")
+            .persist()
         )
-        contribs = (
-            e.join(with_deg.filter(F.col("out_deg").isNotNull()),
-                   e["src"] == F.col("id"))
-            .select(F.col("dst").alias("id"),
-                    (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
-        ranks = nodes.join(contribs, "id", "left").select(
-            "id",
-            (F.lit(base)
-             + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
-        )
-        ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
-        ranks = spark.read.parquet(f"{root}/iter={it}")
+        try:
+            dangling = (
+                with_deg.filter(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            contribs = (
+                e.join(with_deg.filter(F.col("out_deg").isNotNull()),
+                       e["src"] == F.col("id"))
+                .select(F.col("dst").alias("id"),
+                        (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = nodes.join(contribs, "id", "left").select(
+                "id",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            )
+            ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
+            ranks = spark.read.parquet(f"{root}/iter={it}")
+        finally:
+            with_deg.unpersist()
+        _drop_stale(f"{root}/iter={it - 1}")
     return ranks

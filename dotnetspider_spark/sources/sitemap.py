@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _xml_unescape_loc(c):
+    """``<loc>`` values per sitemaps.org MUST be XML-entity-escaped and
+    MAY be CDATA-wrapped — decode both, or the seed fetch hits the wrong
+    URL ('?x=1&amp;y=2' verbatim) and request identity diverges from the
+    real page. Only the five predefined entities (all the spec
+    requires), as literal replaces with ``&amp;`` LAST so each pass
+    decodes exactly one escaping level; everything stays JVM-side and
+    DuckDB-restatable (no Python UDF)."""
+    c = F.regexp_replace(c, r"^<!\[CDATA\[(.*)\]\]>$", "$1")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
 def _entries(xml_col: str, kind: str):
     blocks = F.regexp_extract_all(
         F.col(xml_col), F.lit(f"(?s)<{kind}>(.*?)</{kind}>"), 1
@@ -41,7 +58,7 @@ def _entries(xml_col: str, kind: str):
         blocks,
         lambda b: F.struct(
             F.lit(kind).alias("kind"),
-            field(b, "loc").alias("loc"),
+            _xml_unescape_loc(field(b, "loc")).alias("loc"),
             field(b, "lastmod").alias("lastmod"),
             field(b, "priority").cast("double").alias("priority"),
         ),

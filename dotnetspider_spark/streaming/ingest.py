@@ -36,6 +36,30 @@ def stream_seeds(spark: SparkSession, seed_dir: str) -> DataFrame:
     )
 
 
+def _commit_batch(df: DataFrame, table_path: str, batch_id: int) -> None:
+    """Idempotent per-batch append: stage the batch, then move its files
+    into the table under deterministic batch-keyed names. A replayed
+    micro-batch (driver crash between the frontier and seen appends —
+    the window a plain ``mode("append")`` pair leaves open) first clears
+    any files from its own previous partial attempt, so re-running
+    converges to exactly one copy. The staging dir starts with ``_`` so
+    parquet readers ignore it mid-commit. Local-FS rename semantics,
+    matching the engine's manifest convention (crawler/loop.py
+    ``os.replace``); production swaps this for Hadoop FS rename or an
+    Iceberg transactional append."""
+    import glob
+    import os
+    import shutil
+
+    stage = f"{table_path}/_staging_batch_{batch_id}"
+    df.write.mode("overwrite").parquet(stage)
+    for old in glob.glob(f"{table_path}/batch{batch_id}-*.parquet"):
+        os.remove(old)
+    for i, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+        os.replace(p, f"{table_path}/batch{batch_id}-{i:05d}.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def stream_seeds_into_frontier(
     spark: SparkSession,
     seed_dir: str,
@@ -51,15 +75,25 @@ def stream_seeds_into_frontier(
     """
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark_b = batch_df.sparkSession
         fresh = seeds_to_frontier(batch_df)
         try:
             seen = spark_b.read.parquet(seen_path).select("identity")
-        except Exception:  # first batch: no seen table yet
+        except AnalysisException:  # first batch: no seen table yet.
+            # ONLY path-not-found: a transient FS/permission error must
+            # fail the (replayable) batch, not silently disable dedup
             seen = None
         fresh = dedup_push(fresh, seen) if seen is not None else fresh
-        fresh.write.mode("append").parquet(frontier_path)
-        fresh.select("identity").write.mode("append").parquet(seen_path)
+        # one materialization for both writes — the lineage includes the
+        # anti-join against the full seen table, the batch's dominant cost
+        fresh = fresh.persist()
+        try:
+            _commit_batch(fresh, frontier_path, batch_id)
+            _commit_batch(fresh.select("identity"), seen_path, batch_id)
+        finally:
+            fresh.unpersist()
 
     return (
         stream_seeds(spark, seed_dir)

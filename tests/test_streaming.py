@@ -221,3 +221,27 @@ def test_sessionize_hosts_state_survives_micro_batches(spark, tmp_path):
         ("a.example", "2024-01-01T00:02:00", "2024-01-01T00:02:00", 2),
     }  # late 01:30 merged into [02:00] without corrupting boundaries;
     #    open tails (a@03:00, b@00:05) not emitted
+
+
+def test_commit_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (driver crash between the frontier and
+    seen appends) must converge to exactly one copy — including after a
+    partial first attempt left stale batch files behind."""
+    from dotnetspider_spark.streaming.ingest import _commit_batch
+
+    table = str(tmp_path / "frontier")
+    df = spark.range(100).select(F.col("id"), F.lit("x").alias("v"))
+    _commit_batch(df, table, batch_id=3)
+    _commit_batch(df, table, batch_id=3)          # full replay
+    assert spark.read.parquet(table).count() == 100
+    _commit_batch(df.limit(40), table, batch_id=4)  # distinct batch appends
+    assert spark.read.parquet(table).count() == 140
+    # partial attempt: a leftover file from a crashed commit of batch 5
+    # is cleared when batch 5 replays
+    df.limit(10).write.mode("overwrite").parquet(str(tmp_path / "scratch"))
+    import glob as g
+    import os
+    part = sorted(g.glob(str(tmp_path / "scratch" / "part-*")))[0]
+    os.replace(part, f"{table}/batch5-99999.parquet")
+    _commit_batch(df.limit(25), table, batch_id=5)
+    assert spark.read.parquet(table).count() == 165
