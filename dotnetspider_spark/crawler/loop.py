@@ -232,6 +232,20 @@ def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
             df = df.withColumn(col, F.coalesce(F.col(col), default))
     if "seq" not in df.columns:
         df = _dense_seq_by_url(df)
+    else:
+        # present-but-NULL seq rows (Spider.run unions seed sources with
+        # allowMissingColumns=True) would be DESTROYED downstream:
+        # min_by(struct, seq) over an all-NULL key returns a NULL struct,
+        # silently losing those seeds. Assign them the same deterministic
+        # url-ranked seq as the no-seq path, offset past any explicit seq
+        # (2^40 — explicit seqs keep precedence; seq is a long)
+        with_seq = df.filter(F.col("seq").isNotNull())
+        null_seq = df.filter(F.col("seq").isNull()).drop("seq")
+        df = with_seq.unionByName(
+            _dense_seq_by_url(null_seq).withColumn(
+                "seq", (F.col("seq") + F.lit(1 << 40)).cast("long")
+            )
+        )
     df = df.withColumn("host", url_host(F.col("url"))).withColumn(
         "identity",
         request_identity(

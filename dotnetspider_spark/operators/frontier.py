@@ -29,13 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: frontier columns every operator preserves
-FRONTIER_COLS = [
-    "url", "host", "method", "referer", "origin", "content", "headers",
-    "priority", "depth", "retried", "seq", "iter", "identity",
-]
-
-
 def dedup_push(
     candidates: DataFrame,
     seen: DataFrame | None,
@@ -70,8 +63,13 @@ def dedup_push(
     )
     if seen is None:
         return first
+    # no .distinct() on the seen side: left-anti only tests existence,
+    # so right-side duplicates cannot change the output — and distinct
+    # would force a full shuffle+aggregate of the ENTIRE accumulated
+    # seen set every iteration (O(seen) work the 10^10-row design point
+    # forbids)
     return first.join(
-        seen.select(F.col(identity_col)).distinct(), on=identity_col, how="left_anti"
+        seen.select(F.col(identity_col)), on=identity_col, how="left_anti"
     )
 
 
@@ -167,27 +165,19 @@ def eligible(
 ) -> DataFrame:
     """Pre-fetch gates: depth (Page.cs:151-152, Spider.cs:66), retry budget
     (CycleRetryTimes default 5, Spider.cs:186), robots allow/deny (absent
-    in the reference; required by the north rule — broadcast-joined)."""
+    in the reference; required by the north rule). Robots delegates to
+    the engine's real matcher (``crawler.loop._robots_gate``:
+    scheme-agnostic path match, longest-prefix-wins with the Google
+    allow tie-break) — this wrapper previously carried its OWN
+    literal-``http://``-LIKE, any-deny-wins matcher, which silently
+    ignored rules for https URLs and inverted equal-length verdicts."""
     df = frontier.filter(F.col("retried") <= max_retries)
     if max_depth is not None:
         df = df.filter(F.col("depth") <= max_depth)
     if robots is not None:
-        rules = F.broadcast(robots.select("host", "path_prefix", "allow"))
-        df = (
-            df.join(rules, on="host", how="left")
-            .withColumn(
-                "__rule_hit",
-                F.col("path_prefix").isNotNull()
-                & F.expr("url like concat('http://', host, path_prefix, '%')"),
-            )
-            .withColumn(
-                "__deny", F.col("__rule_hit") & ~F.coalesce(F.col("allow"), F.lit(True))
-            )
-            .groupBy(*[c for c in df.columns])
-            .agg(F.max("__deny").alias("__denied"))
-            .filter(~F.coalesce(F.col("__denied"), F.lit(False)))
-            .drop("__denied")
-        )
+        from dotnetspider_spark.crawler.loop import _robots_gate
+
+        df = _robots_gate(df, robots)
     return df
 
 

@@ -213,9 +213,27 @@ class Spider:
         items: dict[str, DataFrame] = {}
         if self._models:
             # re-join fetched urls to the corpus html (the loop's fetched
-            # table carries frontier cols; content lives in the corpus)
-            pages = res.fetched.select("url", "depth", "iter", "rank").join(
-                self._corpus.select("url", "html"), "url", "inner"
+            # table carries frontier cols; content lives in the corpus).
+            # Join on the POST-REDIRECT url when present: a 301 source
+            # url's corpus row is an empty stub — the html that was
+            # actually fetched lives under target_url (Downloader.cs:
+            # 211-220 replaces the request url after redirects)
+            import pyspark.sql.functions as F
+
+            fetched_cols = ["url", "depth", "iter", "rank"]
+            content_url = (
+                F.coalesce("target_url", "url")
+                if "target_url" in res.fetched.columns
+                else F.col("url")
+            )
+            pages = (
+                res.fetched.select(*fetched_cols, content_url.alias("__curl"))
+                .join(
+                    self._corpus.select(F.col("url").alias("__curl"), "html"),
+                    "__curl",
+                    "inner",
+                )
+                .drop("__curl")
             )
             for model in self._models:
                 out = extract(model, pages, content_col="html", page_key="url")

@@ -215,3 +215,56 @@ def test_spider_processor_and_errors(spark, corpus):
         == 5
     )
     assert bad.count() == 0
+
+
+def test_seed_df_without_seq_is_not_silently_lost(spark, corpus):
+    """A seed_df LACKING the seq column gets NULL seq from the
+    allowMissingColumns union; min_by(struct, seq) over an all-NULL key
+    returns a NULL struct, which used to turn those seeds into all-NULL
+    frontier rows (url=None) — never crawled, no diagnostic. They must
+    crawl, ordered after explicitly-sequenced seeds."""
+    seed_df = spark.createDataFrame([(page_url(0, CFG),)], "url string")
+    res = (
+        Spider(spark)
+        .add_seed_df(seed_df)
+        .add_seeds([page_url(1, CFG)])
+        .set_corpus(corpus)
+        .depth(1)
+        .run()
+    )
+    fetched = res.crawl.fetched.select("url", "seq").collect()
+    urls = {r.url for r in fetched}
+    assert page_url(0, CFG) in urls and page_url(1, CFG) in urls
+    assert all(r.seq is not None for r in fetched)
+    # explicit seqs keep precedence: the null-seq seed sorts after
+    by_url = {r.url: r.seq for r in fetched}
+    assert by_url[page_url(0, CFG)] > by_url[page_url(1, CFG)]
+
+
+def test_entity_extraction_uses_post_redirect_html(spark):
+    """A 301 source url's corpus row is an empty stub; the html actually
+    fetched lives under target_url. Extraction must join the corpus on
+    the POST-redirect url (Downloader.cs:211-220 replaces the request
+    url) — joining on the original url extracted zero items from every
+    redirected page."""
+    from dotnetspider_spark.testing.datagen import gen_corpus
+
+    cfg = CorpusConfig(n_pages=40, n_hosts=2, redirect_every=10)
+    corpus = gen_corpus(spark, cfg, parallelism=2)
+    redirect_url = page_url(13, cfg)  # 13 % 10 == 3, i > 3 -> 301 stub
+    model = EntityModel(
+        name="cap", fields=(Field("caption", "css-cap", ""),)
+    )
+    res = (
+        Spider(spark)
+        .add_seeds([redirect_url])
+        .set_corpus(corpus)
+        .depth(1)
+        .add_entity_model(model)
+        .run()
+    )
+    fetched = res.crawl.fetched.collect()
+    assert len(fetched) == 1 and fetched[0].url == redirect_url
+    items = res.items["cap"].collect()
+    assert len(items) == 1, "redirected page extracted nothing"
+    assert items[0].caption  # the TARGET page's caption, not the stub's
