@@ -698,12 +698,20 @@ def crawl(
         #         not fetched twice. Must land before this iteration's
         #         dedup-push (children may already link to the target) --
         if track_redirects:
+            redirected = fetched_raw.filter(
+                _status_ok() & (F.col("target_url") != F.col("url"))
+            )
+            if "redirect_hops" in fetched_raw.columns:
+                # multi-hop chains: EVERY visited hop (intermediates +
+                # final) is marked seen, so a later link to any point of
+                # the chain is a dup (Downloader.cs:57-64 follows the
+                # whole chain in one request)
+                hop_url = F.explode("redirect_hops").alias("__hop")
+                redirected = redirected.select(
+                    hop_url, "referer", "origin", "headers"
+                ).withColumnRenamed("__hop", "target_url")
             extra_seen = (
-                fetched_raw.filter(
-                    _status_ok()
-                    & (F.col("target_url") != F.col("url"))
-                )
-                .select(
+                redirected.select(
                     request_identity(
                         F.col("target_url"), method=F.lit("GET"),
                         referer=F.col("referer"), origin=F.col("origin"),

@@ -239,8 +239,19 @@ def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
             # test below (test_crawl) pins byte-identical output.
             # Guards: "/." excludes every dot segment ("/./", "/..");
             # embedded tab/newline must fall through (urlsplit strips
-            # ASCII tab/newline anywhere — bpo-43882).
-            clean = "/." not in raw and "\t" not in raw and "\n" not in raw and "\r" not in raw
+            # ASCII tab/newline anywhere — bpo-43882); ";" must fall
+            # through because urljoin (via urlparse) splits a trailing
+            # ";params" off the last path segment and DROPS it when
+            # empty ("/x;" -> "/x"), which urlsplit-based shortcuts
+            # keep — identity divergence (Hypothesis counterexample
+            # path="/;", round-3 verdict item 2).
+            clean = (
+                "/." not in raw
+                and "\t" not in raw
+                and "\n" not in raw
+                and "\r" not in raw
+                and ";" not in raw
+            )
             if (
                 clean
                 and raw.startswith("/")
@@ -262,6 +273,7 @@ def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
                     if (
                         raw.startswith(("http://", "https://"))
                         and "/." not in raw
+                        and ";" not in raw
                     ):
                         s = urlsplit(raw)
                     else:

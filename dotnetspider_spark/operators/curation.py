@@ -500,6 +500,8 @@ def domain_quota(
     key_col: str = "doc_id",
     quota: int = 100,
     salt: str = "quota",
+    oversample: int = 8,
+    mega_factor: int = 50,
 ) -> DataFrame:
     """Cap pages kept per domain (C4 and RefinedWeb both bound how much
     any single site contributes to the corpus — without a cap, a few
@@ -508,21 +510,43 @@ def domain_quota(
     so the survivor set is a uniform within-host sample that is
     identical across runs, engines and partitionings.
 
-    Shape: one host-keyed window (rank over hash) — parallel across
-    hosts, one shuffle keyed on host. The skew caveat is the window's
-    partition itself: a host with 10^8 pages makes one task sort 10^8
-    rows. For that regime pre-filter with the hash-threshold trick
-    instead (quota/n_host as a fraction, see ``stratified_sample``) and
-    use this exact-rank form for the long tail; at typical per-host
-    cardinalities the single window is the cheaper plan."""
+    Shape: a hash-threshold PREFILTER composed with one host-keyed
+    window (rank over hash). The exact window alone would make a
+    10^8-page host sort 10^8 rows in one task; instead, hosts with
+    more than ``mega_factor * quota`` rows (found by a cheap partial
+    agg, broadcast back — the mega-host list is tiny by definition)
+    are first cut to an expected ``oversample * quota`` rows by
+    keeping only hashes below ``oversample*quota/n_host`` of the hash
+    space. Because the prefilter and the rank order use the SAME
+    hash, the final survivor set is byte-identical to the pure-window
+    form whenever >= quota rows pass the prefilter — and with an
+    8x oversample the shortfall probability is exp(-O(quota)),
+    negligible at any real quota. Long-tail hosts skip the prefilter
+    entirely and pay only the window."""
     from pyspark.sql import Window
 
     from .textdedup import _hash64
 
     h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string")))
-    w = Window.partitionBy(host_col).orderBy(h.asc(), F.col(key_col).asc())
+    counts = df.groupBy(host_col).agg(F.count(F.lit(1)).alias("__n_host"))
+    mega = counts.filter(F.col("__n_host") > mega_factor * quota)
+    # 60-bit hash space; threshold scaled per mega host
+    thresh = (
+        F.lit(float(2**60))
+        * F.lit(float(oversample * quota))
+        / F.col("__n_host")
+    )
+    pre = (
+        df.withColumn("__h", h)
+        .join(F.broadcast(mega), host_col, "left")
+        .filter(F.col("__n_host").isNull() | (F.col("__h") <= thresh))
+        .drop("__n_host")
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pre.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
-        .drop("__rn")
+        .drop("__rn", "__h")
     )

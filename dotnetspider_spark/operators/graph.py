@@ -163,6 +163,7 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     state_dir: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank power iteration over the crawl link graph (Page & Brin
     1998) — the classic frontier-prioritization signal (feed the scores
@@ -179,6 +180,11 @@ def pagerank(
     parquet-round-tripped between iterations (the Spark-4 checkpoint
     stats-compounding hazard the CC operator documents). Returns
     (id, rank) over all nodes appearing as src or dst.
+
+    ``tol``: optional L1 convergence stop — iteration ends early when
+    ``Σ|rank_t - rank_{t-1}| < tol`` (one extra scalar aggregate per
+    iteration over the already-joined old/new ranks, the same pattern
+    as the CC fingerprint; ``n_iter`` stays the hard cap).
     """
     spark = edges.sparkSession
     root = state_dir or tempfile.mkdtemp(prefix="spark-pr-state-")
@@ -224,13 +230,29 @@ def pagerank(
                 .agg(F.sum("c").alias("contrib"))
             )
             base = (1.0 - damping) / n + damping * dangling / n
-            ranks = nodes.join(contribs, "id", "left").select(
+            new_ranks = nodes.join(contribs, "id", "left").select(
                 "id",
                 (F.lit(base)
                  + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
             )
-            ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
-            ranks = spark.read.parquet(f"{root}/iter={it}")
+            new_ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
+            new_ranks = spark.read.parquet(f"{root}/iter={it}")
+            if tol is not None:
+                # L1 delta vs previous ranks: one join keyed on id over
+                # two parquet-backed sides, one scalar agg
+                delta = (
+                    new_ranks.select("id", F.col("rank").alias("__new"))
+                    .join(ranks.select("id", F.col("rank").alias("__old")),
+                          "id")
+                    .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    _drop_stale(f"{root}/iter={it - 1}")
+                    break  # finally still unpersists with_deg
+            else:
+                ranks = new_ranks
         finally:
             with_deg.unpersist()
         _drop_stale(f"{root}/iter={it - 1}")

@@ -75,14 +75,16 @@ def quality_signals(
             )
         )
     )
+    # counts cast to long: DuckDB emits BIGINT for these, and the driver
+    # hash compares at the typed Arrow layer (int32 vs int64 = mismatch)
     return docs.select(
         F.col(id_col),
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         F.round(sym_ratio, 6).alias("symbol_word_ratio"),
         F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        stop_hits.alias("stop_word_hits"),
+        stop_hits.cast("long").alias("stop_word_hits"),
     )
 
 

@@ -169,6 +169,7 @@ def crawl(
     processor=None,
     skip_targets_when_result_empty: bool = False,
     priority_first: bool = False,
+    max_redirects: int = 10,
 ) -> CrawlResult:
     """Single-threaded reference crawl over the synthetic corpus.
 
@@ -218,13 +219,30 @@ def crawl(
                 res.errors.append((req.url, req.retried, "robots_denied"))
                 continue
         page = corpus.get(req.url)
-        # single-hop redirect replay (page.TargetUrl, Downloader.cs:211-220):
-        # serve the TARGET's status/content; links resolve against the
-        # final URL; on success its virgin-GET identity is marked seen
+        # redirect-chain replay (page.TargetUrl, Downloader.cs:211-220 +
+        # the <=max_redirects auto-follow budget, Downloader.cs:57-64):
+        # serve the FINAL page's status/content; links resolve against
+        # the final URL; on success every visited hop's virgin-GET
+        # identity is marked seen. A chain still redirecting after the
+        # budget surfaces the last hop's own 3xx row -> http_3xx error.
         target_url = req.url
-        if page is not None and page.get("redirect_to"):
+        hops: list[str] = []
+        while (
+            page is not None
+            and page.get("redirect_to")
+            and len(hops) < max_redirects
+        ):
             target_url = page["redirect_to"]
+            hops.append(target_url)
             page = corpus.get(target_url)
+        if page is not None and page.get("redirect_to"):
+            # budget exhausted mid-chain: final response is the 3xx row
+            sched.error += 1
+            res.error += 1
+            res.errors.append(
+                (req.url, req.retried, f"http_{page['status']}")
+            )
+            continue
         if page is None or page["status"] == 404:
             sched.error += 1
             res.error += 1
@@ -255,11 +273,12 @@ def crawl(
         res.success += 1
         res.fetch_order.append(req.url)
         res.fetched_pages[req.url] = req.depth
-        if target_url != req.url:
-            # post-redirect dedup: a later link to the final URL is a dup
+        for hop_url in hops:
+            # post-redirect dedup: a later link to ANY visited hop
+            # (intermediate or final) is a dup
             sched.remover._seen.add(
                 Request(
-                    url=target_url,
+                    url=hop_url,
                     referer=req.referer,
                     origin=req.origin,
                     headers=dict(req.headers) if req.headers else None,

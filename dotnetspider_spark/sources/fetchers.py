@@ -12,8 +12,8 @@ The reference's downloader hierarchy maps onto three fetcher shapes:
   proxy hash with cookie affinity, :202-271 — per-partition reuse is the
   Spark-native equivalent). The transport is INJECTABLE: the sandbox has
   no network, so tests drive the full stage through ``DictTransport``
-  (the FakeDownloader analog); production injects an httpx/urllib3-backed
-  factory with the identical call contract.
+  (the FakeDownloader analog); production injects ``Urllib3Transport``
+  (pooled urllib3, below) with the identical call contract.
 - ``DirectoryFetcher`` <- file downloads saved under ``downloads/host/``
   (Downloader.cs:247-279): reads payload files per row.
 
@@ -41,12 +41,21 @@ class CorpusFetcher:
     for ``("status", "html")``; the payload stage asks for the image
     columns — column pruning reaches the corpus scan either way.
 
-    If the corpus carries a ``redirect_to`` column, a non-null value
-    replays a single-hop redirect (the corpus analog of HttpClient
-    auto-follow): the row's ``status``/``html`` come from the TARGET
-    page and ``target_url`` records the post-redirect URL
-    (Downloader.cs:211-220 ``page.TargetUrl``). Fixture redirects are
-    single-hop by construction (testing.datagen).
+    If the corpus carries a ``redirect_to`` column, non-null values
+    replay redirect CHAINS (the corpus analog of HttpClient
+    auto-follow, <= ``max_redirects`` hops, Downloader.cs:57-64): the
+    row's ``status``/``html`` come from the FINAL page, ``target_url``
+    records the post-redirect URL (Downloader.cs:211-220
+    ``page.TargetUrl``) and ``redirect_hops`` the full visited chain
+    (for the loop's seen-marking of intermediate identities). A chain
+    still 3xx after the budget serves the last hop's OWN row (status
+    301 -> the loop's http_3xx error path).
+
+    Scale shape: the redirect CLOSURE is computed ONCE per fetcher
+    (not per iteration) by iterating a self-join over only the
+    redirecting rows — a small fraction of any real corpus — with an
+    early exit when every chain is resolved; per-iteration fetch cost
+    stays two hash joins regardless of chain depth.
     """
 
     def __init__(
@@ -54,12 +63,15 @@ class CorpusFetcher:
         corpus: DataFrame,
         content_cols: tuple[str, ...] = ("status", "html"),
         follow_redirects: bool | None = None,
+        max_redirects: int = 10,
     ):
         self.corpus = corpus
         self.content_cols = content_cols
         #: None = probe once on first fetch (a pushed-filter limit-1 scan)
         #: so redirect-free corpora never pay the per-iteration hop join
         self._follow = follow_redirects
+        self.max_redirects = max_redirects
+        self._closure: DataFrame | None = None
 
     def _has_redirects(self) -> bool:
         if self._follow is None:
@@ -69,25 +81,74 @@ class CorpusFetcher:
             )
         return self._follow
 
+    def _redirect_closure(self) -> DataFrame:
+        """(url, final_url, redirect_hops) for every redirecting url.
+
+        Iteratively advances each chain through the redirect edge set
+        until no chain advanced or the hop budget is spent. Driver loop
+        is bounded by ``max_redirects``; each step joins only the
+        still-unresolved chains (monotonically shrinking) against the
+        edge set. Cached — the corpus is immutable for a crawl.
+        """
+        if self._closure is not None:
+            return self._closure
+        edges = (
+            self.corpus.filter(F.col("redirect_to").isNotNull())
+            .select(F.col("url"), F.col("redirect_to"))
+        )
+        state = edges.select(
+            "url",
+            F.col("redirect_to").alias("final_url"),
+            F.array(F.col("redirect_to")).alias("redirect_hops"),
+        ).cache()
+        for _ in range(self.max_redirects - 1):
+            nxt = edges.select(
+                F.col("url").alias("__e_url"),
+                F.col("redirect_to").alias("__e_to"),
+            )
+            advanced = (
+                state.join(nxt, state["final_url"] == nxt["__e_url"], "left")
+                .select(
+                    "url",
+                    F.coalesce("__e_to", "final_url").alias("final_url"),
+                    F.when(
+                        F.col("__e_to").isNotNull(),
+                        F.array_append("redirect_hops", F.col("__e_to")),
+                    )
+                    .otherwise(F.col("redirect_hops"))
+                    .alias("redirect_hops"),
+                    F.col("__e_to").isNotNull().alias("__moved"),
+                )
+            ).cache()
+            moved = advanced.filter(F.col("__moved")).limit(1).count()
+            state.unpersist()
+            state = advanced.drop("__moved")
+            if moved == 0:
+                break
+        self._closure = state
+        return state
+
     def fetch(self, batch: DataFrame) -> DataFrame:
         has_redirects = self._has_redirects()
-        cols = list(self.content_cols) + (["redirect_to"] if has_redirects else [])
-        pages = self.corpus.select("url", *cols)
-        out = batch.join(pages, "url", "left")
-        if has_redirects:
+        if not has_redirects:
+            pages = self.corpus.select("url", *self.content_cols)
+            out = batch.join(pages, "url", "left")
+        else:
+            closure = self._redirect_closure()
+            out = (
+                batch.join(closure, "url", "left")
+                .withColumn(
+                    "target_url", F.coalesce(F.col("final_url"), F.col("url"))
+                )
+                .drop("final_url")
+            )
             tgt = self.corpus.select(
-                F.col("url").alias("redirect_to"),
+                F.col("url").alias("target_url"),
                 *[F.col(c).alias(f"__t_{c}") for c in self.content_cols],
             )
-            out = out.join(tgt, "redirect_to", "left")
-            is_redir = F.col("redirect_to").isNotNull()
+            out = out.join(tgt, "target_url", "left")
             for c in self.content_cols:
-                out = out.withColumn(
-                    c, F.when(is_redir, F.col(f"__t_{c}")).otherwise(F.col(c))
-                ).drop(f"__t_{c}")
-            out = out.withColumn(
-                "target_url", F.coalesce(F.col("redirect_to"), F.col("url"))
-            ).drop("redirect_to")
+                out = out.withColumn(c, F.col(f"__t_{c}")).drop(f"__t_{c}")
         if "status" in self.content_cols:
             out = out.withColumn("status", F.coalesce(F.col("status"), F.lit(404)))
         return out
@@ -133,12 +194,106 @@ class DictTransport:
                 hdrs["content-type"] = page["content_type"]
             if page.get("location"):
                 hdrs["location"] = page["location"]
+            if page.get("set_cookie"):
+                hdrs["set-cookie"] = page["set_cookie"]
             body = page.get("body", b"")
             if isinstance(body, str):
                 body = body.encode("utf-8")
             return int(page.get("status", 200)), hdrs, body
 
         send.log = log
+        return send
+
+
+class Urllib3Transport:
+    """Production HTTP transport (HttpClientDownloader.cs:74-188): one
+    pooled ``urllib3.PoolManager`` per partition, honoring the
+    ``send(method, url, headers, timeout_s) -> (status, headers, body)``
+    contract the fetch stage drives.
+
+    - auto-redirect DISABLED (``redirect=False``): the stage itself does
+      the <=10 manual hops with RFC-3986 resolution (the reference sets
+      AllowAutoRedirect and reads the final URL; our stage needs every
+      hop to mark intermediate identities seen);
+    - retries DISABLED: the loop's AddToCycleRetry path owns retry
+      semantics (Spider.cs:1212-1267), a transport-level retry would
+      double-count;
+    - connection-level failures (timeout, refused, DNS, TLS) raise
+      :class:`TransportError` -> status 599 -> transient-retry path;
+    - gzip/deflate accepted and transparently decoded (urllib3
+      ``decode_content``), mirroring HttpClientDownloader's
+      AutomaticDecompression;
+    - default User-Agent = the reference's hardcoded Chrome default
+      (Request.cs:20-21); per-request headers override defaults.
+
+    ``pool_factory`` is injectable (a zero-arg picklable callable
+    returning a PoolManager-shaped object) so tests drive the exact
+    production code path without network or executor monkeypatching.
+    """
+
+    USER_AGENT = (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+        "(KHTML, like Gecko) Chrome/69.0.3497.81 Safari/537.36"
+    )
+
+    def __init__(
+        self,
+        pool_factory=None,
+        maxsize: int = 10,
+        default_headers: dict | None = None,
+    ):
+        # config only — the pool is built inside __call__ so the
+        # instance pickles into the executor closure cleanly
+        self.pool_factory = pool_factory
+        self.maxsize = maxsize
+        self.default_headers = dict(default_headers or {})
+
+    def __call__(self):
+        import urllib3
+
+        if self.pool_factory is not None:
+            pool = self.pool_factory()
+        else:
+            pool = urllib3.PoolManager(maxsize=self.maxsize, retries=False)
+        defaults = {
+            "user-agent": self.USER_AGENT,
+            "accept-encoding": "gzip, deflate",
+            **{k.lower(): v for k, v in self.default_headers.items()},
+        }
+
+        def send(method, url, headers, timeout_s):
+            import urllib3
+
+            merged = dict(defaults)
+            if headers:
+                merged.update(
+                    {str(k).lower(): str(v) for k, v in dict(headers).items()}
+                )
+            try:
+                resp = pool.request(
+                    method or "GET",
+                    url,
+                    headers=merged,
+                    timeout=urllib3.Timeout(total=timeout_s),
+                    redirect=False,
+                    retries=False,
+                    preload_content=True,
+                )
+            except urllib3.exceptions.HTTPError as e:
+                # TimeoutError / NewConnectionError / NameResolutionError
+                # / SSLError / ProtocolError all subclass HTTPError
+                raise TransportError(f"{type(e).__name__}: {url}") from e
+            hdrs = dict(resp.headers)
+            # dict() collapses repeated Set-Cookie headers (and ", "
+            # joining is ambiguous — commas occur in expires dates);
+            # hand the stage the intact list instead
+            getlist = getattr(resp.headers, "getlist", None)
+            if getlist is not None:
+                sc = getlist("Set-Cookie")
+                if len(sc) > 1:
+                    hdrs["Set-Cookie"] = list(sc)
+            return int(resp.status), hdrs, resp.data or b""
+
         return send
 
 
@@ -202,14 +357,16 @@ class HttpFetcher:
       (header -> meta -> utf-8, Downloader.cs:211-220), done in the SAME
       pass so no second Python crossing.
 
-    The sandbox has no network: production injects e.g. an httpx-backed
-    factory; tests inject :class:`DictTransport`. The stage itself —
+    The sandbox has no network: production injects
+    :class:`Urllib3Transport`; tests inject :class:`DictTransport` (or
+    ``Urllib3Transport(pool_factory=fake)``). The stage itself —
     partitioning, delay, redirects, schema — is identical either way.
     """
 
     EXTRA_SCHEMA = (
         "status int, bytes binary, target_url string, content_type string, "
-        "encoding string, html string, fetch_ms long"
+        "encoding string, html string, fetch_ms long, "
+        "redirect_hops array<string>"
     )
 
     def __init__(
@@ -219,12 +376,21 @@ class HttpFetcher:
         max_redirects: int = 10,
         n_partitions: int | None = None,
         crawl_delay_ms: dict[str, int] | None = None,
+        cookies: dict[str, dict[str, str]] | None = None,
     ):
         self.transport_factory = transport_factory
         self.timeout_s = timeout_s
         self.max_redirects = max_redirects
         self.n_partitions = n_partitions
         self.crawl_delay_ms = dict(crawl_delay_ms or {})
+        #: initial per-HOST cookie jars (the CookieInjector analog,
+        #: Downloader.cs:74,102-173). At runtime each partition keeps
+        #: its own jar map: set-cookie responses update it, subsequent
+        #: same-host sends (redirect hops included) carry it. Host-
+        #: partitioning makes the jar authoritative per host — the
+        #: Spark-native twin of the reference's CookieContainer-per-
+        #: client affinity.
+        self.cookies = {h: dict(c) for h, c in (cookies or {}).items()}
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         import pandas as pd
@@ -233,6 +399,7 @@ class HttpFetcher:
         timeout_s = self.timeout_s
         max_redirects = self.max_redirects
         delays = self.crawl_delay_ms
+        seed_cookies = self.cookies
         out_fields = [f.split()[0] for f in self.EXTRA_SCHEMA.split(", ")]
 
         def fetch_partition(batches):
@@ -240,6 +407,9 @@ class HttpFetcher:
 
             send = factory()  # ONE pooled client per partition
             last_at: dict[str, float] = {}
+            jars: dict[str, dict[str, str]] = {
+                h: dict(c) for h, c in seed_cookies.items()
+            }
 
             def spaced_send(method, cur, headers):
                 # politeness applies to EVERY send, redirect hops
@@ -256,10 +426,39 @@ class HttpFetcher:
                     wait = last_at[hop_host] + delay - time.monotonic()
                     if wait > 0:
                         time.sleep(wait)
+                # cookie injection: the HOP host's jar rides the send
+                # (domain-scoped — a cross-host redirect must not leak
+                # the previous host's cookies); a row-level cookie
+                # header is preserved after the jar's
+                jar = jars.get(hop_host)
+                if jar:
+                    hdr = dict(headers) if headers else {}
+                    own = next(
+                        (v for k, v in hdr.items() if k.lower() == "cookie"),
+                        None,
+                    )
+                    jar_str = "; ".join(f"{k}={v}" for k, v in jar.items())
+                    hdr["cookie"] = f"{jar_str}; {own}" if own else jar_str
+                    headers = hdr
                 try:
-                    return send(method or "GET", cur, headers, timeout_s)
+                    st, hd, bd = send(method or "GET", cur, headers, timeout_s)
                 finally:
                     last_at[hop_host] = time.monotonic()
+                # set-cookie capture (name=value of each cookie line;
+                # attributes dropped — the jar is per-host already)
+                sc = next(
+                    (v for k, v in hd.items() if k.lower() == "set-cookie"),
+                    None,
+                )
+                if sc:
+                    for item in sc if isinstance(sc, list) else [sc]:
+                        first = str(item).split(";", 1)[0]
+                        if "=" in first:
+                            n, v = first.split("=", 1)
+                            jars.setdefault(hop_host, {})[n.strip()] = (
+                                v.strip()
+                            )
+                return st, hd, bd
 
             for pdf in batches:
                 extras: dict[str, list] = {f: [] for f in out_fields}
@@ -268,6 +467,7 @@ class HttpFetcher:
                 ):
                     t0 = time.monotonic()
                     cur, status, hdrs, body = url, 599, {}, b""
+                    hops: list[str] = []
                     try:
                         for hop in range(max_redirects + 1):
                             status, hdrs, body = spaced_send(
@@ -283,6 +483,7 @@ class HttpFetcher:
                             # redirect budget runs out mid-chain
                             if 300 <= status < 400 and loc and hop < max_redirects:
                                 cur = urljoin(cur, loc)
+                                hops.append(cur)
                                 continue
                             break
                     except TransportError:
@@ -308,6 +509,7 @@ class HttpFetcher:
                         (
                             status, bytes(body) if body else None, cur, ctype,
                             enc, html, int((time.monotonic() - t0) * 1000),
+                            hops or None,
                         ),
                     ):
                         extras[f].append(v)

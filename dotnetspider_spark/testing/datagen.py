@@ -36,11 +36,26 @@ class CorpusConfig:
     fail_500_every: int = 53  # transient -> retry path
     fail_404_every: int = 71  # permanent
     private_every: int = 37  # lives under /private/ (robots-denied prefix)
-    #: >0: page i with i % redirect_every == 3 (i>3) is a 301 redirect to
-    #: page i-1 (single-hop by construction — consecutive ids can't both
-    #: hit the modulus). Redirect wins over the 500/404 moduli. 0 = off,
-    #: keeping pre-existing fixtures byte-identical.
+    #: >0: page i with 3 <= i % redirect_every < 3 + redirect_chain_len
+    #: (i>3) is a 301 redirect to page i-1, so residues 3..3+L-1 form a
+    #: CHAIN of up to L hops ending at residue 2. chain_len=1 keeps the
+    #: original single-hop rule byte-identical. Redirect wins over the
+    #: 500/404 moduli. 0 = off, keeping pre-existing fixtures identical.
     redirect_every: int = 0
+    #: chain length L; requires 3 + L <= redirect_every so a chain can't
+    #: wrap onto the next chain's head. L > max_redirects (10) exercises
+    #: the budget-exhaustion path (final response still 3xx -> error).
+    redirect_chain_len: int = 1
+
+    def __post_init__(self):
+        if self.redirect_every > 0 and (
+            3 + self.redirect_chain_len > self.redirect_every
+        ):
+            raise ValueError(
+                "redirect_chain_len must satisfy 3 + L <= redirect_every "
+                f"(got L={self.redirect_chain_len}, "
+                f"every={self.redirect_every})"
+            )
 
 
 CORPUS_COLUMNS = [
@@ -102,7 +117,11 @@ def corpus_row(i: int, cfg: CorpusConfig) -> dict:
     """The single source of truth for page i. Pure, deterministic."""
     url = page_url(i, cfg)
     host = url.split("/")[2]
-    if cfg.redirect_every > 0 and i > 3 and i % cfg.redirect_every == 3:
+    if (
+        cfg.redirect_every > 0
+        and i > 3
+        and 3 <= i % cfg.redirect_every < 3 + cfg.redirect_chain_len
+    ):
         # 301 stub: no content of its own — fetchers follow the hop and
         # serve the TARGET's status/html with target_url recorded
         return {

@@ -558,3 +558,365 @@ def test_read_warc_dataframe(spark, tmp_path):
     assert ("http://h1/p/2", 200, "<html>1-2</html>") in got
     assert ("http://h0/p/0", 500, "<html>0-0</html>") in got
     assert all(r.record_content_type == "application/http;msgtype=response" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Urllib3Transport — the production transport factory (§2.5), driven
+# through an injected PoolManager-shaped fake (no network, no
+# monkeypatching: the fake rides the executor pickle like production)
+# ---------------------------------------------------------------------------
+
+
+class _FakeResponse:
+    def __init__(self, status, headers, data):
+        self.status, self.headers, self.data = status, headers, data
+
+
+class _RecordingPool:
+    """PoolManager-shaped fake serving from a url dict; records every
+    request's kwargs so the contract (redirect/retries disabled, timeout
+    forwarded, headers merged) is assertable."""
+
+    def __init__(self, pages):
+        self.pages = pages
+        self.calls = []
+
+    def request(self, method, url, headers=None, timeout=None,
+                redirect=None, retries=None, preload_content=None):
+        self.calls.append(
+            dict(method=method, url=url, headers=dict(headers or {}),
+                 timeout=timeout, redirect=redirect, retries=retries)
+        )
+        page = self.pages.get(url)
+        if page is None:
+            return _FakeResponse(404, {}, b"")
+        if page.get("raise"):
+            import urllib3
+
+            raise urllib3.exceptions.NewConnectionError(None, f"refused: {url}")
+        hdrs = {}
+        if page.get("content_type"):
+            hdrs["Content-Type"] = page["content_type"]
+        if page.get("location"):
+            hdrs["Location"] = page["location"]
+        body = page.get("body", b"")
+        if isinstance(body, str):
+            body = body.encode()
+        return _FakeResponse(int(page.get("status", 200)), hdrs, body)
+
+
+def test_urllib3_transport_contract():
+    from dotnetspider_spark.sources.fetchers import (
+        TransportError,
+        Urllib3Transport,
+    )
+
+    pool = _RecordingPool(
+        {
+            "http://a.example/ok": {
+                "body": "hi", "content_type": "text/html; charset=utf-8"
+            },
+            "http://a.example/down": {"raise": True},
+        }
+    )
+    send = Urllib3Transport(pool_factory=lambda: pool)()
+    status, headers, body = send(
+        "GET", "http://a.example/ok", {"X-Custom": "1", "User-Agent": "ua2"}, 8.0
+    )
+    assert (status, body) == (200, b"hi")
+    assert headers["Content-Type"] == "text/html; charset=utf-8"
+    call = pool.calls[0]
+    # stage owns redirect hops and retry semantics — both must be off
+    assert call["redirect"] is False and call["retries"] is False
+    assert call["timeout"].total == 8.0
+    # defaults present, per-request headers override (case-folded)
+    assert call["headers"]["accept-encoding"] == "gzip, deflate"
+    assert call["headers"]["user-agent"] == "ua2"
+    assert call["headers"]["x-custom"] == "1"
+    # default UA is the reference's hardcoded Chrome (Request.cs:20-21)
+    send("GET", "http://a.example/ok", None, 1.0)
+    assert "Chrome/69" in pool.calls[1]["headers"]["user-agent"]
+    # connection failures map to TransportError (-> 599 in the stage)
+    with pytest.raises(TransportError):
+        send("GET", "http://a.example/down", None, 1.0)
+
+
+def test_urllib3_transport_default_pool_is_urllib3():
+    import urllib3
+
+    from dotnetspider_spark.sources.fetchers import Urllib3Transport
+
+    t = Urllib3Transport(maxsize=3)
+    captured = {}
+    real = urllib3.PoolManager
+
+    class Spy:
+        def __init__(self, **kw):
+            captured.update(kw)
+            self._p = real(**kw)
+
+        def request(self, *a, **k):  # pragma: no cover - never hit
+            raise AssertionError("no network in tests")
+
+    urllib3.PoolManager = Spy
+    try:
+        t()
+    finally:
+        urllib3.PoolManager = real
+    assert captured == {"maxsize": 3, "retries": False}
+
+
+def test_http_fetcher_through_urllib3_transport_stage(spark):
+    """The FULL mapInPandas stage constructed with the production
+    transport class (fake pool injected) — redirect chain resolved,
+    target_url recorded, charset decoded, 599 on connection failure."""
+    from dotnetspider_spark.sources.fetchers import Urllib3Transport
+
+    pages = {
+        "http://a.example/r1": {"status": 302, "location": "/r2"},
+        "http://a.example/r2": {"status": 301, "location": "http://b.example/end"},
+        "http://b.example/end": {
+            "body": "<html>fin</html>", "content_type": "text/html"
+        },
+        "http://a.example/dead": {"raise": True},
+    }
+    f = HttpFetcher(
+        Urllib3Transport(pool_factory=lambda: _RecordingPool(pages)),
+        n_partitions=2,
+    )
+    out = f.fetch(_batch(spark, ["http://a.example/r1", "http://a.example/dead"]))
+    rows = {r.url: r for r in out.collect()}
+    r1 = rows["http://a.example/r1"]
+    assert r1.status == 200
+    assert r1.target_url == "http://b.example/end"
+    assert r1.html == "<html>fin</html>"
+    assert rows["http://a.example/dead"].status == 599
+
+
+# ---------------------------------------------------------------------------
+# multi-hop redirect chains (Downloader.cs:57-64 budget semantics)
+# ---------------------------------------------------------------------------
+
+
+def _chain_corpus(spark, n_hops, cfg_max=None):
+    """url r0 -> r1 -> ... -> r{n_hops} (final serves content)."""
+    rows = []
+    for k in range(n_hops):
+        rows.append(
+            (f"http://c.example/r{k}", "c.example", 301, "",
+             f"http://c.example/r{k + 1}")
+        )
+    rows.append(
+        (f"http://c.example/r{n_hops}", "c.example", 200,
+         "<html>final</html>", None)
+    )
+    rows.append(("http://c.example/plain", "c.example", 200, "<html>p</html>", None))
+    return spark.createDataFrame(
+        rows,
+        "url string, host string, status int, html string, redirect_to string",
+    )
+
+
+def test_corpus_fetcher_follows_multi_hop_chain(spark):
+    corpus = _chain_corpus(spark, 3)
+    f = CorpusFetcher(corpus)
+    out = f.fetch(_batch(spark, ["http://c.example/r0", "http://c.example/plain"]))
+    rows = {r.url: r for r in out.collect()}
+    r0 = rows["http://c.example/r0"]
+    assert r0.status == 200
+    assert r0.target_url == "http://c.example/r3"
+    assert r0.html == "<html>final</html>"
+    assert list(r0.redirect_hops) == [
+        "http://c.example/r1", "http://c.example/r2", "http://c.example/r3"
+    ]
+    plain = rows["http://c.example/plain"]
+    assert plain.status == 200 and plain.target_url == "http://c.example/plain"
+    assert plain.redirect_hops is None
+
+
+def test_corpus_fetcher_redirect_budget_exhaustion(spark):
+    """A 12-hop chain against max_redirects=10 surfaces the 11th-hop row's
+    own 3xx (the last REQUESTED url) — the loop maps it to http_301."""
+    corpus = _chain_corpus(spark, 12)
+    f = CorpusFetcher(corpus, max_redirects=10)
+    out = f.fetch(_batch(spark, ["http://c.example/r0"]))
+    (row,) = out.collect()
+    assert row.status == 301
+    assert row.target_url == "http://c.example/r10"
+    assert len(row.redirect_hops) == 10
+
+
+def test_http_fetcher_emits_redirect_hops(spark):
+    f = HttpFetcher(DictTransport(PAGES), n_partitions=1)
+    out = f.fetch(_batch(spark, ["http://a.example/hop1", "http://a.example/ok"]))
+    rows = {r.url: r for r in out.collect()}
+    assert list(rows["http://a.example/hop1"].redirect_hops) == [
+        "http://a.example/hop2", "http://b.example/end"
+    ]
+    assert rows["http://a.example/ok"].redirect_hops is None
+
+
+def test_chain_crawl_matches_oracle_and_marks_hops_seen(spark):
+    """Exact-order crawl over a chained-redirect corpus (datagen
+    redirect_chain_len=3): engine fetch order + seen set == pyref
+    oracle, and every intermediate hop identity is in the final seen
+    set. Exact mode (global_limit=1) because batched iterations can
+    legitimately fetch a chain head and its target in the SAME batch,
+    while the sequential oracle marks the target seen first — the same
+    order-dependence caveat as depth-capped batched crawls."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+    from dotnetspider_spark.pyref.oracle import Request, crawl as pycrawl
+    from dotnetspider_spark.testing.datagen import (
+        CorpusConfig, gen_corpus, gen_corpus_local, gen_robots, gen_seeds,
+        seed_rows,
+    )
+
+    cfg = CorpusConfig(
+        n_pages=66, n_hosts=4, redirect_every=11, redirect_chain_len=3,
+        with_payload=False, links_per_page=4,
+    )
+    corpus = gen_corpus(spark, cfg, parallelism=2).cache()
+    corpus.count()
+    res = crawl(
+        spark, corpus, gen_seeds(spark, cfg, k=3),
+        CrawlConfig(dfs=True, max_depth=3, global_limit=1,
+                    per_host_limit=None, max_iterations=200),
+        robots=gen_robots(spark, cfg),
+    )
+    pres = pycrawl(
+        cfg, [Request(**r) for r in seed_rows(cfg, 3)], dfs=True, max_depth=3
+    )
+    assert res.fetch_order() == pres.fetch_order
+    engine_seen = {r.identity for r in res.seen.collect()}
+    assert engine_seen == pres.seen
+    # at least one full multi-hop chain was traversed, and each hop
+    # identity is individually present in the seen set
+    from dotnetspider_spark.pyref.oracle import Request as Req
+
+    local = {r["url"]: r for r in gen_corpus_local(cfg)}
+    chained = [
+        u for u, r in local.items()
+        if r.get("redirect_to")
+        and local.get(r["redirect_to"], {}).get("redirect_to")
+    ]
+    fetched_urls = set(res.fetch_order())
+    hit = [u for u in chained if u in fetched_urls]
+    assert hit, "fixture produced no traversed multi-hop chain"
+    for u in hit:
+        cur = local[u]
+        while cur.get("redirect_to"):
+            nxt = cur["redirect_to"]
+            assert Req(url=nxt).identity() in engine_seen
+            cur = local[nxt]
+    corpus.unpersist()
+
+
+def test_chain_budget_exhaustion_matches_oracle(spark):
+    """chain_len=12 > budget 10: chain heads error as http_301 in both
+    engine and oracle; fetch order, seen set, and error reasons match
+    (exact-order mode, same caveat as above)."""
+    from dotnetspider_spark.crawler.loop import CrawlConfig, crawl
+    from dotnetspider_spark.pyref.oracle import Request, crawl as pycrawl
+    from dotnetspider_spark.testing.datagen import (
+        CorpusConfig, gen_corpus, gen_robots, gen_seeds, seed_rows,
+    )
+
+    cfg = CorpusConfig(
+        n_pages=96, n_hosts=4, redirect_every=16, redirect_chain_len=12,
+        with_payload=False, links_per_page=4,
+    )
+    corpus = gen_corpus(spark, cfg, parallelism=2).cache()
+    corpus.count()
+    res = crawl(
+        spark, corpus, gen_seeds(spark, cfg, k=3),
+        CrawlConfig(dfs=True, max_depth=3, global_limit=1,
+                    per_host_limit=None, max_iterations=200),
+        robots=gen_robots(spark, cfg),
+    )
+    pres = pycrawl(
+        cfg, [Request(**r) for r in seed_rows(cfg, 3)], dfs=True, max_depth=3
+    )
+    assert res.fetch_order() == pres.fetch_order
+    assert {r.identity for r in res.seen.collect()} == pres.seen
+    eng_errs = {
+        (r.url, r.reason)
+        for r in res.errors.select("url", "reason").collect()
+    }
+    ora_errs = {(u, reason) for (u, _retried, reason) in pres.errors}
+    assert eng_errs == ora_errs
+    assert any(reason == "http_301" for _u, reason in eng_errs), eng_errs
+    corpus.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# cookie state (CookieInjector / CookieContainer affinity,
+# Downloader.cs:74,102-173)
+# ---------------------------------------------------------------------------
+
+
+class EchoCookieTransport:
+    """Echoes the received cookie header back in the body; /login sets a
+    session cookie and redirects to /account on the same host; /away
+    redirects cross-host."""
+
+    def __call__(self):
+        def send(method, url, headers, timeout_s):
+            cookie = ""
+            if headers:
+                cookie = next(
+                    (v for k, v in headers.items() if k.lower() == "cookie"),
+                    "",
+                )
+            if url.endswith("/login"):
+                return 302, {
+                    "location": "/account",
+                    "set-cookie": "sid=abc123; Path=/; HttpOnly",
+                }, b""
+            if url.endswith("/away"):
+                return 302, {
+                    "location": "http://other.example/land",
+                    "set-cookie": "sid=leakme",
+                }, b""
+            return 200, {}, f"cookie={cookie}".encode()
+
+        return send
+
+
+def test_set_cookie_reaches_next_same_host_request(spark):
+    """A login response's set-cookie must ride the next same-host send —
+    here the redirect hop to /account (one row, deterministic order)."""
+    f = HttpFetcher(EchoCookieTransport(), n_partitions=1)
+    (row,) = f.fetch(_batch(spark, ["http://c.example/login"])).collect()
+    assert row.status == 200
+    assert row.target_url == "http://c.example/account"
+    assert row.html == "cookie=sid=abc123"
+
+
+def test_cookies_do_not_leak_across_hosts(spark):
+    """A cross-host redirect must NOT carry the first host's jar."""
+    f = HttpFetcher(EchoCookieTransport(), n_partitions=1)
+    (row,) = f.fetch(_batch(spark, ["http://c.example/away"])).collect()
+    assert row.target_url == "http://other.example/land"
+    assert row.html == "cookie="
+
+
+def test_seed_cookies_injected_per_host(spark):
+    """Constructor-seeded jars (the CookieInjector analog) ride every
+    send to that host; other hosts stay clean; row-level cookie headers
+    are preserved after the jar's."""
+    f = HttpFetcher(
+        EchoCookieTransport(), n_partitions=1,
+        cookies={"c.example": {"lang": "en", "tz": "utc"}},
+    )
+    batch = _batch(
+        spark, ["http://c.example/page", "http://other.example/page"]
+    ).withColumn(
+        "headers",
+        F.when(
+            F.col("url").contains("other"),
+            F.create_map(F.lit("cookie"), F.lit("own=1")),
+        ),
+    )
+    rows = {r.url: r for r in f.fetch(batch).collect()}
+    assert rows["http://c.example/page"].html == "cookie=lang=en; tz=utc"
+    assert rows["http://other.example/page"].html == "cookie=own=1"

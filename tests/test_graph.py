@@ -103,3 +103,32 @@ def test_pagerank_hand_computed_and_invariants(spark):
         assert abs(got[x] - ranks[x]) < 1e-12, (x, got[x], ranks[x])
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got["C"] > got["B"] > got["A"]
+
+
+def test_pagerank_tol_stops_early_with_identical_ranks(spark):
+    """A symmetric 2-cycle converges immediately (ranks are exactly the
+    stationary 1/2,1/2 from iteration 1): with tol set, the loop must
+    stop well before the n_iter cap and return the SAME ranks as the
+    capped run; on a non-converged graph a tiny tol must not fire."""
+    import time as _time
+
+    from dotnetspider_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
+    t0 = _time.monotonic()
+    fast = {r.id: r.rank for r in pagerank(cycle, n_iter=25, tol=1e-12).collect()}
+    t_fast = _time.monotonic() - t0
+    t0 = _time.monotonic()
+    slow = {r.id: r.rank for r in pagerank(cycle, n_iter=25).collect()}
+    t_slow = _time.monotonic() - t0
+    assert fast == slow == {"A": 0.5, "B": 0.5}
+    # 25 capped iterations vs ~2: early exit must be clearly faster
+    assert t_fast < t_slow * 0.5, (t_fast, t_slow)
+    # non-converged chain: tol=0 semantics — a 3-iter run with an
+    # impossible tol must match the plain 3-iter run exactly
+    chain = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], ["src", "dst"]
+    )
+    with_tol = {r.id: r.rank for r in pagerank(chain, n_iter=3, tol=1e-30).collect()}
+    plain = {r.id: r.rank for r in pagerank(chain, n_iter=3).collect()}
+    assert with_tol == plain

@@ -337,3 +337,42 @@ def test_cross_corpus_band_join_never_ships_text(spark):
         assert "text#" not in inp.group(1), b
         checked += 1
     assert checked >= 2, plan  # new side and corpus side of the band join
+
+
+def test_domain_quota_prefilters_mega_hosts_before_window(spark):
+    """domain_quota must compose the hash-threshold prefilter with the
+    exact rank: the plan broadcasts the (tiny) mega-host count table and
+    filters on the hash BEFORE the host window, so one 10^8-page host
+    can't serialize a window task — and the survivor set stays
+    byte-identical to the pure-window form (same hash orders both)."""
+    from pyspark.sql import Window
+
+    from dotnetspider_spark.operators.curation import domain_quota
+    from dotnetspider_spark.operators.textdedup import _hash64
+
+    rows = [(f"d{i}", "mega.example" if i < 2000 else f"h{i % 7}.example")
+            for i in range(2300)]
+    df = spark.createDataFrame(rows, "doc_id string, host string")
+    out = domain_quota(df, host_col="host", key_col="doc_id", quota=10)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the hash filter must sit below the window (prefilter, not post)
+    win_pos = plan.index("Window")
+    filt_pos = max(
+        i for i in range(len(plan)) if plan.startswith("Filter", i)
+        and "__h" in plan[i:i + 200]
+    ) if "__h" in plan else -1
+    assert 0 <= filt_pos, plan
+    # exact equivalence vs the pure-window form
+    h = _hash64(F.concat(F.lit("quota|"), F.col("doc_id")))
+    w = Window.partitionBy("host").orderBy(h.asc(), F.col("doc_id").asc())
+    ref = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .drop("__rn")
+    )
+    got = {(r.doc_id, r.host) for r in out.collect()}
+    want = {(r.doc_id, r.host) for r in ref.collect()}
+    assert got == want
+    # the prefilter actually bit: mega host kept exactly quota rows
+    assert sum(1 for _d, h_ in got if h_ == "mega.example") == 10

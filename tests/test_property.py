@@ -10,7 +10,7 @@ cases cost milliseconds.
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from dotnetspider_spark.operators.cuckoo import CuckooFilter
@@ -64,6 +64,12 @@ def test_cuckoo_delete_removes_only_deleted(hs, to_delete):
         max_size=40,
     )
 )
+@example(path="/;")
+@example(path=";x")
+@example(path="/a;b")
+@example(path="/a;b?q")
+@example(path="/x;")
+@example(path="http://h.example/x;")
 def test_canonicalize_agrees_with_urllib(path):
     """The fused hot-path canonicalizer must agree with the stdlib
     urljoin+urlsplit reference for arbitrary printable hrefs."""

@@ -51,6 +51,57 @@ def normalize(cols, rows):
     return sc, out
 
 
+def type_family(t):
+    """Collapse a type name into the family the driver's typed hash sees.
+
+    The driver compares at the Arrow layer, so an integer width mismatch
+    (DuckDB sum(INT) -> HUGEINT vs Spark BIGINT) fails its hash even when
+    the stringified values match. Flag those here. Temporal and decimal
+    kinds are collapsed since the driver normalizes them.
+    """
+    t = str(t).lower()
+    if t in ("tinyint", "int8"):
+        return "i8"
+    if t in ("smallint", "int16"):
+        return "i16"
+    if t in ("int", "integer", "int32"):
+        return "i32"
+    if t in ("bigint", "long", "int64"):
+        return "i64"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "i128"
+    if t in ("float", "real", "float32"):
+        return "f32"
+    if t in ("double", "float64"):
+        return "f64"
+    if t.startswith("decimal"):
+        return "dec"
+    if t.startswith(("timestamp", "date")):
+        return "temporal"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t in ("binary", "blob"):
+        return "bin"
+    if t in ("boolean", "bool"):
+        return "bool"
+    return t
+
+
+def type_mismatches(scols, stypes, dcols, dtypes):
+    """Return integer/float-family mismatches between Spark and DuckDB."""
+    smap = {c: type_family(t) for c, t in zip(scols, stypes)}
+    dmap = {c: type_family(t) for c, t in zip(dcols, dtypes)}
+    out = []
+    for c in smap:
+        a, b = smap[c], dmap.get(c)
+        if b is None or a == b:
+            continue
+        numeric = {"i8", "i16", "i32", "i64", "i128", "f32", "f64", "dec"}
+        if a in numeric or b in numeric:
+            out.append(f"{c}: spark={a} duck={b}")
+    return out
+
+
 def main():
     import duckdb
 
@@ -83,12 +134,21 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        tmis = type_mismatches(
+            scols, [f.dataType.simpleString() for f in sdf.schema.fields],
+            dcols, dtypes,
+        )
+        if tmis:
+            failures.append((name, f"numeric type mismatch: {tmis}"))
+            print(f"FAIL {name}: numeric type mismatch: {tmis}")
             continue
         sc, sr = normalize(scols, srows)
         dc, dr = normalize(dcols, drows)
