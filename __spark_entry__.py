@@ -1627,6 +1627,134 @@ def q_domain_quota(spark, sf_dir):
     ).select("doc_id", "host")
 
 
+def q_docs_bm25_topk(spark, sf_dir):
+    # BM25 lexical retrieval (operators/retrieval.py): top-15 docs for a
+    # 3-term query over the documents table; Lucene idf variant, k1=1.2
+    # b=0.75, deterministic tie-break on doc_id
+    from dotnetspider_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "shuffle", "vector"], k=15)
+
+
+def q_host_reputation(spark, sf_dir):
+    # host-level quality prior (operators/retrieval.py): hosts
+    # synthesized as in domain_quota; one pass, host-keyed partial agg
+    from dotnetspider_spark.operators.retrieval import host_reputation
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 11 == 0, F.lit("spam.example")).otherwise(
+        F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"), F.lit(".example"))
+    )
+    return host_reputation(d.select(host.alias("host"), "text"))
+
+
+def q_docs_boilerplate_strip(spark, sf_dir):
+    # main-content extraction (curation.boilerplate_strip): pages
+    # synthesized from documents.text with nav/footer boilerplate; the
+    # density heuristic must keep the prose line and drop the chrome.
+    # NB oracle parity: Spark regexp_replace is global by default,
+    # DuckDB needs the explicit 'g' flag.
+    from dotnetspider_spark.operators.curation import boilerplate_strip
+
+    d = _t(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    html = F.concat(
+        F.lit("<html>"), nl,
+        F.lit('<nav><a href="/">home</a> | <a href="/a">about</a></nav>'), nl,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"), nl,
+        F.lit("<footer>(c) example</footer>"), nl,
+        F.lit("</html>"),
+    )
+    return d.select(
+        "doc_id",
+        boilerplate_strip(html).alias("main_text"),
+    ).withColumn("n_kept_chars", F.length("main_text").cast("bigint"))
+
+
+def q_image_exact_dedup(spark, sf_dir):
+    # byte-level image dedup (images.image_exact_dedup): payloads
+    # synthesized with planted content collisions (doc_id % 97), kept
+    # row = min image_id per md5(hex(bytes)) portable digest; bytes
+    # never cross the dedup exchange (ids-only semi join back).
+    from dotnetspider_spark.operators.images import image_exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        F.encode(
+            F.concat(F.lit("img|"), (F.col("doc_id") % 97).cast("string")),
+            "utf-8",
+        ).alias("bytes"),
+    )
+    return image_exact_dedup(pairs).select(
+        "image_id", F.length("bytes").cast("int").alias("n_bytes")
+    )
+
+
+def q_caption_dedup(spark, sf_dir):
+    # caption-level pair dedup (images.caption_dedup): captions
+    # synthesized with punctuation variants that normalize equal
+    # (DataComp boilerplate-caption collapse); min image_id survives.
+    from dotnetspider_spark.operators.images import caption_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    cap = F.concat(
+        F.lit("A Photo of item "),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("!")).otherwise(F.lit(" ,")),
+    )
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"), cap.alias("caption")
+    )
+    return caption_dedup(pairs).select("image_id", "caption")
+
+
+def q_aspect_bucket_batches(spark, sf_dir):
+    # aspect-ratio training-batch bucketing (images.aspect_bucket_
+    # batches): nearest-aspect assignment (IEEE-portable linear
+    # distance, ties to lowest bucket index), hash-sharded batch
+    # numbering, partial tail batches dropped — oracle replays the
+    # argmin + windows in SQL.
+    from dotnetspider_spark.operators.images import aspect_bucket_batches
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        (64 + (F.col("doc_id") * 7) % 1985).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 13) % 1985).cast("int").alias("h"),
+    )
+    return aspect_bucket_batches(
+        pairs,
+        buckets=[(512, 1024), (768, 1024), (1024, 1024), (1024, 768), (1024, 512)],
+        batch_size=16,
+        n_shards=8,
+    )
+
+
+def q_phash_topk(spark, sf_dir):
+    # perceptual-hash similarity search (images.phash_topk): nearest-20
+    # images to a query hash by hamming distance over the portable
+    # synthesized phash table; map-only bit_count(xor) scan + TakeOrdered.
+    from dotnetspider_spark.operators.images import phash_topk
+    from dotnetspider_spark.operators.textdedup import _hash64
+
+    d = _t(spark, sf_dir, "documents")
+    base = _hash64(
+        F.concat(
+            F.lit("ph|"), F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+        )
+    )
+    ph = (
+        F.when(F.col("doc_id") % 2 == 1, base.bitwiseXOR(F.lit(5)))
+        .otherwise(base)
+    )
+    imgs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"), ph.alias("phash")
+    )
+    return phash_topk(imgs, query_phash=0x123456789ABCDEF, k=20)
+
+
 def q_image_pipeline(spark, sf_dir):
     # END-TO-END image-side flagship: LAION-style pair screening ->
     # banded phash near-dup (planted hamming-2 partners) -> connected
@@ -1761,6 +1889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_pairs": q_phash_neardup_pairs,
         "domain_quota": q_domain_quota,
         "image_pipeline": q_image_pipeline,
+        "docs_bm25_topk": q_docs_bm25_topk,
+        "host_reputation": q_host_reputation,
+        "docs_boilerplate_strip": q_docs_boilerplate_strip,
+        "image_exact_dedup": q_image_exact_dedup,
+        "caption_dedup": q_caption_dedup,
+        "aspect_bucket_batches": q_aspect_bucket_batches,
+        "phash_topk": q_phash_topk,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2991,6 +3126,165 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority
+        """,
+        "docs_bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS dl
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM base),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok IN ('spark', 'shuffle', 'vector')
+                GROUP BY doc_id, tok),
+            dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln(1.0 + (stats.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * base.dl
+                                                    / stats.avg_len)))
+                           AS s
+                FROM tf
+                JOIN dft USING (tok)
+                JOIN base USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "host_reputation": """
+            WITH hosted AS (
+                SELECT CASE WHEN doc_id % 11 = 0 THEN 'spam.example'
+                            ELSE 'site' || CAST(doc_id % 50 AS VARCHAR)
+                                 || '.example' END AS host,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS n_tok
+                FROM documents)
+            SELECT host,
+                   count(*) AS n_docs,
+                   round(avg(n_tok), 6) AS avg_tokens,
+                   round(avg(CASE WHEN n_tok >= 20 THEN 1.0 ELSE 0.0 END), 6)
+                       AS frac_long
+            FROM hosted GROUP BY host
+        """,
+        "docs_boilerplate_strip": """
+            WITH page AS (
+                SELECT doc_id,
+                       '<html>' || chr(10)
+                       || '<nav><a href="/">home</a> | <a href="/a">about</a></nav>'
+                       || chr(10) || '<p>' || text || '</p>' || chr(10)
+                       || '<footer>(c) example</footer>' || chr(10)
+                       || '</html>' AS html
+                FROM documents),
+            stripped AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_transform(
+                               list_filter(
+                                   string_split(html, chr(10)),
+                                   ln -> len(trim(regexp_replace(
+                                              ln, '<[^>]*>', '', 'g'))) >= 30
+                                     AND len(trim(regexp_replace(
+                                              ln, '<[^>]*>', '', 'g')))
+                                         >= 0.5 * len(ln)),
+                               ln -> trim(regexp_replace(
+                                         ln, '<[^>]*>', '', 'g'))),
+                           chr(10)) AS main_text
+                FROM page)
+            SELECT doc_id, main_text,
+                   CAST(len(main_text) AS BIGINT) AS n_kept_chars
+            FROM stripped
+        """,
+        "image_exact_dedup": """
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       'img|' || CAST(doc_id % 97 AS VARCHAR) AS s
+                FROM documents),
+            k AS (
+                SELECT md5(hex(encode(s))) AS dg,
+                       min(image_id) AS image_id
+                FROM p GROUP BY 1)
+            SELECT p.image_id, CAST(len(p.s) AS INT) AS n_bytes
+            FROM p JOIN k USING (image_id)
+        """,
+        "caption_dedup": """
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       'A Photo of item ' || CAST(doc_id % 50 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '!' ELSE ' ,' END
+                           AS caption
+                FROM documents),
+            n AS (
+                SELECT image_id,
+                       trim(regexp_replace(regexp_replace(lower(caption),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS k
+                FROM p),
+            keep AS (SELECT k, min(image_id) AS image_id FROM n GROUP BY 1)
+            SELECT p.image_id, p.caption FROM p JOIN keep USING (image_id)
+        """,
+        "aspect_bucket_batches": """
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       CAST(64 + (doc_id * 7) % 1985 AS INT) AS w,
+                       CAST(64 + (doc_id * 13) % 1985 AS INT) AS h
+                FROM documents),
+            b(bw, bh, i) AS (VALUES (512, 1024, 0), (768, 1024, 1),
+                                    (1024, 1024, 2), (1024, 768, 3),
+                                    (1024, 512, 4)),
+            d AS (
+                SELECT p.image_id, b.bw, b.bh, b.i,
+                       abs(CAST(p.w AS DOUBLE) / p.h
+                           - CAST(b.bw AS DOUBLE) / b.bh) AS dist
+                FROM p CROSS JOIN b),
+            asg AS (
+                SELECT image_id, bw, bh
+                FROM (SELECT image_id, bw, bh,
+                             row_number() OVER (PARTITION BY image_id
+                                                ORDER BY dist, i) AS rn
+                      FROM d)
+                WHERE rn = 1),
+            hh AS (
+                SELECT image_id, bw, bh,
+                       CAST(concat('0x', substr(md5('abb|'
+                           || CAST(image_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM asg),
+            num AS (
+                SELECT image_id, bw, bh, hv % 8 AS shard,
+                       row_number() OVER (PARTITION BY bw, bh, hv % 8
+                                          ORDER BY hv, image_id) AS rn,
+                       count(*) OVER (PARTITION BY bw, bh, hv % 8) AS n
+                FROM hh)
+            SELECT image_id, bw AS bucket_w, bh AS bucket_h,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST((rn - 1) // 16 AS BIGINT) AS batch_index
+            FROM num WHERE (rn - 1) // 16 < n // 16
+        """,
+        "phash_topk": """
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       CASE WHEN doc_id % 2 = 1 THEN xor(base, 5)
+                            ELSE base END AS ph
+                FROM (SELECT doc_id,
+                             CAST(concat('0x', substr(md5(
+                                 'ph|' || CAST(doc_id // 2 AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS base
+                      FROM documents))
+            SELECT image_id,
+                   CAST(bit_count(xor(ph, 81985529216486895)) AS INT)
+                       AS hamming
+            FROM p
+            ORDER BY hamming, image_id
+            LIMIT 20
         """,
         "docs_idf": """
             WITH tok AS (

@@ -494,6 +494,41 @@ def pack_sequences(
     )
 
 
+def boilerplate_strip(
+    html: Column,
+    min_text_len: int = 30,
+    min_density: float = 0.5,
+) -> Column:
+    """Main-content extraction by per-line text density — the classic
+    readability/jusText-family heuristic reduced to its portable core:
+    split the page into lines, strip tags per line, keep lines whose
+    visible text is long enough AND dense enough (text chars / raw
+    chars), re-join in document order. Boilerplate (nav bars, footers,
+    button rows) is tag-heavy and short; body prose is long and dense.
+
+    Every step is a built-in array expression (split / transform /
+    filter / array_join) — map-only, whole-stage-codegen'd, no Python
+    crossing and no shuffle, so it composes with the quality filters
+    at full scan speed. Returns the extracted main text column.
+
+    No reference analog (DotnetSpider extracts by explicit selector);
+    this is the curation-pipeline stage that precedes quality scoring
+    when no per-site selector exists (C4 and RefinedWeb both start
+    from extracted main text).
+    """
+    lines = F.split(html, "\n")
+    text_of = lambda ln: F.trim(F.regexp_replace(ln, "<[^>]*>", ""))
+    kept = F.filter(
+        lines,
+        lambda ln: (F.length(text_of(ln)) >= min_text_len)
+        & (
+            F.length(text_of(ln))
+            >= F.lit(min_density) * F.length(ln)
+        ),
+    )
+    return F.array_join(F.transform(kept, text_of), "\n")
+
+
 def domain_quota(
     df: DataFrame,
     host_col: str = "host",

@@ -1,0 +1,127 @@
+"""Lexical retrieval over the document corpus — BM25 scoring + top-k.
+
+A training-data pipeline needs lexical retrieval for decontamination
+lookups, dedup-cluster inspection, and quality-set mining (e.g. fetch
+the nearest corpus docs to a benchmark query before deciding what to
+drop). BM25 (Robertson & Spärck Jones / Okapi, the Lucene practical
+variant) is the standard scorer.
+
+Scale shape (the part that matters at 10^9 docs):
+- the query's term set is broadcast as a literal filter, so the
+  per-doc term-frequency aggregation touches only matching tokens —
+  the token explode is filtered BEFORE the groupBy, and Catalyst
+  pushes the isin() into the generator's output;
+- corpus statistics (N, avg doc length) are one scalar aggregate,
+  attached by a broadcast single-row crossJoin (the engine-wide
+  pattern for scalars — never a driver collect in the operator);
+- document frequencies are computed over the SAME filtered token set
+  (only |query| distinct tokens survive), so the df aggregate's
+  key space is |query|, broadcastable back onto the tf table;
+- final top-k is orderBy+limit -> TakeOrderedAndProject (no global
+  sort materialization).
+
+No reference analog (DotnetSpider has no retrieval); the formula is
+the public Lucene BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+score = sum_t idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avg)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    Returns (id_col, score) with score rounded to 6 places; ties break
+    on id ascending so the result is deterministic across engines.
+    """
+    terms = sorted({t for t in query_terms if t})
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    words = F.split(F.col(text_col), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.filter(words, lambda w: w != "")).alias("__len"),
+        words.alias("__words"),
+    )
+    # corpus stats: one scalar row, broadcast onto every doc
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__len").alias("__avg_len"),
+    )
+    tf = (
+        base.select(
+            id_col,
+            "__len",
+            F.explode("__words").alias("__tok"),
+        )
+        .filter(F.col("__tok").isin(terms))
+        .groupBy(id_col, "__len", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_tbl = tf.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "__tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                )
+                * F.col("__tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("__len") / F.col("__avg_len")
+                    )
+                )
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def host_reputation(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level quality prior — the crawl-side twin of per-doc quality
+    scoring: a frontier scheduler can demote whole hosts whose content
+    is consistently junk (RefinedWeb / C4 both apply site-level
+    filters) instead of fetching then discarding page by page.
+
+    Emits per host: doc count, mean token count, and the fraction of
+    docs clearing a 20-token floor — all from ONE pass over the text
+    (single groupBy keyed on host; partial aggregation map-side).
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    n_tok = F.size(F.filter(words, lambda w: w != ""))
+    per_doc = docs.select(F.col(host_col), n_tok.alias("__n_tok"))
+    return per_doc.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("__n_tok"), 6).alias("avg_tokens"),
+        F.round(
+            F.avg(F.when(F.col("__n_tok") >= 20, 1.0).otherwise(0.0)), 6
+        ).alias("frac_long"),
+    )

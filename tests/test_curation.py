@@ -372,3 +372,38 @@ def test_domain_quota_caps_per_host_deterministically(spark):
     # survivor set is hash-determined, not arrival/partitioning order
     again = {r.doc_id for r in domain_quota(df.repartition(7), quota=4).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_boilerplate_strip_keeps_dense_prose_drops_chrome(spark):
+    from dotnetspider_spark.operators.curation import boilerplate_strip
+
+    prose = "This paragraph is long enough and dense enough to survive."
+    html = "\n".join(
+        [
+            "<html>",
+            '<nav><a href="/">home</a> | <a href="/a">about</a></nav>',
+            f"<p>{prose}</p>",
+            "<div><button>login</button><button>signup</button></div>",
+            f"<p>{prose} Second body line, also long and dense prose.</p>",
+            "<footer>(c) example</footer>",
+            "</html>",
+        ]
+    )
+    df = spark.createDataFrame([(0, html), (1, "<html>\n<p>tiny</p>\n</html>")],
+                               "doc_id long, html string")
+    got = {
+        r.doc_id: r.main
+        for r in df.select(
+            "doc_id", boilerplate_strip(F.col("html")).alias("main")
+        ).collect()
+    }
+    assert got[0] == prose + "\n" + prose + " Second body line, also long and dense prose."
+    assert got[1] == ""  # too short: min_text_len gate
+    # map-only: no Exchange in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.select(boilerplate_strip(F.col("html"))).explain("formatted")
+    assert "Exchange" not in buf.getvalue()

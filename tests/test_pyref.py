@@ -96,3 +96,69 @@ def test_canonicalize_rules():
     assert canonicalize(base, "javascript:void(0)") is None
     assert canonicalize(base, "mailto:x@example.com") is None
     assert canonicalize(base, "http://a.example/x.html#sec") == "http://a.example/x.html"
+
+
+def test_corpus_config_rejects_wrapping_chain():
+    import pytest as _pytest
+
+    from dotnetspider_spark.testing.datagen import CorpusConfig
+
+    with _pytest.raises(ValueError, match="redirect_chain_len"):
+        CorpusConfig(redirect_every=10, redirect_chain_len=8)
+    # boundary: 3 + L == every is allowed
+    CorpusConfig(redirect_every=10, redirect_chain_len=7)
+
+
+def test_pyref_multi_hop_redirect_and_budget():
+    """Pure-python oracle semantics for redirect chains: hop identities
+    marked seen on success; budget exhaustion -> http_301 error."""
+    from dotnetspider_spark.pyref.oracle import Request, crawl as pycrawl
+    from dotnetspider_spark.testing.datagen import (
+        CorpusConfig, gen_corpus_local, page_url, seed_rows,
+    )
+
+    cfg = CorpusConfig(
+        n_pages=40, n_hosts=2, redirect_every=11, redirect_chain_len=3,
+        with_payload=False,
+    )
+    local = {r["url"]: r for r in gen_corpus_local(cfg)}
+    # find a chain head: a redirecting page whose target also redirects
+    heads = [
+        u for u, r in local.items()
+        if r.get("redirect_to")
+        and local.get(r["redirect_to"], {}).get("redirect_to")
+    ]
+    assert heads, "fixture must contain a multi-hop chain"
+    head = heads[0]
+    seeds = [Request(url=head, depth=1, seq=0)]
+    res = pycrawl(cfg, seeds, dfs=True, max_depth=1)
+    assert res.fetch_order == [head]
+    # every hop of the chain is individually seen
+    cur = local[head]
+    while cur.get("redirect_to"):
+        nxt = cur["redirect_to"]
+        assert Request(url=nxt).identity() in res.seen
+        cur = local[nxt]
+    # budget exhaustion: 12-hop chain, 10-hop budget
+    cfg2 = CorpusConfig(
+        n_pages=40, n_hosts=2, redirect_every=16, redirect_chain_len=12,
+        with_payload=False,
+    )
+    local2 = {r["url"]: r for r in gen_corpus_local(cfg2)}
+
+    def chain_len(u):
+        n = 0
+        while local2.get(u, {}).get("redirect_to"):
+            u = local2[u]["redirect_to"]
+            n += 1
+        return n
+
+    deep = [u for u in local2 if chain_len(u) > 10]
+    assert deep, "fixture must contain a chain deeper than the budget"
+    res2 = pycrawl(
+        cfg2, [Request(url=deep[0], depth=1, seq=0)], dfs=True, max_depth=1
+    )
+    assert res2.fetch_order == []
+    assert [(u, reason) for (u, _r, reason) in res2.errors] == [
+        (deep[0], "http_301")
+    ]
