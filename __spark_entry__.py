@@ -1799,6 +1799,102 @@ def q_image_pipeline(spark, sf_dir):
     return canon.select("image_id", "phash")
 
 
+def q_anchor_text_top(spark, sf_dir):
+    # anchor-text aggregation (retrieval.anchor_text_agg): link rows
+    # synthesized from documents (each doc links to page doc_id % 40
+    # with an anchor from a 7-word vocab); the oracle replays the
+    # collapsed-count + per-dst window rank in SQL.
+    from dotnetspider_spark.operators.retrieval import anchor_text_agg
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = F.array(
+        F.lit("home"), F.lit("docs"), F.lit("api"), F.lit("click here"),
+        F.lit("read more"), F.lit(""), F.lit("download"),
+    )
+    links = d.select(
+        F.concat(F.lit("page"), (F.col("doc_id") % 40).cast("string")).alias(
+            "dst"
+        ),
+        F.element_at(vocab, (F.col("doc_id") % 7).cast("int") + 1).alias(
+            "anchor"
+        ),
+    )
+    return anchor_text_agg(links)
+
+
+def q_retrieval_rrf_fuse(spark, sf_dir):
+    # reciprocal-rank fusion (retrieval.rrf_fuse) of two deterministic
+    # top-20 scored lists derived from documents — the hybrid-search
+    # combiner; oracle replays both rankings + the 1/(60+rank) sum.
+    from dotnetspider_spark.operators.retrieval import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    l1 = (
+        d.select(
+            "doc_id",
+            ((F.col("doc_id") * 7) % 101).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    l2 = (
+        d.select(
+            "doc_id",
+            ((F.col("doc_id") * 13) % 89).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    return rrf_fuse([l1, l2], k=60, top=15)
+
+
+def q_hits_2iter(spark, sf_dir):
+    # HITS hubs/authorities (graph.hits) over the same deterministic
+    # crawl-graph slice pagerank uses; oracle unrolls the two L1-
+    # normalized half-step iterations in SQL.
+    from dotnetspider_spark.operators.graph import hits
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2000)
+        & ((F.col("user_id") + F.col("event_id")) % 7 == 0)
+    )
+    edges = ev.select(
+        F.concat(F.lit("n"), (F.col("user_id") % 30).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("event_id") % 30).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return hits(edges, n_iter=2).select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def q_crawl_delta(spark, sf_dir):
+    # incremental-crawl snapshot diff (frontier.crawl_delta): two
+    # synthetic crawl snapshots of overlapping URL ranges with digests
+    # that change on doc_id % 3 == 0; one full-outer url join.
+    from dotnetspider_spark.operators.frontier import crawl_delta
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://s.example/p"), F.col("doc_id").cast("string"))
+    old = d.filter(F.col("doc_id") < 400).select(
+        url.alias("url"),
+        F.md5(F.concat(F.lit("v1|"), F.col("doc_id").cast("string"))).alias(
+            "digest"
+        ),
+    )
+    new = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 600)).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 3 == 0, F.lit("v2|")).otherwise(
+                    F.lit("v1|")
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    return crawl_delta(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -1896,6 +1992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_dedup": q_caption_dedup,
         "aspect_bucket_batches": q_aspect_bucket_batches,
         "phash_topk": q_phash_topk,
+        "anchor_text_top": q_anchor_text_top,
+        "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
+        "hits_2iter": q_hits_2iter,
+        "crawl_delta": q_crawl_delta,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -3285,6 +3385,110 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             ORDER BY hamming, image_id
             LIMIT 20
+        """,
+        "anchor_text_top": """
+            WITH l AS (
+                SELECT 'page' || CAST(doc_id % 40 AS VARCHAR) AS dst,
+                       CASE CAST(doc_id % 7 AS INT)
+                           WHEN 0 THEN 'home' WHEN 1 THEN 'docs'
+                           WHEN 2 THEN 'api' WHEN 3 THEN 'click here'
+                           WHEN 4 THEN 'read more' WHEN 5 THEN ''
+                           ELSE 'download' END AS a
+                FROM documents),
+            f AS (SELECT dst, a FROM l WHERE a IS NOT NULL AND a <> ''),
+            c AS (SELECT dst, a, count(*) AS n FROM f GROUP BY dst, a),
+            r AS (SELECT dst,
+                         sum(n) OVER (PARTITION BY dst) AS n_links,
+                         count(*) OVER (PARTITION BY dst)
+                             AS n_distinct_anchors,
+                         row_number() OVER (PARTITION BY dst
+                             ORDER BY n DESC, a ASC) AS rn,
+                         a AS top_anchor, n AS top_anchor_links
+                  FROM c)
+            SELECT dst, CAST(n_links AS BIGINT) AS n_links,
+                   CAST(n_distinct_anchors AS BIGINT) AS n_distinct_anchors,
+                   top_anchor,
+                   CAST(top_anchor_links AS BIGINT) AS top_anchor_links
+            FROM r WHERE rn = 1
+        """,
+        "retrieval_rrf_fuse": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            l1 AS (SELECT doc_id,
+                          CAST((doc_id * 7) % 101 AS DOUBLE) AS score
+                   FROM d ORDER BY score DESC, doc_id ASC LIMIT 20),
+            l2 AS (SELECT doc_id,
+                          CAST((doc_id * 13) % 89 AS DOUBLE) AS score
+                   FROM d ORDER BY score DESC, doc_id ASC LIMIT 20),
+            r1 AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS rnk FROM l1),
+            r2 AS (SELECT doc_id, row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC) AS rnk FROM l2),
+            u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+            fus AS (SELECT doc_id,
+                           round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 6)
+                               AS rrf_score,
+                           CAST(count(*) AS BIGINT) AS n_lists
+                    FROM u GROUP BY doc_id)
+            SELECT doc_id, rrf_score, n_lists
+            FROM fus ORDER BY rrf_score DESC, doc_id ASC LIMIT 15
+        """,
+        "hits_2iter": """
+            WITH e AS (
+                SELECT DISTINCT
+                       'n' || CAST(user_id % 30 AS VARCHAR) AS src,
+                       'n' || CAST(event_id % 30 AS VARCHAR) AS dst
+                FROM events
+                WHERE event_id < 2000 AND (user_id + event_id) % 7 = 0
+                  AND user_id % 30 <> event_id % 30),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            s0 AS (SELECT id,
+                          CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS hub
+                   FROM nodes),
+            a1r AS (SELECT e.dst AS id, sum(s.hub) AS a
+                    FROM e JOIN s0 s ON e.src = s.id GROUP BY e.dst),
+            a1n AS (SELECT n.id, coalesce(a1r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a1r USING (id)),
+            a1 AS (SELECT id, a / (SELECT sum(a) FROM a1n) AS auth FROM a1n),
+            h1r AS (SELECT e.src AS id, sum(a.auth) AS h
+                    FROM e JOIN a1 a ON e.dst = a.id GROUP BY e.src),
+            h1n AS (SELECT n.id, coalesce(h1r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h1r USING (id)),
+            h1 AS (SELECT id, h / (SELECT sum(h) FROM h1n) AS hub FROM h1n),
+            a2r AS (SELECT e.dst AS id, sum(s.hub) AS a
+                    FROM e JOIN h1 s ON e.src = s.id GROUP BY e.dst),
+            a2n AS (SELECT n.id, coalesce(a2r.a, 0) AS a
+                    FROM nodes n LEFT JOIN a2r USING (id)),
+            a2 AS (SELECT id, a / (SELECT sum(a) FROM a2n) AS auth FROM a2n),
+            h2r AS (SELECT e.src AS id, sum(a.auth) AS h
+                    FROM e JOIN a2 a ON e.dst = a.id GROUP BY e.src),
+            h2n AS (SELECT n.id, coalesce(h2r.h, 0) AS h
+                    FROM nodes n LEFT JOIN h2r USING (id)),
+            h2 AS (SELECT id, h / (SELECT sum(h) FROM h2n) AS hub FROM h2n)
+            SELECT a2.id, round(a2.auth, 6) AS auth, round(h2.hub, 6) AS hub
+            FROM a2 JOIN h2 USING (id)
+        """,
+        "crawl_delta": """
+            WITH o_s AS (
+                SELECT 'http://s.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                       md5('v1|' || CAST(doc_id AS VARCHAR)) AS digest
+                FROM documents WHERE doc_id < 400),
+            n_s AS (
+                SELECT 'http://s.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                       md5(CASE WHEN doc_id % 3 = 0 THEN 'v2|'
+                                ELSE 'v1|' END
+                           || CAST(doc_id AS VARCHAR)) AS digest
+                FROM documents WHERE doc_id >= 200 AND doc_id < 600),
+            j AS (SELECT coalesce(o.url, n.url) AS url,
+                         o.digest AS old_digest, n.digest AS new_digest
+                  FROM o_s o FULL OUTER JOIN n_s n ON o.url = n.url)
+            SELECT url,
+                   CASE WHEN old_digest IS NULL THEN 'added'
+                        WHEN new_digest IS NULL THEN 'removed'
+                        WHEN old_digest <> new_digest THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_digest, new_digest
+            FROM j
         """,
         "docs_idf": """
             WITH tok AS (

@@ -237,3 +237,40 @@ def revisit_schedule(
         streak.cast("bigint").alias("unchanged_streak"),
         interval.cast("bigint").alias("next_interval_s"),
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Snapshot diff between two crawls of the same corpus — the
+    incremental-crawl primitive (Cho & Garcia-Molina's evolution
+    experiments; operationally the Internet Archive's CDX revisit
+    records): classify every URL as ``added`` (new crawl only),
+    ``removed`` (old crawl only), ``changed`` (both, digest differs)
+    or ``unchanged``. Downstream, ``added`` + ``changed`` is the
+    re-process set (only those pages re-enter extraction/curation) and
+    the per-host change rate feeds :func:`revisit_schedule`.
+
+    Shape: ONE full-outer equi-join keyed on url — both sides shuffle
+    on the url key, partition-parallel, no skew concern (urls are
+    unique per snapshot by contract; duplicate urls within a snapshot
+    should be collapsed upstream by the seen-set). Digest columns ride
+    along for audit. Returns (url, status, old_digest, new_digest).
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("old_digest")
+    )
+    nw = new.select(
+        F.col(url_col).alias("url"), F.col(digest_col).alias("new_digest")
+    )
+    joined = o.join(nw, "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("url", status.alias("status"), "old_digest", "new_digest")

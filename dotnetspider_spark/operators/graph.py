@@ -257,3 +257,98 @@ def pagerank(
             with_deg.unpersist()
         _drop_stale(f"{root}/iter={it - 1}")
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the crawl link
+    graph — PageRank's query-independent companion: authorities are
+    pages many good hubs point AT (fetch-priority signal for content
+    pages), hubs are pages that point at many good authorities
+    (priority signal for index/listing pages a crawler should keep
+    fresh).
+
+    Standard mutual recursion with L1 normalization each half-step so
+    scores stay a distribution (L1 keeps the oracle portable — the sum
+    is one scalar aggregate and needs no sqrt):
+
+    ``auth'(v) = Σ_{u→v} hub(u)``, then ``auth = auth'/Σauth'``;
+    ``hub'(u)  = Σ_{u→v} auth(v)``, then ``hub = hub'/Σhub'``.
+
+    Scale shape per iteration: two joins keyed on node id against the
+    (deduped) edge table and two node-keyed aggregations — all
+    partition-parallel, plus two scalar normalization aggregates.
+    State is parquet-round-tripped between iterations (the same
+    Spark-4 checkpoint-stats hazard :func:`pagerank` documents).
+    Isolated nodes (no in/out links among src∪dst) keep score 0 on
+    the missing side via the left-join coalesce.
+
+    Returns (id, auth, hub) over all nodes appearing as src or dst.
+    """
+    spark = edges.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="spark-hits-state-")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e.write.mode("overwrite").parquet(f"{root}/edges")
+    e = spark.read.parquet(f"{root}/edges")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes.write.mode("overwrite").parquet(f"{root}/nodes")
+    nodes = spark.read.parquet(f"{root}/nodes")
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("auth"), F.lit(0.0).alias("hub")
+        )
+
+    state = nodes.select(
+        "id", F.lit(1.0 / n).alias("auth"), F.lit(1.0 / n).alias("hub")
+    )
+    for it in range(1, n_iter + 1):
+        # auth half-step: sum inbound hub mass per dst
+        auth_raw = (
+            e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth_n = nodes.join(auth_raw, "id", "left").select(
+            "id", F.coalesce("__a", F.lit(0.0)).alias("__a")
+        ).persist()  # consumed by the scalar sum AND the hub half-step
+        try:
+            a_tot = auth_n.agg(F.sum("__a")).first()[0] or 1.0
+            auth = auth_n.select(
+                "id", (F.col("__a") / F.lit(a_tot)).alias("auth")
+            )
+            # hub half-step: sum outbound (new) auth mass per src
+            hub_raw = (
+                e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("__h"))
+            )
+            hub_n = nodes.join(hub_raw, "id", "left").select(
+                "id",
+                F.coalesce("__h", F.lit(0.0)).alias("__h"),
+            ).persist()
+            try:
+                h_tot = hub_n.agg(F.sum("__h")).first()[0] or 1.0
+                new_state = auth.join(
+                    hub_n.select(
+                        "id", (F.col("__h") / F.lit(h_tot)).alias("hub")
+                    ),
+                    "id",
+                )
+                new_state.write.mode("overwrite").parquet(f"{root}/iter={it}")
+                state = spark.read.parquet(f"{root}/iter={it}")
+            finally:
+                hub_n.unpersist()
+        finally:
+            auth_n.unpersist()
+        _drop_stale(f"{root}/iter={it - 1}")
+    return state

@@ -27,7 +27,7 @@ score = sum_t idf_t * tf * (k1+1) / (tf + k1 * (1 - b + b * len/avg)).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,3 +125,107 @@ def host_reputation(
             F.avg(F.when(F.col("__n_tok") >= 20, 1.0).otherwise(0.0)), 6
         ).alias("frac_long"),
     )
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-search
+    document-expansion signal (anchor text describes the TARGET page
+    better than the page itself; Craswell, Hawking & Robertson 2001,
+    and the public MS MARCO / ORCAS anchor corpora): for every link
+    target, how many inbound links carry text, how many distinct
+    anchor strings, and which anchor is most common.
+
+    Scale shape: anchors are first collapsed by an exact
+    ``(dst, anchor)`` aggregation — partial-agg (map-side combine)
+    friendly, and it compresses the mega-target skew (a page with 10^7
+    inbound links of the same "click here" reduces to one row per
+    distinct string before any window runs). The per-dst window then
+    ranks the collapsed rows only: its partition size is the number of
+    DISTINCT anchors per target, not the inbound degree. Top anchor
+    tie-breaks lexicographically so the result is engine-deterministic.
+
+    Input rows: (dst, anchor) — one per extracted link (``Links()`` /
+    crawl edge table joined to its anchor strings). Empty/null anchors
+    are dropped. Returns
+    (dst, n_links, n_distinct_anchors, top_anchor, top_anchor_links).
+    """
+    collapsed = (
+        links.select(
+            F.col(dst_col).alias("dst"),
+            F.trim(F.col(anchor_col)).alias("__a"),
+        )
+        .filter(F.col("__a").isNotNull() & (F.col("__a") != ""))
+        .groupBy("dst", "__a")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_rank = Window.partitionBy("dst").orderBy(
+        F.col("__n").desc(), F.col("__a").asc()
+    )
+    w_all = Window.partitionBy("dst")
+    return (
+        collapsed.select(
+            "dst",
+            F.sum("__n").over(w_all).alias("n_links"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias(
+                "n_distinct_anchors"
+            ),
+            F.row_number().over(w_rank).alias("__rn"),
+            F.col("__a").alias("top_anchor"),
+            F.col("__n").alias("top_anchor_links"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of
+    several retrieval result lists: ``rrf(d) = Σ_i 1/(k + rank_i(d))``
+    over the lists that returned ``d``. The standard way to combine
+    BM25 with embedding ANN (hybrid search) without score calibration.
+
+    Each input is a scored list (id, score); ranks are derived here
+    with a global row_number over (score desc, id asc). That window is
+    intentionally single-partition: RRF's published inputs are
+    PER-SYSTEM TOP-K LISTS (the output of :func:`bm25_topk` /
+    ``ann.cosine_topk`` — tens to thousands of rows), never a full
+    corpus, so the global sort is over k rows per list. Fusing
+    corpus-sized scored sets should rank before fusing. The fused
+    groupBy keys on doc id and is partial-agg friendly.
+
+    Returns the top ``top`` rows as (id, rrf_score, n_lists), score
+    rounded to 6 places, ties broken on id ascending.
+    """
+    if not rankings:
+        raise ValueError("rankings must contain at least one list")
+    ranked = []
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    for r in rankings:
+        ranked.append(
+            r.select(
+                F.col(id_col),
+                F.row_number().over(w).alias("__rank"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    fused = allr.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__rank"))), 6
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(top)

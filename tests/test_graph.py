@@ -132,3 +132,42 @@ def test_pagerank_tol_stops_early_with_identical_ranks(spark):
     with_tol = {r.id: r.rank for r in pagerank(chain, n_iter=3, tol=1e-30).collect()}
     plain = {r.id: r.rank for r in pagerank(chain, n_iter=3).collect()}
     assert with_tol == plain
+
+
+def test_hits_matches_numpy_power_iteration(spark, tmp_path):
+    import numpy as np
+
+    from dotnetspider_spark.operators.graph import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 4)]
+    n = 5
+    A = np.zeros((n, n))
+    for s, d in edges:
+        A[s, d] = 1.0
+    auth = np.full(n, 1.0 / n)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(4):
+        auth = A.T @ hub
+        auth = auth / auth.sum()
+        hub = A @ auth
+        hub = hub / hub.sum()
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: (r.auth, r.hub)
+        for r in hits(df, n_iter=4, state_dir=str(tmp_path / "h")).collect()
+    }
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i][0] == pytest.approx(auth[i], abs=1e-12)
+        assert got[i][1] == pytest.approx(hub[i], abs=1e-12)
+    # L1 invariants
+    assert sum(a for a, _ in got.values()) == pytest.approx(1.0)
+    assert sum(h for _, h in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_empty_graph(spark, tmp_path):
+    from dotnetspider_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df, n_iter=2, state_dir=str(tmp_path / "e")).count() == 0

@@ -224,3 +224,25 @@ def test_revisit_schedule_streak_doubling_and_clamp(spark):
         "u3": (1, 0, 0, 3600),
         "u4": (3, 1, 0, 3600),
     }
+
+
+def test_crawl_delta_statuses(spark):
+    from dotnetspider_spark.operators.frontier import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3")], "url string, digest string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "d2"), ("u3", "dX"), ("u4", "d4")], "url string, digest string"
+    )
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
+    # digest audit columns survive on both sides
+    rows = {r.url: r for r in crawl_delta(old, new).collect()}
+    assert rows["u3"].old_digest == "d3" and rows["u3"].new_digest == "dX"
+    assert rows["u1"].new_digest is None and rows["u4"].old_digest is None

@@ -95,3 +95,61 @@ def test_host_reputation_aggregates(spark):
     assert (a.n_docs, a.avg_tokens, a.frac_long) == (2, 14.0, 0.5)
     b = got["b.example"]
     assert (b.n_docs, b.avg_tokens, b.frac_long) == (1, 1.0, 0.0)
+
+
+def test_anchor_text_agg_counts_and_top(spark):
+    from dotnetspider_spark.operators.retrieval import anchor_text_agg
+
+    rows = [
+        ("a", "p1", "home"),
+        ("b", "p1", "home"),
+        ("c", "p1", "start page"),
+        ("d", "p1", "  home  "),          # trims to "home"
+        ("e", "p2", "docs"),
+        ("f", "p2", "api docs"),
+        ("g", "p2", "api docs"),
+        ("h", "p2", "docs"),              # 2-2 tie -> "api docs" wins lexically
+        ("i", "p3", ""),                  # dropped
+        ("j", "p3", None),                # dropped
+        ("k", "p3", "only"),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {r.dst: r for r in anchor_text_agg(df).collect()}
+    assert got["p1"].n_links == 4
+    assert got["p1"].n_distinct_anchors == 2
+    assert got["p1"].top_anchor == "home"
+    assert got["p1"].top_anchor_links == 3
+    assert got["p2"].top_anchor == "api docs"  # deterministic tie-break
+    assert got["p2"].n_links == 4
+    assert got["p3"].n_links == 1 and got["p3"].top_anchor == "only"
+
+
+def test_rrf_fuse_matches_pure_python(spark):
+    from dotnetspider_spark.operators.retrieval import rrf_fuse
+
+    l1 = [(10, 3.0), (11, 2.0), (12, 1.0)]
+    l2 = [(12, 9.9), (10, 5.5), (13, 0.1)]
+    d1 = spark.createDataFrame(l1, "doc_id long, score double")
+    d2 = spark.createDataFrame(l2, "doc_id long, score double")
+    k = 60
+    ref = {}
+    for lst in (l1, l2):
+        for rank, (i, _) in enumerate(
+            sorted(lst, key=lambda t: (-t[1], t[0])), start=1
+        ):
+            ref[i] = ref.get(i, 0.0) + 1.0 / (k + rank)
+    got = rrf_fuse([d1, d2], k=k, top=10).collect()
+    assert [r.doc_id for r in got] == sorted(
+        ref, key=lambda i: (-round(ref[i], 6), i)
+    )
+    for r in got:
+        assert r.rrf_score == pytest.approx(round(ref[r.doc_id], 6), abs=1e-9)
+    n_lists = {r.doc_id: r.n_lists for r in got}
+    assert n_lists[10] == 2 and n_lists[11] == 1 and n_lists[13] == 1
+
+
+def test_rrf_fuse_requires_input(spark):
+    with pytest.raises(ValueError):
+        from dotnetspider_spark.operators.retrieval import rrf_fuse
+
+        rrf_fuse([])
