@@ -1895,6 +1895,24 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(old, new)
 
 
+def q_webdataset_shards(spark, sf_dir):
+    # WebDataset shard assignment (sinks/webdataset.assign_shards):
+    # deterministic portable-hash shard + dense within-shard member key
+    # for synthesized image+caption pairs; the tar writer itself is
+    # pinned byte-deterministic by test_webdataset — this query oracle-
+    # checks the assignment layer the writer consumes.
+    from dotnetspider_spark.sinks.webdataset import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("fmt"),
+    )
+    return assign_shards(pairs, n_shards=8).select(
+        "image_id", "shard", "member_key", "fmt"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -1996,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf_fuse": q_retrieval_rrf_fuse,
         "hits_2iter": q_hits_2iter,
         "crawl_delta": q_crawl_delta,
+        "webdataset_shards": q_webdataset_shards,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -3467,6 +3486,24 @@ def oracle_sql() -> dict[str, str]:
             h2 AS (SELECT id, h / (SELECT sum(h) FROM h2n) AS hub FROM h2n)
             SELECT a2.id, round(a2.auth, 6) AS auth, round(h2.hub, 6) AS hub
             FROM a2 JOIN h2 USING (id)
+        """,
+        "webdataset_shards": """
+            WITH h AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       CASE WHEN doc_id % 2 = 0 THEN 'png'
+                            ELSE 'jpeg' END AS fmt,
+                       CAST(concat('0x', substr(md5(
+                           'wds|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS hv
+                FROM documents),
+            a AS (SELECT image_id, fmt, hv,
+                         CAST(hv % 8 AS INT) AS shard FROM h)
+            SELECT image_id, shard,
+                   lpad(CAST(row_number() OVER (PARTITION BY shard
+                       ORDER BY hv ASC, image_id ASC) - 1 AS VARCHAR),
+                       9, '0') AS member_key,
+                   fmt
+            FROM a
         """,
         "crawl_delta": """
             WITH o_s AS (
