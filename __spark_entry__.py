@@ -1913,6 +1913,57 @@ def q_webdataset_shards(spark, sf_dir):
     )
 
 
+def q_image_training_prep(spark, sf_dir):
+    # END-TO-END image TRAINING-PREP flagship: LAION-style pair screen
+    # -> normalized-caption dedup -> aspect-ratio bucket batching ->
+    # WebDataset shard assignment. Every stage is the engine's real
+    # operator (curation.image_caption_screen, images.caption_dedup,
+    # images.aspect_bucket_batches, webdataset.assign_shards); the
+    # oracle replays the identical composition in one SQL statement.
+    from dotnetspider_spark.operators.curation import image_caption_screen
+    from dotnetspider_spark.operators.images import (
+        aspect_bucket_batches,
+        caption_dedup,
+    )
+    from dotnetspider_spark.sinks.webdataset import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    cap = F.concat(
+        F.lit("A Photo of item "),
+        (F.col("doc_id") % 120).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("!")).otherwise(F.lit(" ,")),
+    )
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        (64 + (F.col("doc_id") * 7) % 1985).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 13) % 1985).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("gif")
+        .alias("fmt"),
+        cap.alias("caption"),
+    )
+    screened = image_caption_screen(pairs)
+    kept = pairs.join(
+        screened.filter(F.col("keep")).select("image_id"),
+        "image_id",
+        "left_semi",
+    )
+    deduped = caption_dedup(kept)
+    buckets = aspect_bucket_batches(
+        deduped,
+        buckets=[(512, 1024), (768, 1024), (1024, 1024), (1024, 768), (1024, 512)],
+        batch_size=4,
+        n_shards=2,
+    )
+    wds = assign_shards(deduped.select("image_id", "fmt"), n_shards=8).select(
+        "image_id",
+        F.col("shard").alias("wds_shard"),
+        "member_key",
+    )
+    return buckets.join(wds, "image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2015,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_2iter": q_hits_2iter,
         "crawl_delta": q_crawl_delta,
         "webdataset_shards": q_webdataset_shards,
+        "image_training_prep": q_image_training_prep,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -3486,6 +3538,90 @@ def oracle_sql() -> dict[str, str]:
             h2 AS (SELECT id, h / (SELECT sum(h) FROM h2n) AS hub FROM h2n)
             SELECT a2.id, round(a2.auth, 6) AS auth, round(h2.hub, 6) AS hub
             FROM a2 JOIN h2 USING (id)
+        """,
+        "image_training_prep": """
+            WITH p AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       CAST(64 + (doc_id * 7) % 1985 AS INT) AS w,
+                       CAST(64 + (doc_id * 13) % 1985 AS INT) AS h,
+                       CASE WHEN doc_id % 3 = 0 THEN 'png'
+                            WHEN doc_id % 3 = 1 THEN 'jpeg'
+                            ELSE 'gif' END AS fmt,
+                       'A Photo of item ' || CAST(doc_id % 120 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '!'
+                               ELSE ' ,' END AS caption
+                FROM documents),
+            feat AS (
+                SELECT *,
+                       CAST(greatest(w, h) AS DOUBLE)
+                           / CAST(least(w, h) AS DOUBLE) AS aspect,
+                       list_filter(string_split_regex(caption, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM p),
+            kept AS (
+                SELECT image_id, w, h, fmt, caption FROM feat
+                WHERE least(w, h) >= 64 AND aspect <= 3.0
+                  AND len(toks) BETWEEN 3 AND 128
+                  AND (CASE WHEN len(toks) > 0 THEN
+                          CAST(len(list_filter(toks, x ->
+                              regexp_full_match(x, '[A-Za-z]+')))
+                              AS DOUBLE) / len(toks)
+                       ELSE 0.0 END) >= 0.5
+                  AND fmt IN ('png', 'jpeg')),
+            nrm AS (
+                SELECT image_id,
+                       trim(regexp_replace(regexp_replace(lower(caption),
+                           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS k
+                FROM kept),
+            dk AS (SELECT min(image_id) AS image_id FROM nrm GROUP BY k),
+            dd AS (SELECT kept.* FROM kept JOIN dk USING (image_id)),
+            b(bw, bh, i) AS (VALUES (512, 1024, 0), (768, 1024, 1),
+                                    (1024, 1024, 2), (1024, 768, 3),
+                                    (1024, 512, 4)),
+            dist AS (
+                SELECT dd.image_id, b.bw, b.bh, b.i,
+                       abs(CAST(dd.w AS DOUBLE) / dd.h
+                           - CAST(b.bw AS DOUBLE) / b.bh) AS dist
+                FROM dd CROSS JOIN b),
+            asg AS (
+                SELECT image_id, bw, bh
+                FROM (SELECT image_id, bw, bh,
+                             row_number() OVER (PARTITION BY image_id
+                                                ORDER BY dist, i) AS rn
+                      FROM dist)
+                WHERE rn = 1),
+            hh AS (
+                SELECT image_id, bw, bh,
+                       CAST(concat('0x', substr(md5('abb|'
+                           || CAST(image_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM asg),
+            num AS (
+                SELECT image_id, bw, bh, hv % 2 AS shard,
+                       row_number() OVER (PARTITION BY bw, bh, hv % 2
+                                          ORDER BY hv, image_id) AS rn,
+                       count(*) OVER (PARTITION BY bw, bh, hv % 2) AS n
+                FROM hh),
+            bat AS (
+                SELECT image_id, bw AS bucket_w, bh AS bucket_h,
+                       CAST(shard AS BIGINT) AS shard,
+                       CAST((rn - 1) // 4 AS BIGINT) AS batch_index
+                FROM num WHERE (rn - 1) // 4 < n // 4),
+            wh AS (
+                SELECT dd.image_id,
+                       CAST(concat('0x', substr(md5('wds|'
+                           || CAST(dd.image_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS hv
+                FROM dd),
+            wa AS (
+                SELECT image_id, CAST(hv % 8 AS INT) AS wds_shard,
+                       lpad(CAST(row_number() OVER (PARTITION BY hv % 8
+                           ORDER BY hv ASC, image_id ASC) - 1 AS VARCHAR),
+                           9, '0') AS member_key
+                FROM wh)
+            SELECT bat.image_id, bucket_w, bucket_h, bat.shard,
+                   batch_index, wa.wds_shard, wa.member_key
+            FROM bat JOIN wa USING (image_id)
         """,
         "webdataset_shards": """
             WITH h AS (
