@@ -1964,6 +1964,170 @@ def q_image_training_prep(spark, sf_dir):
     return buckets.join(wds, "image_id")
 
 
+def q_trap_detection(spark, sf_dir):
+    # crawler-trap detection (operators/traps.py): per-host URL-template
+    # explosion report. trap.example emits one calendar/session template
+    # with per-doc numeric ids (the classic infinite URL space); the
+    # site hosts emit letter-distinct paths (template == URL, ratio 1).
+    from dotnetspider_spark.operators.traps import trap_detection
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    letters = F.translate(sid, "0123456789", "abcdefghij")
+    url = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("http://trap.example/cal/2024/"), sid, F.lit("/"),
+            (F.col("doc_id") * 7).cast("string"),
+            F.lit("?session="), (F.col("doc_id") * 13).cast("string"),
+            F.lit("&page="), (F.col("doc_id") % 5).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example/"), F.col("lang"), F.lit("/"), letters,
+        )
+    )
+    return trap_detection(
+        d.select(url.alias("url")), min_urls=20, max_ratio=5.0
+    )
+
+
+def q_crawl_delay_report(spark, sf_dir):
+    # per-host frontier drain forecast (operators/frontier.py
+    # crawl_delay_report): politeness serializes same-host fetches, so
+    # drain wall = pending * effective delay. Hosts 0-5 carry robots
+    # Crawl-delay rows (host 0's 500 ms is floored to 600); the rest
+    # default to the floor.
+    from dotnetspider_spark.operators.frontier import crawl_delay_report
+
+    d = _t(spark, sf_dir, "documents")
+    hostn = F.col("doc_id") % 20
+    frontier = d.select(
+        F.concat(F.lit("site"), hostn.cast("string"), F.lit(".example")).alias(
+            "host"
+        )
+    )
+    delays = (
+        d.select(hostn.alias("hn"))
+        .distinct()
+        .filter(F.col("hn") < 6)
+        .select(
+            F.concat(
+                F.lit("site"), F.col("hn").cast("string"), F.lit(".example")
+            ).alias("host"),
+            ((F.col("hn") + 1) * 500).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return crawl_delay_report(frontier, delays, floor_ms=600)
+
+
+def q_opic_2iter(spark, sf_dir):
+    # OPIC frontier priority (graph.opic, Abiteboul et al. 2003) over a
+    # deterministic crawl-graph slice — the oracle unrolls the same two
+    # cash-distribution iterations in SQL.
+    from dotnetspider_spark.operators.graph import opic
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2500)
+        & ((F.col("user_id") * 3 + F.col("event_id")) % 5 == 0)
+    )
+    edges = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 25).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("event_id") % 25).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return opic(edges, n_iter=2).select(
+        "id",
+        F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
+def q_docs_bigram_lm(spark, sf_dir):
+    # bigram-LM quality bucketing (textquality.bigram_lm_score): add-1
+    # smoothed conditional NLL under the corpus's own bigram model;
+    # word order now matters, unlike docs_lm_score's unigram model.
+    from dotnetspider_spark.operators.textquality import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(d, head_nll=3.37, tail_nll=3.40)
+
+
+def q_docs_hard_negatives(spark, sf_dir):
+    # BM25 hard-negative mining (retrieval.hard_negatives, the DPR
+    # recipe): top-15 scored docs for the query EXCLUDING the labeled
+    # positives — scores identical to docs_bm25_topk (corpus stats see
+    # the full corpus), only the cut changes.
+    from dotnetspider_spark.operators.retrieval import hard_negatives
+
+    d = _t(spark, sf_dir, "documents")
+    return hard_negatives(
+        d, ["spark", "shuffle", "vector"], positive_ids=[7, 19, 42], k=15
+    )
+
+
+def q_dedup_source_priority(spark, sf_dir):
+    # cross-source exact dedup keeping the highest-priority source
+    # (curation.dedup_source_priority): text synthesized so every 37th
+    # doc collides; src0 beats src1 beats src2 beats everything else,
+    # doc_id breaks ties.
+    from dotnetspider_spark.operators.curation import dedup_source_priority
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat(F.lit("doc body "), (F.col("doc_id") % 37).cast("string")).alias(
+            "text"
+        ),
+    )
+    kept = dedup_source_priority(synth, {"src0": 0, "src1": 1, "src2": 2})
+    return kept.select("doc_id", "source", "n_chars")
+
+
+def q_docs_top_p_score(spark, sf_dir):
+    # percentile-gated curation (curation.top_p_by_score, the
+    # LAION-Aesthetics recipe): keep the top 30% of each language by a
+    # deterministic synthetic score; exact rank semantics, keep flag on
+    # every row.
+    from dotnetspider_spark.operators.curation import top_p_by_score
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", ((F.col("doc_id") * 37 % 1000) / 1000.0).alias("score")
+    )
+    return top_p_by_score(
+        scored, group_col="lang", score_col="score", top_p=0.3
+    )
+
+
+def q_bpe_pair_topk(spark, sf_dir):
+    # BPE merge-step-1 pair ranking (tokenizer.bpe_pair_counts): top-40
+    # adjacent character pairs by corpus frequency, counted over the
+    # word-frequency table (the Sennrich trick), not token occurrences.
+    from dotnetspider_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=40)
+
+
+def q_clip_score_screen(spark, sf_dir):
+    # CLIP-score-style pair alignment screen (ann.pair_cosine_screen,
+    # the LAION/DataComp gate): exact cosine between each embedding and
+    # its reverse (the deterministic stand-in for the text-tower vector
+    # — no model in this sandbox), keep at cos >= 0.1. Map-only.
+    from dotnetspider_spark.operators.ann import pair_cosine_screen
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = e.select(
+        "vec_id",
+        F.col("embedding").alias("img"),
+        F.reverse(F.col("embedding")).alias("txt"),
+    )
+    return pair_cosine_screen(pairs, "img", "txt", min_cos=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2067,6 +2231,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "webdataset_shards": q_webdataset_shards,
         "image_training_prep": q_image_training_prep,
+        "trap_detection": q_trap_detection,
+        "crawl_delay_report": q_crawl_delay_report,
+        "opic_2iter": q_opic_2iter,
+        "docs_bigram_lm": q_docs_bigram_lm,
+        "docs_hard_negatives": q_docs_hard_negatives,
+        "dedup_source_priority": q_dedup_source_priority,
+        "docs_top_p_score": q_docs_top_p_score,
+        "bpe_pair_topk": q_bpe_pair_topk,
+        "clip_score_screen": q_clip_score_screen,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -3915,5 +4088,273 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
                 WHERE q.vec_id < 3)
             WHERE rn <= 3
+        """,
+        "trap_detection": """
+            WITH u AS (
+                SELECT CASE WHEN doc_id % 4 = 0 THEN
+                         'http://trap.example/cal/2024/'
+                         || CAST(doc_id AS VARCHAR) || '/'
+                         || CAST(doc_id * 7 AS VARCHAR)
+                         || '?session=' || CAST(doc_id * 13 AS VARCHAR)
+                         || '&page=' || CAST(doc_id % 5 AS VARCHAR)
+                       ELSE 'http://site' || CAST(doc_id % 10 AS VARCHAR)
+                         || '.example/' || lang || '/'
+                         || translate(CAST(doc_id AS VARCHAR),
+                                      '0123456789', 'abcdefghij')
+                       END AS url
+                FROM documents),
+            parts AS (
+                SELECT regexp_replace(lower(url),
+                           '^[a-z][a-z0-9+.-]*://', '') AS rest
+                FROM u),
+            split_u AS (
+                SELECT regexp_extract(rest, '^([^/?#]*)', 1) AS host,
+                       regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+                       regexp_extract(rest, '\\?([^#]*)', 1) AS query
+                FROM parts),
+            tpl AS (
+                SELECT host,
+                       CASE WHEN pn = '' THEN tp
+                            ELSE tp || '?' || pn END AS template
+                FROM (
+                    SELECT host,
+                           regexp_replace(regexp_replace(path,
+                               '\\b[0-9a-f]{8,}\\b', 'H', 'g'),
+                               '[0-9]+', 'N', 'g') AS tp,
+                           coalesce(array_to_string(list_sort(list_transform(
+                               list_filter(string_split(query, '&'),
+                                           p -> p <> ''),
+                               p -> string_split(p, '=')[1])), ','), '') AS pn
+                    FROM split_u)),
+            per_tpl AS (
+                SELECT host, template, count(*) AS n_tpl
+                FROM tpl GROUP BY host, template)
+            SELECT host,
+                   CAST(sum(n_tpl) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_templates,
+                   CAST(max(n_tpl) AS BIGINT) AS max_template_urls,
+                   round(CAST(sum(n_tpl) AS DOUBLE) / count(*), 6)
+                       AS explosion,
+                   (sum(n_tpl) >= 20
+                    AND CAST(sum(n_tpl) AS DOUBLE) / count(*) >= 5.0)
+                       AS trap
+            FROM per_tpl GROUP BY host
+        """,
+        "crawl_delay_report": """
+            WITH f AS (
+                SELECT 'site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example' AS host
+                FROM documents),
+            pend AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_pending
+                FROM f GROUP BY host),
+            delays AS (
+                SELECT DISTINCT
+                       'site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example' AS host,
+                       CAST((doc_id % 20 + 1) * 500 AS BIGINT) AS delay_ms
+                FROM documents WHERE doc_id % 20 < 6)
+            SELECT pend.host, n_pending,
+                   CAST(greatest(coalesce(delay_ms, 600), 600) AS BIGINT)
+                       AS effective_delay_ms,
+                   round(n_pending
+                         * greatest(coalesce(delay_ms, 600), 600)
+                         / 1000.0, 6) AS drain_s
+            FROM pend LEFT JOIN delays ON pend.host = delays.host
+        """,
+        "opic_2iter": """
+            WITH e AS (
+                SELECT DISTINCT
+                       'p' || CAST(user_id % 25 AS VARCHAR) AS src,
+                       'p' || CAST(event_id % 25 AS VARCHAR) AS dst
+                FROM events
+                WHERE event_id < 2500
+                  AND (user_id * 3 + event_id) % 5 = 0
+                  AND 'p' || CAST(user_id % 25 AS VARCHAR)
+                      <> 'p' || CAST(event_id % 25 AS VARCHAR)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            s0 AS (
+                SELECT id, 1.0 / nn.n AS cash, 0.0 AS hist
+                FROM nodes CROSS JOIN nn),
+            d1 AS (
+                SELECT coalesce(sum(cash), 0.0) AS dang
+                FROM s0 LEFT JOIN deg ON s0.id = deg.src
+                WHERE deg.src IS NULL),
+            c1 AS (
+                SELECT e.dst AS id, sum(s0.cash / deg.d) AS contrib
+                FROM e JOIN s0 ON e.src = s0.id
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            s1 AS (
+                SELECT s0.id,
+                       coalesce(c1.contrib, 0.0) + d1.dang / nn.n AS cash,
+                       s0.hist + s0.cash AS hist
+                FROM s0 LEFT JOIN c1 ON s0.id = c1.id
+                CROSS JOIN d1 CROSS JOIN nn),
+            d2 AS (
+                SELECT coalesce(sum(cash), 0.0) AS dang
+                FROM s1 LEFT JOIN deg ON s1.id = deg.src
+                WHERE deg.src IS NULL),
+            c2 AS (
+                SELECT e.dst AS id, sum(s1.cash / deg.d) AS contrib
+                FROM e JOIN s1 ON e.src = s1.id
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            s2 AS (
+                SELECT s1.id,
+                       coalesce(c2.contrib, 0.0) + d2.dang / nn.n AS cash,
+                       s1.hist + s1.cash AS hist
+                FROM s1 LEFT JOIN c2 ON s1.id = c2.id
+                CROSS JOIN d2 CROSS JOIN nn),
+            tot AS (SELECT sum(hist + cash) AS t FROM s2)
+            SELECT id, round(cash, 6) AS cash, round(hist, 6) AS history,
+                   round((hist + cash) / tot.t, 6) AS importance
+            FROM s2 CROSS JOIN tot
+        """,
+        "docs_bigram_lm": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents),
+            bg AS (
+                SELECT doc_id, z[1] || ' ' || z[2] AS bigram
+                FROM (SELECT doc_id,
+                             unnest(list_zip(tk[1:len(tk)-1],
+                                             tk[2:len(tk)])) AS z
+                      FROM toks WHERE len(tk) >= 2)),
+            tf AS (
+                SELECT doc_id, bigram, count(*) AS tf
+                FROM bg GROUP BY doc_id, bigram),
+            model AS (
+                SELECT bigram, sum(tf) AS c_bigram FROM tf GROUP BY bigram),
+            hist AS (
+                SELECT string_split(bigram, ' ')[1] AS w1,
+                       sum(c_bigram) AS c_hist
+                FROM model GROUP BY 1),
+            v AS (
+                SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+                FROM (SELECT unnest(tk) AS t FROM toks)),
+            sc AS (
+                SELECT tf.doc_id,
+                       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+                       sum(tf.tf * (ln(hist.c_hist + 1.0 * v.v)
+                                    - ln(model.c_bigram + 1.0)))
+                           / sum(tf.tf) AS nll
+                FROM tf JOIN model USING (bigram)
+                JOIN hist ON string_split(tf.bigram, ' ')[1] = hist.w1
+                CROSS JOIN v
+                GROUP BY tf.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                   round(sc.nll, 6) AS avg_nll,
+                   CASE WHEN sc.nll IS NULL THEN 'middle'
+                        WHEN sc.nll < 3.37 THEN 'head'
+                        WHEN sc.nll < 3.40 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        "docs_hard_negatives": """
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS dl
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avg_len FROM base),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok IN ('spark', 'shuffle', 'vector')
+                GROUP BY doc_id, tok),
+            dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(ln(1.0 + (stats.n_docs - dft.df + 0.5)
+                                    / (dft.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * base.dl
+                                                    / stats.avg_len)))
+                           AS s
+                FROM tf
+                JOIN dft USING (tok)
+                JOIN base USING (doc_id)
+                CROSS JOIN stats
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 6) AS score
+            FROM scored
+            WHERE doc_id NOT IN (7, 19, 42)
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "dedup_source_priority": """
+            WITH s AS (
+                SELECT doc_id, source, n_chars, doc_id % 37 AS key,
+                       CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                            WHEN 'src2' THEN 2 ELSE 3 END AS prio
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY key
+                                          ORDER BY prio, doc_id) AS rn
+                FROM s)
+            SELECT s.doc_id, s.source, s.n_chars
+            FROM s JOIN w USING (doc_id) WHERE w.rn = 1
+        """,
+        "docs_top_p_score": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       (doc_id * 37 % 1000) / 1000.0 AS score
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY score DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM scored)
+            SELECT doc_id, lang, score,
+                   rn <= ceil(0.3 * n) AS keep
+            FROM ranked
+        """,
+        "bpe_pair_topk": """
+            WITH wf AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+                FROM (SELECT unnest(list_filter(
+                          string_split_regex(lower(text), '\\s+'),
+                          x -> x <> '')) AS word
+                      FROM documents)
+                GROUP BY word),
+            pairs AS (
+                SELECT z[1] || z[2] AS pair, n_occ
+                FROM (SELECT unnest(list_zip(
+                          string_split(word, '')[1:len(word)-1],
+                          string_split(word, '')[2:len(word)])) AS z,
+                          n_occ
+                      FROM wf WHERE length(word) >= 2))
+            SELECT pair, CAST(sum(n_occ) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair ASC
+            LIMIT 40
+        """,
+        "clip_score_screen": """
+            SELECT vec_id, round(cos, 6) AS cos, cos >= 0.1 AS keep
+            FROM (
+                SELECT vec_id,
+                       CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb)
+                            ELSE 0.0 END AS cos
+                FROM (
+                    SELECT vec_id,
+                           list_dot_product(a, b) AS dot,
+                           sqrt(list_dot_product(a, a)) AS na,
+                           sqrt(list_dot_product(b, b)) AS nb
+                    FROM (SELECT vec_id,
+                                 CAST(embedding AS DOUBLE[]) AS a,
+                                 CAST(list_reverse(embedding) AS DOUBLE[])
+                                     AS b
+                          FROM embeddings)))
         """,
     }

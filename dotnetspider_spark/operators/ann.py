@@ -329,3 +329,35 @@ def dequantize_int8(quantized: DataFrame, out_col: str = "vec") -> DataFrame:
     return quantized.withColumn(
         out_col, F.transform(F.col("codes"), lambda c: c.cast("double") * s)
     )
+
+
+def pair_cosine_screen(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    min_cos: float = 0.2,
+) -> DataFrame:
+    """CLIP-score-style alignment screen over ALREADY-PAIRED vectors —
+    the DataComp/LAION gate that drops image–caption pairs whose image
+    and text embeddings disagree (Schuhmann et al. 2021 filter CC pairs
+    at CLIP cosine ≥ 0.3; DataComp sweeps the threshold). The pairing
+    is given (one row = one candidate pair), so unlike the ANN
+    operators there is NO candidate generation here: the screen is a
+    map-only projection — exact cosine per row via JVM-side folds
+    (:func:`_cos_col`), a ``keep`` verdict, no shuffle, no Python.
+
+    Inputs are two array<float|double> columns; floats are cast to
+    double BEFORE any arithmetic so the fold order and precision match
+    across engines (the oracle recomputes in float64). Returns the
+    input minus the vector columns, plus (cos rounded to 6, keep) —
+    vectors don't ride past the screen.
+    """
+    a = F.transform(F.col(a_col), lambda x: x.cast("double"))
+    b = F.transform(F.col(b_col), lambda x: x.cast("double"))
+    cos = _cos_col(a, b)
+    out_cols = [c for c in pairs.columns if c not in (a_col, b_col)]
+    return pairs.select(
+        *out_cols,
+        F.round(cos, 6).alias("cos"),
+        (cos >= F.lit(min_cos)).alias("keep"),
+    )

@@ -50,7 +50,7 @@ HashSetDuplicateRemover.cs); these are driver-mandate additions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .graph import dedup_keep_canonical
@@ -584,4 +584,90 @@ def domain_quota(
         pre.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= quota)
         .drop("__rn", "__h")
+    )
+
+
+def dedup_source_priority(
+    df: DataFrame,
+    priority: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact dedup keeping the HIGHEST-PRIORITY source's
+    copy — the standard corpus-assembly rule when the same document
+    appears in several feeds of different quality (The Pile / Dolma
+    both prefer curated sources over raw CommonCrawl when content
+    collides): dedup key is the md5 of the normalized text; the winner
+    per key is the row with the smallest (priority, id) — sources
+    absent from ``priority`` rank last, id breaks ties so the verdict
+    is deterministic under any partitioning.
+
+    Shape: ONE partial-agg'd groupBy on the text hash using
+    ``min_by(id, struct(priority, id))`` — no window over the key
+    space, no text shipped past the hash projection (map-side combine
+    reduces each key's candidates before the shuffle). The winner-id
+    set then left-semi-joins back by id. Returns the surviving rows
+    with their original columns.
+    """
+    from .textdedup import _hash64
+
+    worst = (max(priority.values()) if priority else 0) + 1
+    prio = F.lit(worst)
+    for s, p in sorted(priority.items()):
+        prio = F.when(F.col(source_col) == s, F.lit(p)).otherwise(prio)
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        _hash64(normalize_text(F.col(text_col))).alias("__key"),
+        prio.alias("__prio"),
+    )
+    winners = keyed.groupBy("__key").agg(
+        F.min_by("__id", F.struct(F.col("__prio"), F.col("__id"))).alias(
+            "__winner"
+        )
+    )
+    return df.join(
+        winners.select(F.col("__winner").alias(id_col)), id_col, "left_semi"
+    )
+
+
+def top_p_by_score(
+    df: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    top_p: float = 0.5,
+) -> DataFrame:
+    """Keep the top ``top_p`` fraction of rows per group by score —
+    percentile-gated curation (the LAION-Aesthetics recipe: keep only
+    pairs above an aesthetic-score percentile, per bucket/language/
+    source). Exact rank semantics: each group keeps
+    ``ceil(top_p * n_group)`` rows, ordered score DESC then id ASC so
+    the cut is deterministic across engines and partitionings.
+
+    Shape: one window per group (rank + count over the same partition
+    spec — a single shuffle and sort). Same mega-group caveat as
+    ``domain_quota``: a group holding a large share of the corpus
+    serializes its sort into one task; for percentile gates at that
+    scale, pre-filter with a fixed score threshold from a sampled
+    quantile sketch (approxQuantile) first, then exact-rank the
+    survivors — documented here, applied when groups are hosts rather
+    than the handful of sources/languages this gate is built for.
+
+    Returns the input columns plus ``keep`` (no rows dropped: audit
+    passes want the rejected rows' scores too).
+    """
+    if not (0.0 < top_p <= 1.0):
+        raise ValueError("top_p must be in (0, 1]")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "keep", F.col("__rn") <= F.ceil(F.lit(top_p) * F.col("__n"))
+        )
+        .drop("__rn", "__n")
     )

@@ -352,3 +352,121 @@ def hits(
             auth_n.unpersist()
         _drop_stale(f"{root}/iter={it - 1}")
     return state
+
+
+def opic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 2,
+    state_dir: str | None = None,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the frontier-prioritization signal designed FOR
+    crawlers: unlike PageRank it needs no convergence before being
+    useful, so a crawl can rank its frontier from the very first
+    iterations. This is the batch (synchronous) variant: every node
+    starts with cash ``1/N``; each iteration banks the node's current
+    cash into its history, then distributes that cash equally across
+    its out-links, with the cash of dangling nodes (no out-links)
+    redistributed uniformly to all nodes:
+
+    ``history'(v) = history(v) + cash(v)``
+    ``cash'(v)    = Σ_{u→v} cash(u)/out(u) + dangling/N``
+
+    Importance estimate after k iterations is ``(history + cash)``
+    normalized by total banked mass — returned as ``importance`` so the
+    caller can feed it straight into
+    ``select_fetch_batch(priority_first=True)``.
+
+    Scale shape per iteration (same discipline as :func:`pagerank`):
+    one join keyed on ``src`` and one aggregation keyed on ``dst`` —
+    partition-parallel on node ids; dangling mass is a single scalar
+    aggregate; state parquet-round-trips between iterations (the
+    Spark-4 checkpoint stats-compounding hazard the CC operator
+    documents). No driver-side graph state at any point.
+
+    Returns (id, cash, history, importance) over all src∪dst nodes.
+    """
+    spark = edges.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="spark-opic-state-")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e.write.mode("overwrite").parquet(f"{root}/edges")
+    e = spark.read.parquet(f"{root}/edges")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes.write.mode("overwrite").parquet(f"{root}/nodes")
+    nodes = spark.read.parquet(f"{root}/nodes")
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "id",
+            F.lit(0.0).alias("cash"),
+            F.lit(0.0).alias("history"),
+            F.lit(0.0).alias("importance"),
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg.write.mode("overwrite").parquet(f"{root}/deg")
+    deg = spark.read.parquet(f"{root}/deg")
+
+    state = nodes.select(
+        "id", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history")
+    )
+    for it in range(1, n_iter + 1):
+        with_deg = (
+            state.join(deg, state["id"] == deg["src"], "left")
+            .select("id", "cash", "history", "out_deg")
+            .persist()  # consumed by the dangling scalar AND the state write
+        )
+        try:
+            dangling = (
+                with_deg.filter(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+                .first()[0]
+            )
+            contribs = (
+                e.join(
+                    with_deg.filter(F.col("out_deg").isNotNull()).select(
+                        F.col("id").alias("src"), "cash", "out_deg"
+                    ),
+                    "src",
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("cash") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new_state = (
+                with_deg.select("id", "cash", "history")
+                .join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.lit(dangling / n)
+                    ).alias("cash"),
+                    (F.col("history") + F.col("cash")).alias("history"),
+                )
+            )
+            new_state.write.mode("overwrite").parquet(f"{root}/iter={it}")
+            state = spark.read.parquet(f"{root}/iter={it}")
+        finally:
+            with_deg.unpersist()
+        _drop_stale(f"{root}/iter={it - 1}")
+    # total banked+pending mass is exactly (n_iter+1) * initial total = a
+    # constant, but compute it from the state so truncation error matches
+    # the oracle's same-order arithmetic
+    total = state.agg(
+        F.sum(F.col("history") + F.col("cash")).alias("__t")
+    )
+    return state.crossJoin(F.broadcast(total)).select(
+        "id",
+        "cash",
+        "history",
+        ((F.col("history") + F.col("cash")) / F.col("__t")).alias("importance"),
+    )

@@ -31,19 +31,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k documents by BM25 score for a bag of query terms.
-
-    Returns (id_col, score) with score rounded to 6 places; ties break
-    on id ascending so the result is deterministic across engines.
+    """BM25 score for every document matching at least one query term
+    (the scoring stage shared by :func:`bm25_topk` and
+    :func:`hard_negatives`). Returns (id_col, score), score rounded to
+    6 places; corpus statistics are always computed over the FULL
+    ``docs`` input, so any downstream exclusion (top-k cut, positives
+    anti-filter) changes which rows survive, never the scores.
     """
     terms = sorted({t for t in query_terms if t})
     if not terms:
@@ -98,6 +99,59 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    Returns (id_col, score) with score rounded to 6 places; ties break
+    on id ascending so the result is deterministic across engines.
+    Shape: :func:`bm25_scores` then orderBy+limit — Catalyst compiles
+    the cut to TakeOrderedAndProject (no global sort materialization).
+    """
+    scored = bm25_scores(docs, query_terms, k1=k1, b=b, id_col=id_col,
+                         text_col=text_col)
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    query_terms: list[str],
+    positive_ids: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 hard-negative mining — the standard contrastive-training
+    data recipe (Karpukhin et al. 2020, DPR): for a query, the highest-
+    scoring documents that are NOT known positives are the "hard"
+    negatives a retriever most needs to learn from (random negatives
+    are trivially separable).
+
+    Shape: the positives exclusion is a literal ``isin`` filter applied
+    to the scored rows BEFORE the top-k cut (positives lists are
+    per-query small by construction — they're labeled data), so the
+    plan stays scoring -> Filter -> TakeOrderedAndProject; corpus
+    statistics still see the full corpus (excluding positives from the
+    stats would shift every idf). Returns (id_col, score), ties broken
+    on id ascending.
+    """
+    pos = sorted(set(positive_ids))
+    scored = bm25_scores(docs, query_terms, k1=k1, b=b, id_col=id_col,
+                         text_col=text_col)
+    if pos:
+        scored = scored.filter(~F.col(id_col).isin(pos))
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 

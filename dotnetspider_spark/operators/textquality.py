@@ -239,3 +239,95 @@ def unigram_lm_score(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    head_nll: float = 4.0,
+    tail_nll: float = 7.0,
+) -> DataFrame:
+    """Bigram-LM quality bucketing — the CCNet recipe (Wenzek et al.
+    2019) one order up from :func:`unigram_lm_score`: per-doc mean
+    negative log-likelihood of each token given its predecessor under
+    the corpus's own add-alpha-smoothed bigram model,
+    ``P(w2|w1) = (C(w1 w2) + a) / (C(w1·) + a·V)``, where ``C(w1·)``
+    counts w1 as a bigram HISTORY (so the conditional sums to 1 over
+    the vocabulary) and V is the distinct unigram vocabulary size.
+    Repetitive boilerplate scores low-NLL head; lexically incoherent
+    spam scores tail — a strictly sharper split than the unigram model
+    because word ORDER now matters.
+
+    Scale shape: (1) per-doc bigram term frequencies aggregate FIRST —
+    the model join ships one row per DISTINCT (doc, bigram), not one
+    per occurrence; (2) the bigram model is itself a partial-agg'd
+    groupBy over the same pre-aggregated rows; (3) history counts
+    derive from the bigram model (groupBy w1 — vocabulary-sized, not
+    corpus-sized); (4) V is one scalar broadcast. Docs with fewer than
+    2 tokens carry no bigrams and get NULL nll / 'middle' bucket — the
+    caller's length filter owns those.
+
+    Buckets use fixed cutoffs (not corpus tertiles) for the same
+    determinism reason unigram_lm_score documents.
+    """
+    from .textdedup import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(bigrams).alias("bigram")
+        )
+        .groupBy("id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = tf.groupBy("bigram").agg(F.sum("tf").alias("c_bigram"))
+    hist = model.select(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"), "c_bigram"
+    ).groupBy("w1").agg(F.sum("c_bigram").alias("c_hist"))
+    vocab_size = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("__v"))
+    )
+    scored = (
+        tf.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(model, "bigram")
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * (
+                        F.log(F.col("c_hist") + F.lit(alpha) * F.col("__v"))
+                        - F.log(F.col("c_bigram") + F.lit(alpha))
+                    )
+                )
+                / F.sum("tf")
+            ).alias("__nll"),
+        )
+    )
+    out = docs.select(F.col(id_col).alias("id")).join(scored, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.round("__nll", 6).alias("avg_nll"),
+        F.when(F.col("__nll").isNull(), F.lit("middle"))
+        .when(F.col("__nll") < head_nll, F.lit("head"))
+        .when(F.col("__nll") < tail_nll, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -205,3 +205,38 @@ def test_quantize_int8_roundtrip_bounds(spark):
     dot = sum(x * y for x, y in zip(a, b))
     na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
     assert dot / (na * nb) > 0.999
+
+
+def test_pair_cosine_screen_exact_and_fail_closed(spark):
+    from dotnetspider_spark.operators.ann import pair_cosine_screen
+
+    rows = [
+        (0, [1.0, 0.0], [1.0, 0.0]),    # cos 1
+        (1, [1.0, 0.0], [0.0, 1.0]),    # cos 0
+        (2, [1.0, 1.0], [1.0, -1.0]),   # cos 0
+        (3, [0.0, 0.0], [1.0, 0.0]),    # zero-norm -> 0.0, NOT NaN
+        (4, [3.0, 4.0], [3.0, 4.0]),    # cos 1 regardless of norm
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, img array<double>, txt array<double>"
+    )
+    got = {
+        r.pair_id: (r.cos, r.keep)
+        for r in pair_cosine_screen(df, "img", "txt", min_cos=0.5).collect()
+    }
+    assert got[0] == (1.0, True)
+    assert got[1] == (0.0, False)
+    assert got[2] == (0.0, False)
+    assert got[3] == (0.0, False)
+    assert got[4] == (1.0, True)
+
+
+def test_pair_cosine_screen_drops_vector_columns(spark):
+    from dotnetspider_spark.operators.ann import pair_cosine_screen
+
+    df = spark.createDataFrame(
+        [(0, "m", [1.0], [1.0])],
+        "pair_id long, meta string, img array<double>, txt array<double>",
+    )
+    out = pair_cosine_screen(df, "img", "txt")
+    assert out.columns == ["pair_id", "meta", "cos", "keep"]

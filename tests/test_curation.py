@@ -407,3 +407,55 @@ def test_boilerplate_strip_keeps_dense_prose_drops_chrome(spark):
     with contextlib.redirect_stdout(buf):
         df.select(boilerplate_strip(F.col("html"))).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_dedup_source_priority_prefers_priority_then_id(spark):
+    from dotnetspider_spark.operators.curation import dedup_source_priority
+
+    rows = [
+        # same normalized text across three sources
+        (10, "cc", "Hello, WORLD!"),
+        (3, "wiki", "hello world"),
+        (7, "books", "hello  world"),
+        # unique text, unknown source -> survives
+        (5, "random", "only copy"),
+        # tie within one source -> min id wins
+        (20, "wiki", "twin"),
+        (21, "wiki", "twin"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_source_priority(
+            df, {"wiki": 0, "books": 1, "cc": 2}
+        ).collect()
+    )
+    assert kept == [3, 5, 20]
+
+
+def test_top_p_by_score_exact_ceil_per_group(spark):
+    from dotnetspider_spark.operators.curation import top_p_by_score
+
+    rows = [(i, "a", float(i)) for i in range(10)]  # scores 0..9
+    rows += [(100 + i, "b", float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r.doc_id: r.keep
+        for r in top_p_by_score(df, "source", "score", top_p=0.25).collect()
+    }
+    # group a: ceil(0.25*10)=3 kept -> top scores 9,8,7
+    assert [i for i in range(10) if got[i]] == [7, 8, 9]
+    # group b: ceil(0.25*3)=1 kept -> score 2
+    assert [i for i in (100, 101, 102) if got[i]] == [102]
+
+
+def test_top_p_by_score_tie_breaks_on_id(spark):
+    from dotnetspider_spark.operators.curation import top_p_by_score
+
+    rows = [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0), (4, "a", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r.doc_id: r.keep
+        for r in top_p_by_score(df, "source", "score", top_p=0.5).collect()
+    }
+    assert got == {1: True, 2: True, 3: False, 4: False}

@@ -171,3 +171,47 @@ def test_hits_empty_graph(spark, tmp_path):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df, n_iter=2, state_dir=str(tmp_path / "e")).count() == 0
+
+
+def test_opic_matches_hand_computed_two_iterations(spark):
+    # graph: a->b, a->c, b->c ; c dangling. n=3, cash0 = 1/3 each.
+    from dotnetspider_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.id: (round(r.cash, 9), round(r.history, 9), round(r.importance, 9))
+        for r in opic(edges, n_iter=2).collect()
+    }
+    third = 1.0 / 3.0
+    # iter1: dangling = cash(c) = 1/3 -> each node gets 1/9 base
+    # cash1(a) = 1/9 ; cash1(b) = 1/6 + 1/9 ; cash1(c) = 1/6 + 1/3 + 1/9
+    c1 = {"a": third / 3, "b": third / 2 + third / 3,
+          "c": third / 2 + third / 3 + third}
+    h1 = {k: third for k in "abc"}
+    # iter2: dangling = cash1(c)
+    d2 = c1["c"]
+    c2 = {"a": d2 / 3, "b": c1["a"] / 2 + d2 / 3,
+          "c": c1["a"] / 2 + c1["b"] + d2 / 3}
+    h2 = {k: h1[k] + c1[k] for k in "abc"}
+    tot = sum(h2[k] + c2[k] for k in "abc")
+    for k in "abc":
+        assert got[k][0] == round(c2[k], 9)
+        assert got[k][1] == round(h2[k], 9)
+        assert got[k][2] == round((h2[k] + c2[k]) / tot, 9)
+
+
+def test_opic_total_mass_conserved(spark):
+    # cash always sums to 1 (dangling redistribution closes the system)
+    from dotnetspider_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    rows = opic(edges, n_iter=3).collect()
+    assert abs(sum(r.cash for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.importance for r in rows) - 1.0) < 1e-12
+    # after k iterations every node banked k rounds of history
+    assert abs(sum(r.history for r in rows) - 3.0) < 1e-12

@@ -376,3 +376,65 @@ def test_domain_quota_prefilters_mega_hosts_before_window(spark):
     assert got == want
     # the prefilter actually bit: mega host kept exactly quota rows
     assert sum(1 for _d, h_ in got if h_ == "mega.example") == 10
+
+
+def test_bpe_pair_counts_compresses_to_word_table_first(spark):
+    """The pair stage must read the word-FREQUENCY table (Heaps'-law
+    sized), not token occurrences: plan shows the word aggregate BELOW
+    the pair explode, and the final cut is top-k, not a global sort."""
+    from dotnetspider_spark.operators.tokenizer import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bpe_pair_counts(docs, k=10))
+    assert "TakeOrderedAndProject" in plan
+    # two generate stages (token explode, pair explode) with an
+    # aggregate between them — the Sennrich compression
+    gen_positions = [i for i, ln in enumerate(plan.splitlines()) if "Generate" in ln]
+    agg_positions = [i for i, ln in enumerate(plan.splitlines()) if "HashAggregate" in ln]
+    assert len(gen_positions) >= 2
+    assert any(g1 < a < g2 for a in agg_positions
+               for g1, g2 in [(min(gen_positions), max(gen_positions))])
+
+
+def test_hard_negatives_filter_precedes_topk(spark):
+    """Positives exclusion is a literal filter under the top-k — the
+    plan must show TakeOrderedAndProject with no Window and no global
+    Sort above the scored aggregate."""
+    from dotnetspider_spark.operators.retrieval import hard_negatives
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(hard_negatives(docs, ["spark"], positive_ids=[1, 2], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_dedup_source_priority_has_no_window_and_no_text_shuffle(spark):
+    """Winner election is a partial-agg'd min_by — no Window operator;
+    the text column must not ride the exchange (only its hash does)."""
+    from dotnetspider_spark.operators.curation import dedup_source_priority
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup_source_priority(docs, {"src0": 0}))
+    assert "Window" not in plan
+    # the hash-keyed exchange carries __key/__id/__prio, never text
+    exchange_sections = [
+        s for s in plan.split("(")
+        if s.startswith("Exchange") and "__key" in s
+    ]
+    assert all("text" not in s for s in exchange_sections)
+
+
+def test_trap_detection_is_two_level_aggregate_no_window(spark):
+    from dotnetspider_spark.operators.traps import trap_detection
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string")).alias("url")
+    )
+    plan = _plan(trap_detection(urls))
+    assert "Window" not in plan
+    import re
+
+    # exactly two shuffles: (host,template) compress, then (host) report
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2

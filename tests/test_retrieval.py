@@ -153,3 +153,31 @@ def test_rrf_fuse_requires_input(spark):
         from dotnetspider_spark.operators.retrieval import rrf_fuse
 
         rrf_fuse([])
+
+
+def test_hard_negatives_excludes_positives_keeps_scores(spark):
+    from dotnetspider_spark.operators.retrieval import hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    ref = _bm25_ref(["spark", "vector"])
+    got = {
+        r.doc_id: r.score
+        for r in hard_negatives(
+            df, ["spark", "vector"], positive_ids=[2], k=10
+        ).collect()
+    }
+    # positive excluded, every surviving score identical to the full run
+    assert 2 not in got
+    assert got == {i: s for i, s in ref.items() if i != 2}
+
+
+def test_hard_negatives_empty_positives_equals_topk(spark):
+    from dotnetspider_spark.operators.retrieval import bm25_topk, hard_negatives
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = [(r.doc_id, r.score) for r in bm25_topk(df, ["spark"], k=3).collect()]
+    b = [
+        (r.doc_id, r.score)
+        for r in hard_negatives(df, ["spark"], positive_ids=[], k=3).collect()
+    ]
+    assert a == b

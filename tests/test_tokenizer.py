@@ -1,0 +1,83 @@
+"""BPE pair-count induction (operators/tokenizer.py) + bigram LM
+scoring (textquality.bigram_lm_score) against hand-computed models."""
+
+from __future__ import annotations
+
+import math
+
+from dotnetspider_spark.operators.textquality import bigram_lm_score
+from dotnetspider_spark.operators.tokenizer import (
+    bpe_pair_counts,
+    word_frequencies,
+)
+
+
+def test_word_frequencies_lowercases_and_counts_occurrences(spark):
+    df = spark.createDataFrame(
+        [(0, "Low low  LOW"), (1, "low high")], "doc_id long, text string"
+    )
+    got = {r.word: r.n_occurrences for r in word_frequencies(df).collect()}
+    assert got == {"low": 4, "high": 1}
+
+
+def test_bpe_pair_counts_weights_by_word_frequency(spark):
+    # "abab" x3 occurrences: pairs ab,ba,ab -> ab:2/occ, ba:1/occ
+    # "ba" x1: ba:1 ; single chars contribute nothing
+    df = spark.createDataFrame(
+        [(0, "abab abab ba"), (1, "abab x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df, k=10).collect()}
+    assert got == {"ab": 6, "ba": 4}
+
+
+def test_bpe_topk_tie_breaks_on_pair_ascending(spark):
+    df = spark.createDataFrame([(0, "ab cd")], "doc_id long, text string")
+    rows = bpe_pair_counts(df, k=1).collect()
+    assert [(r.pair, r.n) for r in rows] == [("ab", 1)]
+
+
+def _bigram_ref(texts, alpha=1.0):
+    """Pure-python add-alpha bigram NLL per doc."""
+    toks = {i: t.split() for i, t in texts}
+    bigrams = {}
+    hist = {}
+    vocab = set()
+    for ws in toks.values():
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+            hist[a] = hist.get(a, 0) + 1
+    v = float(len(vocab))
+    out = {}
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[i] = (0, None)
+            continue
+        nll = sum(
+            math.log(hist[a] + alpha * v) - math.log(bigrams[(a, b)] + alpha)
+            for a, b in pairs
+        ) / len(pairs)
+        out[i] = (len(pairs), round(nll, 6))
+    return out
+
+
+def test_bigram_lm_matches_pure_python_reference(spark):
+    texts = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat"),
+        (2, "zebra quark"),
+        (3, "solo"),  # no bigrams: NULL nll, middle bucket
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll, r.bucket)
+        for r in bigram_lm_score(df, head_nll=2.5, tail_nll=3.0).collect()
+    }
+    ref = _bigram_ref(texts)
+    for i, (n, nll) in ref.items():
+        assert got[i][0] == n
+        assert got[i][1] == nll
+    assert got[3] == (0, None, "middle")
+    # repeated common bigrams score lower NLL than unseen-history pairs
+    assert got[0][1] < got[2][1]
