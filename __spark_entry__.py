@@ -2128,6 +2128,60 @@ def q_clip_score_screen(spark, sf_dir):
     return pair_cosine_screen(pairs, "img", "txt", min_cos=0.1)
 
 
+def q_opic_priority_batch(spark, sf_dir):
+    # COMPOSITION: OPIC importance (graph.opic) feeding the engine's
+    # salted two-level fetch-batch rank (frontier.select_fetch_batch,
+    # priority_first=True) — the crawl-ordering loop the OPIC paper
+    # describes: crawl what the cash says matters next. Priority is
+    # rounded to 6 BEFORE ranking so the rank key is engine-portable.
+    from dotnetspider_spark.operators.frontier import select_fetch_batch
+    from dotnetspider_spark.operators.graph import opic
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2500)
+        & ((F.col("user_id") * 3 + F.col("event_id")) % 5 == 0)
+    )
+    edges = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 25).cast("string")).alias("src"),
+        F.concat(F.lit("p"), (F.col("event_id") % 25).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    imp = opic(edges, n_iter=2).select(
+        "id", F.round("importance", 6).alias("priority")
+    )
+    n = F.substring(F.col("id"), 2, 10).cast("int")
+    frontier = imp.select(
+        F.concat(F.lit("http://h"), (n % 5).cast("string"),
+                 F.lit(".example/"), F.col("id")).alias("url"),
+        F.concat(F.lit("h"), (n % 5).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        n.cast("long").alias("seq"),
+        "priority",
+    )
+    batch = select_fetch_batch(
+        frontier, dfs=True, per_host_limit=2, priority_first=True
+    )
+    return batch.select(
+        "host", "url", "priority", "seq",
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+    )
+
+
+def q_balanced_shards(spark, sf_dir):
+    # size-balanced WebDataset shard assignment (webdataset.
+    # balanced_shards): stratified descending-size round-robin — the
+    # LPT-by-stratum layout; the oracle replays the identical hash /
+    # stratum / robin arithmetic.
+    from dotnetspider_spark.sinks.webdataset import balanced_shards
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        (1000 + (F.col("doc_id") * 131) % 9000).cast("long").alias("n_bytes"),
+    )
+    return balanced_shards(pairs, n_shards=4, strata=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2240,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_top_p_score": q_docs_top_p_score,
         "bpe_pair_topk": q_bpe_pair_topk,
         "clip_score_screen": q_clip_score_screen,
+        "opic_priority_batch": q_opic_priority_batch,
+        "balanced_shards": q_balanced_shards,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -4339,6 +4395,94 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair ASC
             LIMIT 40
+        """,
+        "opic_priority_batch": """
+            WITH e AS (
+                SELECT DISTINCT
+                       'p' || CAST(user_id % 25 AS VARCHAR) AS src,
+                       'p' || CAST(event_id % 25 AS VARCHAR) AS dst
+                FROM events
+                WHERE event_id < 2500
+                  AND (user_id * 3 + event_id) % 5 = 0
+                  AND 'p' || CAST(user_id % 25 AS VARCHAR)
+                      <> 'p' || CAST(event_id % 25 AS VARCHAR)),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            s0 AS (
+                SELECT id, 1.0 / nn.n AS cash, 0.0 AS hist
+                FROM nodes CROSS JOIN nn),
+            d1 AS (
+                SELECT coalesce(sum(cash), 0.0) AS dang
+                FROM s0 LEFT JOIN deg ON s0.id = deg.src
+                WHERE deg.src IS NULL),
+            c1 AS (
+                SELECT e.dst AS id, sum(s0.cash / deg.d) AS contrib
+                FROM e JOIN s0 ON e.src = s0.id
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            s1 AS (
+                SELECT s0.id,
+                       coalesce(c1.contrib, 0.0) + d1.dang / nn.n AS cash,
+                       s0.hist + s0.cash AS hist
+                FROM s0 LEFT JOIN c1 ON s0.id = c1.id
+                CROSS JOIN d1 CROSS JOIN nn),
+            d2 AS (
+                SELECT coalesce(sum(cash), 0.0) AS dang
+                FROM s1 LEFT JOIN deg ON s1.id = deg.src
+                WHERE deg.src IS NULL),
+            c2 AS (
+                SELECT e.dst AS id, sum(s1.cash / deg.d) AS contrib
+                FROM e JOIN s1 ON e.src = s1.id
+                       JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            s2 AS (
+                SELECT s1.id,
+                       coalesce(c2.contrib, 0.0) + d2.dang / nn.n AS cash,
+                       s1.hist + s1.cash AS hist
+                FROM s1 LEFT JOIN c2 ON s1.id = c2.id
+                CROSS JOIN d2 CROSS JOIN nn),
+            tot AS (SELECT sum(hist + cash) AS t FROM s2),
+            imp AS (
+                SELECT id, round((hist + cash) / tot.t, 6) AS priority
+                FROM s2 CROSS JOIN tot),
+            fr AS (
+                SELECT 'http://h' || CAST(CAST(substr(id, 2) AS INT) % 5
+                           AS VARCHAR) || '.example/' || id AS url,
+                       'h' || CAST(CAST(substr(id, 2) AS INT) % 5
+                           AS VARCHAR) || '.example' AS host,
+                       CAST(CAST(substr(id, 2) AS INT) AS BIGINT) AS seq,
+                       priority
+                FROM imp),
+            ranked AS (
+                SELECT host, url, priority, seq,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, seq DESC) AS host_rank
+                FROM fr)
+            SELECT host, url, priority, seq,
+                   CAST(host_rank AS BIGINT) AS host_rank
+            FROM ranked WHERE host_rank <= 2
+        """,
+        "balanced_shards": """
+            WITH pairs AS (
+                SELECT CAST(doc_id AS BIGINT) AS image_id,
+                       CAST(1000 + (doc_id * 131) % 9000 AS BIGINT)
+                           AS n_bytes
+                FROM documents),
+            strat AS (
+                SELECT image_id, n_bytes,
+                       CAST(concat('0x', substr(md5('bal|'
+                           || CAST(image_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 8 AS s
+                FROM pairs),
+            ranked AS (
+                SELECT image_id, n_bytes, s,
+                       row_number() OVER (PARTITION BY s
+                           ORDER BY n_bytes DESC, image_id ASC) AS rn
+                FROM strat)
+            SELECT image_id, n_bytes,
+                   CAST((s + rn - 1) % 4 AS INT) AS shard
+            FROM ranked
         """,
         "clip_score_screen": """
             SELECT vec_id, round(cos, 6) AS cos, cos >= 0.1 AS keep

@@ -103,3 +103,48 @@ def test_canonicalize_agrees_with_urllib(path):
         except ValueError:
             expect = []
     assert got == expect
+
+
+# --- traps.url_template vs a pure-python reference ---------------------
+
+_TPL_ALPHABET = "abcdef059/?&=#.-_~%xyzABC"
+
+
+def _ref_template(url: str) -> str:
+    import re as _re
+
+    rest = _re.sub(r"^[a-z][a-z0-9+.-]*://", "", url.lower())
+    m = _re.match(r"^[^/?#]*([^?#]*)", rest)
+    path = m.group(1) if m else ""
+    q = _re.search(r"\?([^#]*)", rest)
+    query = q.group(1) if q else ""
+    tp = _re.sub(r"[0-9]+", "N", _re.sub(r"\b[0-9a-f]{8,}\b", "H", path))
+    names = sorted(p.split("=")[0] for p in query.split("&") if p != "")
+    joined = ",".join(names)
+    # engine rule: the suffix exists iff the JOINED name string is
+    # non-empty (a lone empty-named param like '?=' is junk, no suffix)
+    return tp + "?" + joined if joined else tp
+
+
+@given(
+    st.lists(
+        st.text(alphabet=_TPL_ALPHABET, min_size=0, max_size=24).map(
+            lambda s: "http://h.example/" + s
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@example(["http://h.example/a;b?x=1&x=2"])
+@example(["http://h.example/deadbeef00"])
+@example(["http://h.example/?="])
+@example(["http://h.example/#frag?notquery=1"])
+@settings(max_examples=25, deadline=None)
+def test_url_template_agrees_with_python_reference(spark, urls):
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.operators.traps import url_template
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(url_template(F.col("url"))).collect()]
+    assert got == [_ref_template(u) for u in urls]

@@ -91,3 +91,36 @@ def test_manifest_matches_tar_contents(spark, tmp_path):
             members = tar.getmembers()
         assert len(members) == 2 * r.n_samples
         assert sum(m.size for m in members) == r.n_bytes
+
+
+def test_balanced_shards_byte_balance_beats_hash_tail(spark):
+    from dotnetspider_spark.sinks.webdataset import balanced_shards
+
+    # heavy-tailed sizes: a few huge members, many small
+    rows = [(i, 10_000_000 if i < 6 else 1000 + i) for i in range(600)]
+    df = spark.createDataFrame(rows, "image_id long, n_bytes long")
+    out = balanced_shards(df, n_shards=4, strata=8)
+    totals = {
+        r.shard: r.total
+        for r in out.groupBy("shard").agg(
+            F.sum("n_bytes").alias("total")
+        ).collect()
+    }
+    assert set(totals) == {0, 1, 2, 3}
+    # per-stratum LPT bound: max-min across shards stays within
+    # strata x largest member; with 8 strata and 10MB max this run
+    # lands far tighter — assert the practical bound
+    assert max(totals.values()) - min(totals.values()) <= 2 * 10_000_000
+    # every row assigned exactly once
+    assert out.count() == 600
+
+
+def test_balanced_shards_deterministic_across_partitionings(spark):
+    from dotnetspider_spark.sinks.webdataset import balanced_shards
+
+    rows = [(i, 1000 + (i * 131) % 9000) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "image_id long, n_bytes long")
+    df8 = df1.repartition(8)
+    a = {r.image_id: r.shard for r in balanced_shards(df1, 4).collect()}
+    b = {r.image_id: r.shard for r in balanced_shards(df8, 4).collect()}
+    assert a == b
