@@ -133,6 +133,20 @@ class CrawlConfig:
     #: Broker DB schema orders by priority (DistributeDesign.md:149-161),
     #: so this is exposed as an OPT-IN — default stays reference-faithful.
     priority_first: bool = False
+    #: opt-in crawler-trap guard (operators/traps.py; the Heritrix
+    #: failure mode — absent in the reference, whose frontier grows
+    #: unboundedly on a trap host until SleepTime slows the bleed):
+    #: each iteration, newly DISCOVERED children are template-profiled
+    #: per host, and hosts whose URL/template ratio explodes past
+    #: ``trap_max_ratio`` (with >= ``trap_min_urls`` links in the
+    #: batch) contribute no children that iteration. Detection is
+    #: per-discovery-batch — a trap page emits its explosion in one
+    #: parse — costing two partial aggs over the batch plus a broadcast
+    #: anti-join; no driver state, no cumulative table. Default OFF:
+    #: the guard intentionally diverges from reference crawl results.
+    trap_guard: bool = False
+    trap_min_urls: int = 100
+    trap_max_ratio: float = 8.0
 
     def __post_init__(self):
         if self.use_bloom and self.bucketed_seen:
@@ -831,6 +845,30 @@ def crawl(
         # --- 7. link discovery from successes ------------------------
         children = _discover_children(linkable, cfg, iter_base)
 
+        # --- 7b. opt-in trap guard: drop children of hosts whose
+        #         discovered-URL/template ratio exploded this batch ----
+        n_trap_hosts = 0
+        if cfg.trap_guard:
+            from dotnetspider_spark.operators.traps import trap_detection
+
+            flagged = (
+                trap_detection(
+                    children,
+                    min_urls=cfg.trap_min_urls,
+                    max_ratio=cfg.trap_max_ratio,
+                    host_col="host",
+                )
+                .filter(F.col("trap"))
+                .select("host")
+            )
+            # tiny by construction (hosts flagged THIS batch); the count
+            # is one aggregate job and doubles as the metrics signal
+            n_trap_hosts = flagged.count()
+            if n_trap_hosts:
+                children = children.join(
+                    F.broadcast(flagged), "host", "left_anti"
+                )
+
         # --- 8. dedup-push into next frontier ------------------------
         candidates = children.select(*_FRONTIER_COLS).unionByName(
             retries.select(*_FRONTIER_COLS)
@@ -982,6 +1020,7 @@ def crawl(
             "n_denied": n_consumed - n_fetch,
             "n_new": n_fresh,
             "n_hosts": n_hosts,
+            "n_trap_hosts": n_trap_hosts,
             "wall_ms": int((time.monotonic() - t0) * 1000),
         }
         metrics.append(row)

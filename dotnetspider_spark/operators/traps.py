@@ -75,6 +75,7 @@ def trap_detection(
     url_col: str = "url",
     min_urls: int = 20,
     max_ratio: float = 5.0,
+    host_col: str | None = None,
 ) -> DataFrame:
     """Per-host trap report over a (deduped) frontier slice.
 
@@ -85,9 +86,16 @@ def trap_detection(
     ``trap`` verdict: at least ``min_urls`` URLs AND explosion >=
     ``max_ratio``. Thresholds are Heritrix-style operating points, not
     learned.
+
+    ``host_col``: use an existing host column instead of re-deriving it
+    from the URL (the crawl loop already carries one; deriving twice
+    risks a join-key mismatch if the two derivations ever diverge).
     """
+    host = (
+        F.col(host_col) if host_col else url_host(F.col(url_col))
+    )
     base = urls.select(
-        url_host(F.col(url_col)).alias("host"),
+        host.alias("host"),
         url_template(F.col(url_col)).alias("template"),
     )
     per_tpl = base.groupBy("host", "template").agg(

@@ -656,3 +656,67 @@ def test_semicolon_url_same_identity_via_both_parse_paths(spark):
     # child — had the two parse paths disagreed on the ';' resolve, the
     # child would carry two identities (4 rows)
     assert res.seen.count() == 3
+
+
+def test_trap_guard_drops_exploding_host_children(spark):
+    """Opt-in trap guard (CrawlConfig.trap_guard): a page emitting 120
+    one-template calendar links gets its host's children dropped at
+    discovery; a page emitting letter-distinct links is untouched. With
+    the guard off (default, reference-faithful) the trap children flood
+    the frontier."""
+    import pyspark.sql.functions as F  # noqa: F401  (parity with siblings)
+
+    from dotnetspider_spark.testing.datagen import CORPUS_SCHEMA, SEED_SCHEMA
+
+    trap_links = "".join(
+        f'<a href="/cal/2024/{i}/{i * 3}">d</a>' for i in range(120)
+    )
+    def _letters(i):
+        return "".join("abcdefghij"[int(c)] for c in str(i))
+    ok_links = "".join(
+        f'<a href="/w/{_letters(i)}">w</a>' for i in range(30)
+    )
+    mk = lambda pid, host, body: {
+        "page_id": pid,
+        "url": f"http://{host}/start.html",
+        "host": host,
+        "out_links": [],
+        "html": f"<html>{body}</html>",
+        "image_id": f"img{pid}",
+        "bytes": None, "w": 1, "h": 1, "fmt": "png",
+        "caption": f"c{pid}", "phash": 0,
+        "status": 200, "crawl_delay_ms": 0,
+    }
+    corpus = spark.createDataFrame(
+        [
+            mk(0, "trap.example", trap_links),
+            mk(1, "ok.example", ok_links),
+        ],
+        CORPUS_SCHEMA.replace(", redirect_to string", ""),
+    )
+    seeds = spark.createDataFrame(
+        [
+            dict(url="http://trap.example/start.html", method="GET",
+                 referer=None, origin=None, content=None, headers=None,
+                 priority=0, depth=1, retried=0, seq=0),
+            dict(url="http://ok.example/start.html", method="GET",
+                 referer=None, origin=None, content=None, headers=None,
+                 priority=0, depth=1, retried=0, seq=1),
+        ],
+        SEED_SCHEMA,
+    )
+
+    guarded = crawl(
+        spark, corpus, seeds,
+        CrawlConfig(max_depth=2, trap_guard=True, trap_min_urls=100,
+                    trap_max_ratio=8.0),
+    )
+    g_seen_urls = [r.url for r in guarded.fetched.select("url").collect()]
+    assert not any("/cal/" in u for u in g_seen_urls)
+    # the ok host's children were consumed (fetch-attempted) normally
+    assert guarded.metrics[0]["n_trap_hosts"] == 1
+    assert guarded.metrics[0]["n_new"] == 30
+
+    unguarded = crawl(spark, corpus, seeds, CrawlConfig(max_depth=2))
+    assert unguarded.metrics[0]["n_trap_hosts"] == 0
+    assert unguarded.metrics[0]["n_new"] == 150  # trap children flood in

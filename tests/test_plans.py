@@ -230,12 +230,33 @@ def test_no_unbounded_single_partition_window_in_any_query(spark):
         "docs_neardup_verified", "image_dedup_canonical",
         "image_dedup_keep", "crawl_schedule_iteration",
     }
+    import re
+
+    def has_unpartitioned_window(plan: str) -> bool:
+        # a window's partition columns are the leading args of its
+        # windowspecdefinition; order columns carry ASC/DESC. No
+        # partition column => the whole input funnels through one task.
+        # (The old "SinglePartition AND Window anywhere in the plan"
+        # text check false-positived on queries that combine a
+        # partitioned window with an unrelated scalar aggregate, whose
+        # final agg is legitimately a SinglePartition exchange.)
+        for m in re.finditer(
+            r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+        ):
+            head = m.group(1).strip().rstrip(",").strip()
+            if not head:
+                return True
+            parts = [p.strip() for p in head.split(",") if p.strip()]
+            if all((" ASC" in p) or (" DESC" in p) for p in parts):
+                return True
+        return False
+
     offenders = {}
     for name, fn in em.queries().items():
         if name in skip:
             continue
         plan = _plan(fn(spark, SF))
-        if "SinglePartition" in plan and "Window" in plan:
+        if has_unpartitioned_window(plan):
             if "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan:
                 offenders[name] = plan
     assert not offenders, list(offenders)
