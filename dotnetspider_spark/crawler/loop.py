@@ -141,9 +141,11 @@ class CrawlConfig:
     #: ``trap_max_ratio`` (with >= ``trap_min_urls`` links in the
     #: batch) contribute no children that iteration. Detection is
     #: per-discovery-batch — a trap page emits its explosion in one
-    #: parse — costing two partial aggs over the batch plus a broadcast
-    #: anti-join; no driver state, no cumulative table. Default OFF:
-    #: the guard intentionally diverges from reference crawl results.
+    #: parse — costing one extra aggregate over the persisted children
+    #: (the parse UDF runs once) and a literal host filter; the flagged
+    #: host list passes through the driver but is bounded by hosts
+    #: flagged THIS batch, no cumulative table. Default OFF: the guard
+    #: intentionally diverges from reference crawl results.
     trap_guard: bool = False
     trap_min_urls: int = 100
     trap_max_ratio: float = 8.0
@@ -848,11 +850,23 @@ def crawl(
         # --- 7b. opt-in trap guard: drop children of hosts whose
         #         discovered-URL/template ratio exploded this batch ----
         n_trap_hosts = 0
+        trap_cached = None
         if cfg.trap_guard:
             from dotnetspider_spark.operators.traps import trap_detection
 
-            flagged = (
-                trap_detection(
+            # persist children: the guard's profile aggregate is an
+            # extra action over the parse-UDF lineage, which must not
+            # re-extract every page's links (the loop's fetched_raw
+            # pattern); unpersisted after the fresh write materializes
+            trap_cached = children.persist()
+            children = trap_cached
+            # flagged hosts are tiny by construction (hosts flagged
+            # THIS batch); collecting them lets the drop be a literal
+            # filter — no second evaluation of the profile aggregate
+            # on the anti-join's build side
+            flagged_hosts = [
+                r.host
+                for r in trap_detection(
                     children,
                     min_urls=cfg.trap_min_urls,
                     max_ratio=cfg.trap_max_ratio,
@@ -860,13 +874,12 @@ def crawl(
                 )
                 .filter(F.col("trap"))
                 .select("host")
-            )
-            # tiny by construction (hosts flagged THIS batch); the count
-            # is one aggregate job and doubles as the metrics signal
-            n_trap_hosts = flagged.count()
-            if n_trap_hosts:
-                children = children.join(
-                    F.broadcast(flagged), "host", "left_anti"
+                .collect()
+            ]
+            n_trap_hosts = len(flagged_hosts)
+            if flagged_hosts:
+                children = children.filter(
+                    ~F.col("host").isin(flagged_hosts)
                 )
 
         # --- 8. dedup-push into next frontier ------------------------
@@ -900,6 +913,8 @@ def crawl(
         #        job, replacing localCheckpoint + count + write); the
         #        count is a parquet-footer metadata lookup -------------
         fresh.write.mode("overwrite").parquet(f"{root}/fresh/iter={it}")
+        if trap_cached is not None:  # parse lineage materialized; release
+            trap_cached.unpersist()
         n_fresh = spark.read.parquet(f"{root}/fresh/iter={it}").count()
         if n_fresh > 0:
             frontier_parts.append(f"{root}/fresh/iter={it}")

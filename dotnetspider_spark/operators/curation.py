@@ -609,16 +609,18 @@ def dedup_source_priority(
     reduces each key's candidates before the shuffle). The winner-id
     set then left-semi-joins back by id. Returns the surviving rows
     with their original columns.
-    """
-    from .textdedup import _hash64
 
+    Key width: the FULL 128-bit md5, same as the engine's other exact
+    dedups — at 10^10 docs a 60-bit key expects dozens of birthday
+    collisions, each silently deleting a non-duplicate document.
+    """
     worst = (max(priority.values()) if priority else 0) + 1
     prio = F.lit(worst)
     for s, p in sorted(priority.items()):
         prio = F.when(F.col(source_col) == s, F.lit(p)).otherwise(prio)
     keyed = df.select(
         F.col(id_col).alias("__id"),
-        _hash64(normalize_text(F.col(text_col))).alias("__key"),
+        F.md5(normalize_text(F.col(text_col))).alias("__key"),
         prio.alias("__prio"),
     )
     winners = keyed.groupBy("__key").agg(

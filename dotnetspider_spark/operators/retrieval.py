@@ -46,13 +46,18 @@ def bm25_scores(
     ``docs`` input, so any downstream exclusion (top-k cut, positives
     anti-filter) changes which rows survive, never the scores.
     """
+    from .textdedup import tokens
+
     terms = sorted({t for t in query_terms if t})
     if not terms:
         raise ValueError("query_terms must contain at least one term")
+    # tokens() is the engine-wide token definition (dedup/quality/LM
+    # share it); the raw split rides along only for the explode — empty
+    # tokens are dropped by the isin() filter either way
     words = F.split(F.col(text_col), r"\s+")
     base = docs.select(
         F.col(id_col),
-        F.size(F.filter(words, lambda w: w != "")).alias("__len"),
+        F.size(tokens(F.col(text_col))).alias("__len"),
         words.alias("__words"),
     )
     # corpus stats: one scalar row, broadcast onto every doc
@@ -169,9 +174,11 @@ def host_reputation(
     docs clearing a 20-token floor — all from ONE pass over the text
     (single groupBy keyed on host; partial aggregation map-side).
     """
-    words = F.split(F.col(text_col), r"\s+")
-    n_tok = F.size(F.filter(words, lambda w: w != ""))
-    per_doc = docs.select(F.col(host_col), n_tok.alias("__n_tok"))
+    from .textdedup import tokens
+
+    per_doc = docs.select(
+        F.col(host_col), F.size(tokens(F.col(text_col))).alias("__n_tok")
+    )
     return per_doc.groupBy(host_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("__n_tok"), 6).alias("avg_tokens"),

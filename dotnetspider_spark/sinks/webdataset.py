@@ -88,6 +88,7 @@ def write_webdataset(
     fmt_col: str = "fmt",
     caption_col: str = "caption",
     salt: str = "wds",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Write pairs as ``{path}/shard-NNNNNN.tar`` WebDataset shards and
     return the manifest as a DataFrame (shard, n_samples, n_bytes,
@@ -97,11 +98,45 @@ def write_webdataset(
     and ``{key}.txt`` (caption utf-8). Tars are byte-deterministic:
     fixed member order (hash, id), zeroed mtime/uid/gid, staged-rename
     commit so retries are idempotent.
+
+    ``shard_col``: use a PRECOMPUTED shard assignment (e.g. from
+    :func:`balanced_shards`) instead of the default hash assignment;
+    values must be ints in ``[0, n_shards)``. Member keys are still
+    derived here (hash rank within the given shard).
+
+    Filesystem contract: tars are written with local-file APIs from
+    executor tasks, so ``path`` must be a filesystem every executor
+    AND the driver can reach at the same mount point (local mode, NFS,
+    or a FUSE-mounted object store). Plain ``hdfs://``/``s3://`` URIs
+    need a different writer; this one fails fast rather than
+    scattering shards across executor-local disks.
     """
+    if "://" in path:
+        raise ValueError(
+            "write_webdataset writes via local-file APIs on executors; "
+            f"URI paths are not supported: {path!r} (mount the store "
+            "and pass the mount path)"
+        )
     os.makedirs(path, exist_ok=True)
-    assigned = assign_shards(
-        pairs, n_shards, id_col=id_col, salt=salt
-    ).select(
+    if shard_col is not None:
+        from dotnetspider_spark.operators.textdedup import _hash64
+        from pyspark.sql import Window
+
+        h = _hash64(
+            F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+        )
+        w = Window.partitionBy(F.col(shard_col)).orderBy(
+            h.asc(), F.col(id_col).asc()
+        )
+        pre = pairs.withColumn(
+            "shard", F.col(shard_col).cast("int")
+        ).withColumn(
+            "member_key",
+            F.lpad((F.row_number().over(w) - 1).cast("string"), 9, "0"),
+        )
+    else:
+        pre = assign_shards(pairs, n_shards, id_col=id_col, salt=salt)
+    assigned = pre.select(
         F.col("shard"),
         F.col("member_key"),
         F.col(id_col).cast("string").alias("__id"),
@@ -114,6 +149,8 @@ def write_webdataset(
         import pandas as pd
 
         shard = int(pdf["shard"].iloc[0])
+        # executor-side: the driver's makedirs only ran on its own node
+        os.makedirs(path, exist_ok=True)
         tar_path = os.path.join(path, f"shard-{shard:06d}.tar")
         tmp_path = os.path.join(
             path, f"_tmp-shard-{shard:06d}-{os.getpid()}-{int(time.time()*1e6)}.tar"
@@ -248,7 +285,8 @@ def balanced_shards(
     partitionings (the hash is the engine-wide portable md5-prefix).
 
     Returns the input columns plus ``shard``. Feed the result to
-    :func:`write_tar_shards` for the one-task-per-shard writer.
+    :func:`write_webdataset` with ``shard_col="shard"`` so the
+    one-task-per-shard writer honors the balanced assignment.
     """
     from dotnetspider_spark.operators.textdedup import _hash64
 

@@ -105,25 +105,34 @@ def test_pagerank_hand_computed_and_invariants(spark):
     assert got["C"] > got["B"] > got["A"]
 
 
-def test_pagerank_tol_stops_early_with_identical_ranks(spark):
+def test_pagerank_tol_stops_early_with_identical_ranks(spark, tmp_path):
     """A symmetric 2-cycle converges immediately (ranks are exactly the
     stationary 1/2,1/2 from iteration 1): with tol set, the loop must
     stop well before the n_iter cap and return the SAME ranks as the
-    capped run; on a non-converged graph a tiny tol must not fire."""
-    import time as _time
+    capped run; on a non-converged graph a tiny tol must not fire.
+    Early exit is asserted on the surviving state directory (each
+    iteration writes iter=N and drops N-1), not wall-clock — timing
+    assertions flake on a shared box."""
+    import os
 
     from dotnetspider_spark.operators.graph import pagerank
 
     cycle = spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
-    t0 = _time.monotonic()
-    fast = {r.id: r.rank for r in pagerank(cycle, n_iter=25, tol=1e-12).collect()}
-    t_fast = _time.monotonic() - t0
-    t0 = _time.monotonic()
+    state = str(tmp_path / "pr_state")
+    fast = {
+        r.id: r.rank
+        for r in pagerank(cycle, n_iter=25, tol=1e-12, state_dir=state).collect()
+    }
     slow = {r.id: r.rank for r in pagerank(cycle, n_iter=25).collect()}
-    t_slow = _time.monotonic() - t0
     assert fast == slow == {"A": 0.5, "B": 0.5}
-    # 25 capped iterations vs ~2: early exit must be clearly faster
-    assert t_fast < t_slow * 0.5, (t_fast, t_slow)
+    # the last surviving iter=N dir IS the stop iteration: must be far
+    # below the 25-iteration cap (the 2-cycle's L1 delta is 0 at iter 1)
+    iters = [
+        int(d.split("=")[1])
+        for d in os.listdir(state)
+        if d.startswith("iter=")
+    ]
+    assert iters and max(iters) <= 2, iters
     # non-converged chain: tol=0 semantics — a 3-iter run with an
     # impossible tol must match the plain 3-iter run exactly
     chain = spark.createDataFrame(

@@ -377,13 +377,19 @@ def test_domain_quota_prefilters_mega_hosts_before_window(spark):
     out = domain_quota(df, host_col="host", key_col="doc_id", quota=10)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan, plan
-    # the hash filter must sit below the window (prefilter, not post)
-    win_pos = plan.index("Window")
-    filt_pos = max(
-        i for i in range(len(plan)) if plan.startswith("Filter", i)
-        and "__h" in plan[i:i + 200]
-    ) if "__h" in plan else -1
-    assert 0 <= filt_pos, plan
+    # the hash filter must sit BELOW the window (prefilter, not post):
+    # formatted-plan operator ids grow downstream, so the __h Filter's
+    # id must be smaller than the Window's
+    import re
+
+    win_ids = [int(m) for m in re.findall(r"\((\d+)\) Window", plan)]
+    filt_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter", plan)
+        if "__h" in plan[m.start():m.start() + 400]
+    ]
+    assert win_ids and filt_ids, plan
+    assert min(filt_ids) < min(win_ids), (filt_ids, win_ids)
     # exact equivalence vs the pure-window form
     h = _hash64(F.concat(F.lit("quota|"), F.col("doc_id")))
     w = Window.partitionBy("host").orderBy(h.asc(), F.col("doc_id").asc())

@@ -124,3 +124,36 @@ def test_balanced_shards_deterministic_across_partitionings(spark):
     a = {r.image_id: r.shard for r in balanced_shards(df1, 4).collect()}
     b = {r.image_id: r.shard for r in balanced_shards(df8, 4).collect()}
     assert a == b
+
+
+def test_write_webdataset_honors_precomputed_shard_col(spark, tmp_path):
+    from dotnetspider_spark.sinks.webdataset import (
+        balanced_shards,
+        read_webdataset,
+        write_webdataset,
+    )
+
+    p = _pairs(spark, n=24).withColumn(
+        "n_bytes", F.length("bytes").cast("long")
+    )
+    bal = balanced_shards(p, n_shards=3, strata=4)
+    want = {r.image_id: r.shard for r in bal.collect()}
+    out = str(tmp_path / "wds_bal")
+    manifest = write_webdataset(
+        bal, out, n_shards=3, shard_col="shard"
+    )
+    assert {r.shard for r in manifest.collect()} == set(want.values())
+    back = read_webdataset(spark, out)
+    got = {
+        int(r.caption.rsplit(" ", 1)[1]): r.shard
+        for r in back.select("caption", "shard").collect()
+    }
+    # every member landed in the tar of ITS balanced shard
+    assert got == {int(k): v for k, v in want.items()}
+
+
+def test_write_webdataset_rejects_uri_paths(spark):
+    from dotnetspider_spark.sinks.webdataset import write_webdataset
+
+    with pytest.raises(ValueError, match="local-file"):
+        write_webdataset(_pairs(spark, 4), "s3://bucket/wds", n_shards=2)
