@@ -2112,6 +2112,39 @@ def q_bpe_pair_topk(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), k=40)
 
 
+def q_docs_dsir_weights(spark, sf_dir):
+    # DSIR importance weights (importance.dsir_weights; Xie et al. 2023,
+    # arXiv:2302.03169): hashed-token-bucket unigram models, target =
+    # the `lang='en'` slice, raw = the full corpus; per-doc weight =
+    # sum of Laplace-smoothed log ratios. Two token passes: a 64-row
+    # bucket aggregate broadcast back, then a doc-keyed partial-agg sum.
+    from dotnetspider_spark.operators.importance import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=64)
+
+
+def q_pair_margin_mine(spark, sf_dir):
+    # ratio-margin pair mining (importance.margin_mine; Artetxe &
+    # Schwenk 2019 eq. 3 forward mining — bitext and image-caption pair
+    # mining over joint embeddings): queries = vec_id % 25 == 0
+    # broadcast against the rest, k=4 neighbourhood averages, each
+    # query's best-margin candidate kept above threshold 1.0. At scale
+    # the all-pairs generator is replaced by ann.lsh_bucket band joins;
+    # the margin windows/joins see only (ids, cos).
+    from dotnetspider_spark.operators.importance import (
+        margin_candidates_exact,
+        margin_mine,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = margin_candidates_exact(
+        e.filter(F.col("vec_id") % 25 == 0),
+        e.filter(F.col("vec_id") % 25 != 0),
+    )
+    return margin_mine(pairs, k=4, threshold=1.0)
+
+
 def q_clip_score_screen(spark, sf_dir):
     # CLIP-score-style pair alignment screen (ann.pair_cosine_screen,
     # the LAION/DataComp gate): exact cosine between each embedding and
@@ -2293,6 +2326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_source_priority": q_dedup_source_priority,
         "docs_top_p_score": q_docs_top_p_score,
         "bpe_pair_topk": q_bpe_pair_topk,
+        "docs_dsir_weights": q_docs_dsir_weights,
+        "pair_margin_mine": q_pair_margin_mine,
         "clip_score_screen": q_clip_score_screen,
         "opic_priority_batch": q_opic_priority_batch,
         "balanced_shards": q_balanced_shards,
@@ -4395,6 +4430,65 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair ASC
             LIMIT 40
+        """,
+        "docs_dsir_weights": """
+            WITH tb AS (
+                SELECT doc_id, is_target,
+                       CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT)
+                           % 64 AS b
+                FROM (SELECT doc_id, (lang = 'en') AS is_target,
+                             unnest(string_split_regex(text, '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+            bt AS (
+                SELECT b, count(*) AS cr,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+                FROM tb GROUP BY b),
+            st AS (SELECT sum(cr) AS rt, sum(ct) AS tt FROM bt),
+            lr AS (
+                SELECT b, ln((ct + 1.0) / (tt + 64))
+                          - ln((cr + 1.0) / (rt + 64)) AS lr
+                FROM bt CROSS JOIN st)
+            SELECT tb.doc_id, round(sum(lr.lr), 6) AS weight
+            FROM tb JOIN lr USING (b)
+            GROUP BY tb.doc_id
+        """,
+        "pair_margin_mine": """
+            WITH l AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 25 = 0),
+            r AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 25 <> 0),
+            p AS (
+                SELECT l.vec_id AS x_id, r.vec_id AS y_id,
+                       list_dot_product(l.e, r.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(r.e, r.e))) AS cos
+                FROM l CROSS JOIN r),
+            rk AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY x_id
+                           ORDER BY cos DESC, y_id ASC) AS rx,
+                       row_number() OVER (PARTITION BY y_id
+                           ORDER BY cos DESC, x_id ASC) AS ry
+                FROM p),
+            ax AS (SELECT x_id, avg(cos) AS ax FROM rk
+                   WHERE rx <= 4 GROUP BY x_id),
+            ay AS (SELECT y_id, avg(cos) AS ay FROM rk
+                   WHERE ry <= 4 GROUP BY y_id),
+            m AS (
+                SELECT rk.x_id, rk.y_id, rk.cos,
+                       rk.cos / ((ax.ax + ay.ay) / 2) AS margin
+                FROM rk JOIN ax USING (x_id) JOIN ay USING (y_id)),
+            best AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY x_id
+                           ORDER BY margin DESC, y_id ASC) AS rb
+                FROM m)
+            SELECT x_id, y_id, round(cos, 6) AS cos_sim,
+                   round(margin, 6) AS margin
+            FROM best WHERE rb = 1 AND margin > 1.0
         """,
         "opic_priority_batch": """
             WITH e AS (

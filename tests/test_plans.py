@@ -465,3 +465,24 @@ def test_trap_detection_is_two_level_aggregate_no_window(spark):
 
     # exactly two shuffles: (host,template) compress, then (host) report
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_dsir_weight_join_broadcasts_and_never_ships_text(spark):
+    """dsir_weights: the log-ratio table is B rows and must broadcast
+    back onto the token pass (a shuffle join would ship every token —
+    10^13 rows at the design point); no exchange may carry the raw
+    text column, and there must be no Window anywhere."""
+    import re
+
+    from dotnetspider_spark.operators.importance import dsir_weights
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dsir_weights(d, F.col("lang") == "en", n_buckets=64))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    for b in re.split(r"\n\n", plan):
+        if not re.match(r"\(\d+\) Exchange", b):
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert inp is not None, b
+        assert "text#" not in inp.group(1), b
