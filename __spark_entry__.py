@@ -2145,6 +2145,46 @@ def q_pair_margin_mine(spark, sf_dir):
     return margin_mine(pairs, k=4, threshold=1.0)
 
 
+def q_image_meta_sniff(spark, sf_dir):
+    # container-header sniff (images.sniff_image_meta): parse (fmt,w,h)
+    # straight from payload bytes with pure column algebra — the
+    # metadata-integrity screen of an image ingest. Header blobs are
+    # synthesized IN-ENGINE on both sides (unhex/from_hex of the same
+    # hex layout: PNG IHDR big-endian, GIF89a little-endian, FJPG
+    # big-endian u16) so the oracle checks the real binary parse, not a
+    # fixture file. Zero Python, zero shuffle (map-only projection —
+    # plan-gated by test_plans.test_sniff_fast_path_is_jvm_map_only).
+    from dotnetspider_spark.operators.images import sniff_image_meta
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    w = (F.col("doc_id") % 1000 + 8).cast("long")
+    h = ((F.col("doc_id") * 7) % 1000 + 8).cast("long")
+
+    def be(col, nhex):
+        return F.lpad(F.hex(col), nhex, "0")
+
+    le16 = lambda c: F.concat(be(c % 256, 2), be((c / 256).cast("long") % 256, 2))  # noqa: E731
+    hx = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("89504E470D0A1A0A0000000D49484452"), be(w, 8), be(h, 8)
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("474946383961"), le16(w), le16(h)),
+        )
+        .otherwise(
+            F.concat(F.lit("464A5047"), be(w, 4), be(h, 4), F.lit("5A"))
+        )
+    )
+    blobs = d.select("doc_id", F.unhex(hx).alias("bytes"))
+    return sniff_image_meta(blobs).select(
+        "doc_id", "sniff_fmt", "sniff_w", "sniff_h"
+    )
+
+
 def q_clip_score_screen(spark, sf_dir):
     # CLIP-score-style pair alignment screen (ann.pair_cosine_screen,
     # the LAION/DataComp gate): exact cosine between each embedding and
@@ -2328,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_topk": q_bpe_pair_topk,
         "docs_dsir_weights": q_docs_dsir_weights,
         "pair_margin_mine": q_pair_margin_mine,
+        "image_meta_sniff": q_image_meta_sniff,
         "clip_score_screen": q_clip_score_screen,
         "opic_priority_batch": q_opic_priority_batch,
         "balanced_shards": q_balanced_shards,
@@ -4489,6 +4530,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT x_id, y_id, round(cos, 6) AS cos_sim,
                    round(margin, 6) AS margin
             FROM best WHERE rb = 1 AND margin > 1.0
+        """,
+        "image_meta_sniff": """
+            WITH src AS (
+                SELECT doc_id,
+                       doc_id % 1000 + 8 AS w,
+                       (doc_id * 7) % 1000 + 8 AS h,
+                       doc_id % 3 AS k
+                FROM documents WHERE doc_id < 400),
+            hx AS (
+                SELECT doc_id,
+                    CASE k
+                        WHEN 0 THEN concat(
+                            '89504E470D0A1A0A0000000D49484452',
+                            lpad(upper(to_hex(w)), 8, '0'),
+                            lpad(upper(to_hex(h)), 8, '0'))
+                        WHEN 1 THEN concat('474946383961',
+                            lpad(upper(to_hex(w % 256)), 2, '0'),
+                            lpad(upper(to_hex(w // 256)), 2, '0'),
+                            lpad(upper(to_hex(h % 256)), 2, '0'),
+                            lpad(upper(to_hex(h // 256)), 2, '0'))
+                        ELSE concat('464A5047',
+                            lpad(upper(to_hex(w)), 4, '0'),
+                            lpad(upper(to_hex(h)), 4, '0'), '5A')
+                    END AS hx
+                FROM src)
+            SELECT doc_id,
+                CASE
+                    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                    WHEN substring(hx, 1, 8) = '464A5047' THEN 'jpeg'
+                    WHEN substring(hx, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                    WHEN substring(hx, 1, 12)
+                         IN ('474946383761', '474946383961') THEN 'gif'
+                    WHEN substring(hx, 1, 4) = '424D' THEN 'bmp'
+                END AS sniff_fmt,
+                CAST(CASE
+                    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+                         AND length(hx) >= 48
+                        THEN CAST(concat('0x', substring(hx, 33, 8)) AS BIGINT)
+                    WHEN substring(hx, 1, 8) = '464A5047'
+                         AND length(hx) >= 18
+                        THEN CAST(concat('0x', substring(hx, 9, 4)) AS BIGINT)
+                    WHEN substring(hx, 1, 12)
+                         IN ('474946383761', '474946383961')
+                         AND length(hx) >= 20
+                        THEN CAST(concat('0x', substring(hx, 13, 2)) AS BIGINT)
+                           + 256 * CAST(concat('0x', substring(hx, 15, 2))
+                                        AS BIGINT)
+                END AS INT) AS sniff_w,
+                CAST(CASE
+                    WHEN substring(hx, 1, 16) = '89504E470D0A1A0A'
+                         AND length(hx) >= 48
+                        THEN CAST(concat('0x', substring(hx, 41, 8)) AS BIGINT)
+                    WHEN substring(hx, 1, 8) = '464A5047'
+                         AND length(hx) >= 18
+                        THEN CAST(concat('0x', substring(hx, 13, 4)) AS BIGINT)
+                    WHEN substring(hx, 1, 12)
+                         IN ('474946383761', '474946383961')
+                         AND length(hx) >= 20
+                        THEN CAST(concat('0x', substring(hx, 17, 2)) AS BIGINT)
+                           + 256 * CAST(concat('0x', substring(hx, 19, 2))
+                                        AS BIGINT)
+                END AS INT) AS sniff_h
+            FROM hx
         """,
         "opic_priority_batch": """
             WITH e AS (

@@ -190,3 +190,225 @@ def phash_topk(
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# container-header sniffing (magic bytes -> fmt, w, h) — metadata integrity
+# ---------------------------------------------------------------------------
+# At ingest scale the (w, h, fmt) columns arrive from whatever wrote the
+# record, not from the bytes; a corrupt or mislabeled payload poisons
+# every stage keyed on them (aspect bucketing, resize batch shapes,
+# decode dispatch). Header sniffing is the standard cheap screen: every
+# raster container states its pixel dimensions at a fixed offset in the
+# first few dozen bytes (PNG IHDR, GIF logical screen descriptor, BMP
+# DIB header, the sandbox FJPG stand-in) — only real JPEG needs a
+# marker-segment scan (SOF frame header at a variable offset).
+#
+# The fixed-offset formats are sniffed with PURE BUILT-IN column
+# algebra (substring/hex/conv over the binary column — whole-stage
+# codegen, zero Python, no shuffle), so the common case never leaves
+# the JVM even at 10^10 rows. Only rows whose magic says "real JPEG"
+# take the Arrow-batched SOF scan, and they are split off by filter so
+# non-JPEG payload bytes never cross into Python.
+
+_MAGIC_PNG = "89504E470D0A1A0A"  # \x89PNG\r\n\x1a\n
+_MAGIC_FJPG = "464A5047"  # b"FJPG" (codec/png.py deterministic stand-in)
+_MAGIC_JPEG = "FFD8FF"  # SOI + first marker byte
+_MAGIC_GIF87 = "474946383761"  # GIF87a
+_MAGIC_GIF89 = "474946383961"  # GIF89a
+_MAGIC_BMP = "424D"  # BM
+_MAGIC_RIFF = "52494646"  # RIFF (WEBP when bytes 9..12 say WEBP)
+_MAGIC_WEBP = "57454250"
+
+
+def _hexat(data: Column, off: int, n: int) -> Column:
+    """Uppercase hex of the n bytes at 1-based byte offset ``off``."""
+    return F.hex(F.substring(data, off, n))
+
+
+def _be(data: Column, off: int, n: int) -> Column:
+    """Big-endian unsigned int of n bytes at 1-based offset ``off``."""
+    return F.conv(_hexat(data, off, n), 16, 10).cast("long")
+
+
+def _le(data: Column, off: int, n: int) -> Column:
+    """Little-endian unsigned int of n bytes at 1-based offset ``off``."""
+    out = F.lit(0).cast("long")
+    for i in range(n):
+        out = out + _be(data, off + i, 1) * F.lit(256**i).cast("long")
+    return out
+
+
+def sniff_fmt(data: Column) -> Column:
+    """Container format from magic bytes, or NULL if unrecognized. One
+    codegen'd CASE over constant-width prefixes. The FJPG stand-in
+    reports ``jpeg`` (it is this corpus's lossy slot — decode_image
+    dispatches on the same tag)."""
+    return (
+        F.when(_hexat(data, 1, 8) == _MAGIC_PNG, F.lit("png"))
+        .when(_hexat(data, 1, 4) == _MAGIC_FJPG, F.lit("jpeg"))
+        .when(_hexat(data, 1, 3) == _MAGIC_JPEG, F.lit("jpeg"))
+        .when(
+            _hexat(data, 1, 6).isin(_MAGIC_GIF87, _MAGIC_GIF89), F.lit("gif")
+        )
+        .when(
+            (_hexat(data, 1, 4) == _MAGIC_RIFF)
+            & (_hexat(data, 9, 4) == _MAGIC_WEBP),
+            F.lit("webp"),
+        )
+        .when(_hexat(data, 1, 2) == _MAGIC_BMP, F.lit("bmp"))
+    )
+
+
+def sniff_dims(data: Column) -> tuple[Column, Column]:
+    """(width, height) columns parsed from the fixed-offset container
+    headers; NULL where the container is unrecognized, truncated, or
+    stores dims at a variable offset (real JPEG -> SOF scan; WEBP ->
+    three sub-formats, out of scope). BMP height is signed (negative =
+    top-down row order) so it is two's-complement-decoded and abs'd."""
+    ln = F.octet_length(data)
+    bmp_h_raw = _le(data, 23, 4)
+    bmp_h = F.abs(
+        F.when(bmp_h_raw >= F.lit(2**31), bmp_h_raw - F.lit(2**32)).otherwise(
+            bmp_h_raw
+        )
+    )
+    w = (
+        F.when((_hexat(data, 1, 8) == _MAGIC_PNG) & (ln >= 24), _be(data, 17, 4))
+        .when((_hexat(data, 1, 4) == _MAGIC_FJPG) & (ln >= 9), _be(data, 5, 2))
+        .when(
+            (_hexat(data, 1, 6).isin(_MAGIC_GIF87, _MAGIC_GIF89)) & (ln >= 10),
+            _le(data, 7, 2),
+        )
+        .when((_hexat(data, 1, 2) == _MAGIC_BMP) & (ln >= 26), _le(data, 19, 4))
+    )
+    h = (
+        F.when((_hexat(data, 1, 8) == _MAGIC_PNG) & (ln >= 24), _be(data, 21, 4))
+        .when((_hexat(data, 1, 4) == _MAGIC_FJPG) & (ln >= 9), _be(data, 7, 2))
+        .when(
+            (_hexat(data, 1, 6).isin(_MAGIC_GIF87, _MAGIC_GIF89)) & (ln >= 10),
+            _le(data, 9, 2),
+        )
+        .when((_hexat(data, 1, 2) == _MAGIC_BMP) & (ln >= 26), bmp_h)
+    )
+    return w, h
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """(w, h) from a real JPEG stream by walking marker segments to the
+    SOF frame header (ITU T.81 B.2.2: markers 0xC0-0xCF excluding DHT
+    0xC4, JPG 0xC8, DAC 0xCC carry the frame dims as BE u16 height then
+    width at segment offset +5/+7). Returns None if no SOF is found
+    before the stream ends. Pure function — also the pytest reference
+    for the Arrow scan stage."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(data)
+    while i + 3 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(data[i + 5 : i + 7], "big")
+                w = int.from_bytes(data[i + 7 : i + 9], "big")
+                return w, h
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def sniff_image_meta(
+    images: DataFrame,
+    data_col: str = "bytes",
+    scan_real_jpeg: bool = False,
+) -> DataFrame:
+    """Add ``sniff_fmt``/``sniff_w``/``sniff_h`` parsed from the payload
+    bytes.
+
+    The fixed-offset formats (PNG/FJPG/GIF/BMP) are one map-only
+    codegen'd projection — no Python, no shuffle, runs at scan speed.
+    With ``scan_real_jpeg=True``, rows whose magic is a real JPEG SOI
+    are split off by filter and take an Arrow-batched :func:`jpeg_dims`
+    scan (mapInPandas), then union back — the filter split means
+    non-JPEG payloads never cross into Python. Both branches re-read
+    the (column-pruned) source; at 10^10 rows that is two scans of the
+    bytes column on disjoint row sets, still cheaper than shipping
+    every payload through Arrow."""
+    w, h = sniff_dims(F.col(data_col))
+    fast = images.select(
+        "*",
+        sniff_fmt(F.col(data_col)).alias("sniff_fmt"),
+        w.cast("int").alias("sniff_w"),
+        h.cast("int").alias("sniff_h"),
+    )
+    if not scan_real_jpeg:
+        return fast
+    import pandas as pd
+
+    is_real = F.coalesce(
+        (F.octet_length(F.col(data_col)) >= 4)
+        & (_hexat(F.col(data_col), 1, 3) == _MAGIC_JPEG),
+        F.lit(False),
+    )
+    fast_part = fast.filter(~is_real)
+    schema = fast.schema
+
+    def scan(batches):
+        for pdf in batches:
+            dims = pdf[data_col].map(
+                lambda b: jpeg_dims(bytes(b)) if b is not None else None
+            )
+            pdf = pdf.copy()
+            pdf["sniff_w"] = pd.array(
+                [d[0] if d else None for d in dims], dtype="Int32"
+            )
+            pdf["sniff_h"] = pd.array(
+                [d[1] if d else None for d in dims], dtype="Int32"
+            )
+            yield pdf
+
+    jpeg_part = fast.filter(is_real).mapInPandas(scan, schema)
+    return fast_part.unionByName(jpeg_part)
+
+
+def metadata_integrity(
+    images: DataFrame,
+    data_col: str = "bytes",
+    scan_real_jpeg: bool = False,
+) -> DataFrame:
+    """Screen declared (fmt, w, h) metadata against the sniffed header:
+    adds ``meta_ok`` + ``meta_reason`` (``unreadable`` — magic not
+    recognized / header truncated; ``fmt_mismatch``; ``dim_mismatch``;
+    ``unverified`` — container recognized but dims not parseable from a
+    fixed offset, e.g. real JPEG without the scan pass). Fail-closed:
+    only a fully matching header is ``ok``, same posture as
+    validate.validate_payloads (PSNR screen)."""
+    sniffed = sniff_image_meta(images, data_col, scan_real_jpeg)
+    reason = (
+        F.when(F.col("sniff_fmt").isNull(), F.lit("unreadable"))
+        .when(F.col("sniff_fmt") != F.col("fmt"), F.lit("fmt_mismatch"))
+        .when(
+            F.col("sniff_w").isNull() | F.col("sniff_h").isNull(),
+            F.lit("unverified"),
+        )
+        .when(
+            (F.col("sniff_w") != F.col("w")) | (F.col("sniff_h") != F.col("h")),
+            F.lit("dim_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return sniffed.withColumn("meta_reason", reason).withColumn(
+        "meta_ok", F.col("meta_reason") == "ok"
+    )

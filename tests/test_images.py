@@ -136,3 +136,131 @@ def test_phash_topk_plan_is_take_ordered(spark):
     )
     plan = phash_topk(df, 7, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# header sniffing / metadata integrity
+# ---------------------------------------------------------------------------
+
+import struct
+
+import numpy as np
+
+from dotnetspider_spark.codec.png import encode_fakejpeg, encode_png
+from dotnetspider_spark.operators.images import (
+    jpeg_dims,
+    metadata_integrity,
+    sniff_image_meta,
+)
+
+
+def _img_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def _minimal_jpeg(w: int, h: int, sof: int = 0xC0) -> bytes:
+    """Real-JPEG byte stream: SOI, APP0 (JFIF), DQT stub, SOF, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof_seg = (
+        bytes([0xFF, sof])
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof_seg + b"\xff\xd9"
+
+
+def test_sniff_png_and_fjpg_roundtrip(spark):
+    rng = np.random.default_rng(7)
+    png = encode_png(rng.integers(0, 256, (7, 11, 3), dtype=np.uint8))
+    fj = encode_fakejpeg(rng.integers(0, 256, (9, 13, 3), dtype=np.uint8))
+    out = {
+        r.image_id: r
+        for r in sniff_image_meta(
+            _img_rows(
+                spark,
+                [("p", png, 11, 7, "png"), ("f", fj, 13, 9, "jpeg")],
+            )
+        ).collect()
+    }
+    assert (out["p"].sniff_fmt, out["p"].sniff_w, out["p"].sniff_h) == ("png", 11, 7)
+    assert (out["f"].sniff_fmt, out["f"].sniff_w, out["f"].sniff_h) == ("jpeg", 13, 9)
+
+
+def test_sniff_gif_bmp_headers(spark):
+    gif = b"GIF89a" + struct.pack("<HH", 300, 200) + b"\x00" * 4
+    # BMP with NEGATIVE height (top-down row order) -> abs'd
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 8
+    out = {
+        r.image_id: r
+        for r in sniff_image_meta(
+            _img_rows(spark, [("g", gif, 0, 0, "gif"), ("b", bmp, 0, 0, "bmp")])
+        ).collect()
+    }
+    assert (out["g"].sniff_fmt, out["g"].sniff_w, out["g"].sniff_h) == ("gif", 300, 200)
+    assert (out["b"].sniff_fmt, out["b"].sniff_w, out["b"].sniff_h) == ("bmp", 640, 480)
+
+
+def test_jpeg_dims_marker_walk():
+    # baseline, progressive, and a DRI segment before the SOF
+    assert jpeg_dims(_minimal_jpeg(47, 33)) == (47, 33)
+    assert jpeg_dims(_minimal_jpeg(1024, 768, sof=0xC2)) == (1024, 768)
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + b"\x00\x10"
+    j = _minimal_jpeg(5, 6)
+    assert jpeg_dims(j[:2] + dri + j[2:]) == (5, 6)
+    assert jpeg_dims(b"\xff\xd8\xff\xd9") is None  # no SOF
+    assert jpeg_dims(b"garbage") is None
+
+
+def test_sniff_real_jpeg_needs_scan_pass(spark):
+    j = _minimal_jpeg(47, 33)
+    df = _img_rows(spark, [("j", j, 47, 33, "jpeg")])
+    fast = sniff_image_meta(df).first()
+    assert fast.sniff_fmt == "jpeg" and fast.sniff_w is None
+    scanned = sniff_image_meta(df, scan_real_jpeg=True).first()
+    assert (scanned.sniff_w, scanned.sniff_h) == (47, 33)
+    # the scan pass must not disturb non-JPEG rows
+    png = encode_png(np.zeros((2, 3, 3), dtype=np.uint8))
+    both = {
+        r.image_id: r
+        for r in sniff_image_meta(
+            _img_rows(spark, [("j", j, 47, 33, "jpeg"), ("p", png, 3, 2, "png")]),
+            scan_real_jpeg=True,
+        ).collect()
+    }
+    assert (both["p"].sniff_w, both["p"].sniff_h) == (3, 2)
+    assert (both["j"].sniff_w, both["j"].sniff_h) == (47, 33)
+
+
+def test_metadata_integrity_reasons(spark):
+    rng = np.random.default_rng(3)
+    png = encode_png(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8))
+    rows = [
+        ("ok", png, 5, 4, "png"),
+        ("wrong_dim", png, 6, 4, "png"),
+        ("wrong_fmt", png, 5, 4, "jpeg"),
+        ("garbage", b"\x00\x01\x02", 5, 4, "png"),
+        ("truncated", png[:12], 5, 4, "png"),
+        ("real_jpeg", _minimal_jpeg(7, 8), 7, 8, "jpeg"),
+    ]
+    out = {
+        r.image_id: (r.meta_ok, r.meta_reason)
+        for r in metadata_integrity(_img_rows(spark, rows)).collect()
+    }
+    assert out["ok"] == (True, "ok")
+    assert out["wrong_dim"] == (False, "dim_mismatch")
+    assert out["wrong_fmt"] == (False, "fmt_mismatch")
+    assert out["garbage"] == (False, "unreadable")
+    assert out["truncated"] == (False, "unverified")  # magic intact, dims gone
+    assert out["real_jpeg"] == (False, "unverified")  # fail-closed w/o scan
+    with_scan = {
+        r.image_id: (r.meta_ok, r.meta_reason)
+        for r in metadata_integrity(
+            _img_rows(spark, rows), scan_real_jpeg=True
+        ).collect()
+    }
+    assert with_scan["real_jpeg"] == (True, "ok")

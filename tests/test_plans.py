@@ -486,3 +486,21 @@ def test_dsir_weight_join_broadcasts_and_never_ships_text(spark):
         inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
         assert inp is not None, b
         assert "text#" not in inp.group(1), b
+
+
+def test_sniff_fast_path_is_jvm_map_only(spark):
+    """sniff_image_meta fast path: pure codegen'd projection — no
+    Python/Arrow eval node, no Exchange. At 10^10 rows this runs at
+    parquet-scan speed; any Python crossing here would ship every
+    payload byte through Arrow."""
+    from dotnetspider_spark.operators.images import sniff_image_meta
+
+    df = spark.createDataFrame(
+        [("a", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)],
+        "image_id string, bytes binary",
+    )
+    plan = _plan(sniff_image_meta(df))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "mapInPandas" not in plan.lower(), plan
