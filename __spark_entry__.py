@@ -2255,6 +2255,111 @@ def q_balanced_shards(spark, sf_dir):
     return balanced_shards(pairs, n_shards=4, strata=8)
 
 
+def q_surt_canonical(spark, sf_dir):
+    # SURT canonicalization (operators/archive.py surt): Heritrix's
+    # sort-friendly capture key over mixed URL shapes — non-default and
+    # default ports, userinfo, www/www2 labels, unsorted + empty query
+    # pairs, fragments, missing paths. Map-only codegen.
+    from dotnetspider_spark.operators.archive import surt
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    hn = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("http://www.site"), hn, F.lit(".example:8080/p/"),
+                sid, F.lit("?b="), (F.col("doc_id") % 3).cast("string"),
+                F.lit("&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTPS://Sub.site"), hn, F.lit(".Example.com/Path/"),
+                sid,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("http://user@site"), hn, F.lit(".example/a/"), sid,
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("http://site"), hn, F.lit(".example:80")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://www2.site"), hn, F.lit(".example/x?z="), sid,
+                F.lit("&&y=1&"),
+            )
+        )
+    )
+    return d.select(F.col("doc_id"), url.alias("url")).select(
+        "doc_id", "url", surt(F.col("url")).alias("surt")
+    )
+
+
+def q_cdx_index(spark, sf_dir):
+    # CDX capture index (operators/archive.py cdx_index): SURT-keyed
+    # archive index rows with md5 payload digest; the payload column is
+    # digested and dropped in the same projection so the wide bytes
+    # never enter the range-partitioned sort.
+    from dotnetspider_spark.operators.archive import cdx_index
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.concat(
+            F.lit("http://www.site"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example/p/"), (F.col("doc_id") % 25).cast("string"),
+        ).alias("url"),
+        (F.lit(20240000000000) + F.col("doc_id")).cast("string").alias("ts"),
+        F.when(F.col("doc_id") % 4 == 0, "text/html")
+        .otherwise("application/json")
+        .alias("mime"),
+        F.when(F.col("doc_id") % 10 == 0, 301)
+        .when(F.col("doc_id") % 10 == 1, 404)
+        .otherwise(200)
+        .alias("status"),
+        F.col("text").alias("body"),
+    )
+    return cdx_index(caps)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    # mirror-host detection (operators/archive.py mirror_hosts): hosts
+    # serving identical content fingerprints. mirror.example replays
+    # h0.example's full page set (the planted mirror); a site-wide
+    # boilerplate fingerprint exercises the frequency cap; the modular
+    # fp pool gives incidental small overlaps that stay below the
+    # min_shared verdict bar.
+    from dotnetspider_spark.operators.archive import mirror_hosts
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".example")
+    )
+    fp = F.concat(F.lit("f"), (F.col("doc_id") % 173).cast("string"))
+    base = d.select(host.alias("host"), fp.alias("fingerprint"))
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.lit("mirror.example").alias("host"),
+        F.concat(F.lit("f"), (F.col("doc_id") % 173).cast("string")).alias(
+            "fingerprint"
+        ),
+    )
+    boiler = (
+        base.select("host")
+        .distinct()
+        .select("host", F.lit("boiler").alias("fingerprint"))
+    )
+    obs = base.unionByName(planted).unionByName(boiler)
+    return mirror_hosts(obs, max_fp_hosts=4, min_shared=5, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2372,6 +2477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_score_screen": q_clip_score_screen,
         "opic_priority_batch": q_opic_priority_batch,
         "balanced_shards": q_balanced_shards,
+        "surt_canonical": q_surt_canonical,
+        "cdx_index": q_cdx_index,
+        "mirror_hosts": q_mirror_hosts,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2536,6 +2644,48 @@ def _simhash64_sql() -> str:
             FROM hv GROUP BY doc_id)
         SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
     """
+
+
+# SURT transform as DuckDB CTEs: consumes a CTE ``u(doc_id, url)`` and
+# yields ``surted(doc_id, url, surt)``. Mirrors operators/archive.surt
+# step for step; every regex is anchored/single-match so Spark's
+# replace-all vs DuckDB's replace-first semantics cannot diverge.
+_SURT_CTES = """
+            r AS (SELECT doc_id, url,
+                      regexp_replace(lower(trim(url)),
+                          '^[a-z][a-z0-9+.-]*://', '') AS rest
+                  FROM u),
+            p AS (SELECT doc_id, url,
+                      regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                          '^[^/?#@]*@', '') AS auth,
+                      regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) AS path,
+                      regexp_extract(rest, '\\?([^#]*)', 1) AS query
+                  FROM r),
+            hh AS (SELECT doc_id, url, path, query,
+                      regexp_replace(regexp_replace(auth, ':[0-9]*$', ''),
+                          '^www[0-9]*\\.', '') AS host,
+                      regexp_extract(auth, ':([0-9]+)$', 1) AS port
+                  FROM p),
+            kk AS (SELECT doc_id, url,
+                      CASE WHEN port <> '' AND port <> '80'
+                                AND port <> '443'
+                           THEN array_to_string(list_reverse(
+                                    string_split(host, '.')), ',')
+                                || ':' || port
+                           ELSE array_to_string(list_reverse(
+                                    string_split(host, '.')), ',')
+                      END AS skey,
+                      CASE WHEN path = '' THEN '/' ELSE path END AS spath,
+                      coalesce(array_to_string(list_sort(list_filter(
+                          string_split(query, '&'), x -> x <> '')), '&'),
+                          '') AS sq
+                  FROM hh),
+            surted AS (SELECT doc_id, url,
+                      CASE WHEN sq = '' THEN skey || ')' || spath
+                           ELSE skey || ')' || spath || '?' || sq
+                      END AS surt
+                  FROM kk)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4698,5 +4848,93 @@ def oracle_sql() -> dict[str, str]:
                                  CAST(list_reverse(embedding) AS DOUBLE[])
                                      AS b
                           FROM embeddings)))
+        """,
+        "surt_canonical": f"""
+            WITH u AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN
+                              'http://www.site' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example:8080/p/' || CAST(doc_id AS VARCHAR)
+                              || '?b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+                            WHEN doc_id % 5 = 1 THEN
+                              'HTTPS://Sub.site' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.Example.com/Path/' || CAST(doc_id AS VARCHAR)
+                            WHEN doc_id % 5 = 2 THEN
+                              'http://user@site' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example/a/' || CAST(doc_id AS VARCHAR)
+                              || '#frag'
+                            WHEN doc_id % 5 = 3 THEN
+                              'http://site' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example:80'
+                            ELSE
+                              'http://www2.site' || CAST(doc_id % 7 AS VARCHAR)
+                              || '.example/x?z=' || CAST(doc_id AS VARCHAR)
+                              || '&&y=1&'
+                       END AS url
+                FROM documents),
+            {_SURT_CTES}
+            SELECT doc_id, url, surt FROM surted
+        """,
+        "cdx_index": f"""
+            WITH c AS (
+                SELECT doc_id,
+                       'http://www.site' || CAST(doc_id % 9 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id % 25 AS VARCHAR)
+                           AS url,
+                       CAST(20240000000000 + doc_id AS VARCHAR) AS ts,
+                       CASE WHEN doc_id % 4 = 0 THEN 'text/html'
+                            ELSE 'application/json' END AS mime,
+                       CAST(CASE WHEN doc_id % 10 = 0 THEN 301
+                                 WHEN doc_id % 10 = 1 THEN 404
+                                 ELSE 200 END AS INT) AS status,
+                       text AS body
+                FROM documents),
+            u AS (SELECT doc_id, url FROM c),
+            {_SURT_CTES}
+            SELECT s.surt, c.ts, c.url AS original, c.mime, c.status,
+                   md5(c.body) AS digest,
+                   CAST(length(c.body) AS BIGINT) AS length
+            FROM surted s JOIN c USING (doc_id)
+        """,
+        "mirror_hosts": """
+            WITH base AS (
+                SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example'
+                           AS host,
+                       'f' || CAST(doc_id % 173 AS VARCHAR) AS fp
+                FROM documents
+                UNION ALL
+                SELECT 'mirror.example',
+                       'f' || CAST(doc_id % 173 AS VARCHAR)
+                FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 10 AS VARCHAR) || '.example',
+                       'boiler'
+                FROM documents),
+            obs AS (SELECT DISTINCT host, fp FROM base),
+            sizes AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_fps
+                FROM obs GROUP BY host),
+            fph AS (SELECT fp, count(*) AS n_hosts FROM obs GROUP BY fp),
+            pairable AS (
+                SELECT o.host, o.fp
+                FROM obs o JOIN fph USING (fp)
+                WHERE n_hosts BETWEEN 2 AND 4),
+            shared AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM pairable a JOIN pairable b
+                     ON a.fp = b.fp AND a.host < b.host
+                GROUP BY 1, 2)
+            SELECT host_a, host_b, n_shared,
+                   sa.n_fps AS n_a, sb.n_fps AS n_b,
+                   round(CAST(n_shared AS DOUBLE)
+                         / least(sa.n_fps, sb.n_fps), 6) AS containment,
+                   (n_shared >= 5
+                    AND CAST(n_shared AS DOUBLE)
+                        / least(sa.n_fps, sb.n_fps) >= 0.8) AS mirror
+            FROM shared
+            JOIN sizes sa ON host_a = sa.host
+            JOIN sizes sb ON host_b = sb.host
         """,
     }
