@@ -2360,6 +2360,109 @@ def q_mirror_hosts(spark, sf_dir):
     return mirror_hosts(obs, max_fp_hosts=4, min_shared=5, threshold=0.8)
 
 
+def q_pq_encode_fixed(spark, sf_dir):
+    # product quantization encode (operators/ann.py pq_encode, Jégou et
+    # al. 2011): nearest-centroid code per subspace against the
+    # formula codebook (m=4 subspaces x 16 dims, k=4 centroids) so the
+    # argmin math has an exact DuckDB replay. Codes unpacked to one
+    # column per subspace for the value-hash compare.
+    from dotnetspider_spark.operators.ann import pq_encode, pq_formula_codebook
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    codes = pq_encode(e, pq_formula_codebook())
+    return codes.select(
+        "vec_id",
+        *[F.element_at("codes", i + 1).alias(f"c{i}") for i in range(4)],
+    )
+
+
+def q_pq_adc_fixed(spark, sf_dir):
+    # PQ asymmetric-distance top-k (operators/ann.py pq_adc_topk): the
+    # faiss ADC scan as columnar algebra — per-query LUT broadcast, the
+    # codes table scored by pure element_at/aggregate codegen, one
+    # window for the top-k. Fixed formula codebook so DuckDB can replay
+    # LUT + scan end to end.
+    from dotnetspider_spark.operators.ann import (
+        pq_adc_topk,
+        pq_encode,
+        pq_formula_codebook,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_formula_codebook()
+    base = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 400))
+    qs = e.filter(F.col("vec_id") < 3)
+    return pq_adc_topk(pq_encode(base, cb), qs, cb, k=5)
+
+
+def _epoch_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 3).cast("string")).alias(
+            "source"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"\S+"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def _epoch_plan_df(spark, sf_dir):
+    from dotnetspider_spark.operators.curation import epoch_plan
+
+    docs = _epoch_docs(spark, sf_dir)
+    total = int(docs.agg(F.sum("n_tokens")).first()[0])
+    return docs, epoch_plan(
+        docs,
+        budget_tokens=4 * total,
+        weights={"src0": 2.0, "src1": 1.0, "src2": 1.0},
+        max_epochs=4.0,
+    )
+
+
+def q_epoch_plan(spark, sf_dir):
+    # token-budget epoch planner (operators/curation.py epoch_plan,
+    # Muennighoff et al. 2023 data-constrained scaling): budget = 4x
+    # the corpus, src0 weighted 2x -> it wants ~6 epochs and caps at 4
+    # (exercising shortfall); src1/src2 land uncapped at ~3.
+    return _epoch_plan_df(spark, sf_dir)[1]
+
+
+def q_epoch_expand(spark, sf_dir):
+    # epoch materialization (operators/curation.py epoch_expand): every
+    # doc repeated floor(epochs) times plus a deterministic hash-gated
+    # fractional epoch — broadcast plan, explode(sequence), map-only.
+    from dotnetspider_spark.operators.curation import epoch_expand
+
+    docs, plan = _epoch_plan_df(spark, sf_dir)
+    return epoch_expand(docs, plan)
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    # IVFPQ search (operators/ann.py ivfpq_index/ivfpq_search): coarse
+    # IVF bucketing + PQ-encoded residuals, ADC scan over probed
+    # buckets only — the faiss IVFPQ layout, the 10^10-vector search
+    # shape. Trained coarse centroids + codebook (k-means), so there is
+    # no closed-form SQL oracle: rows-only here; exactness and recall
+    # are pinned in tests/test_pq.py against a numpy replay.
+    from dotnetspider_spark.operators.ann import (
+        ivfpq_index,
+        ivfpq_search,
+        pq_train,
+        train_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(e, k=8, iterations=3)
+    cb = pq_train(e, m=8, k=16, iterations=5, n_sample=2000)
+    base = e.filter(F.col("vec_id") >= 5)
+    idx = ivfpq_index(base, cents, cb)
+    return ivfpq_search(
+        idx, e.filter(F.col("vec_id") < 5), cents, cb, k=5, nprobe=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2480,6 +2583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_canonical": q_surt_canonical,
         "cdx_index": q_cdx_index,
         "mirror_hosts": q_mirror_hosts,
+        "pq_encode_fixed": q_pq_encode_fixed,
+        "pq_adc_fixed": q_pq_adc_fixed,
+        "epoch_plan": q_epoch_plan,
+        "epoch_expand": q_epoch_expand,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -2491,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_canonical": q_image_dedup_canonical,
         "image_quality_screen": q_image_quality_screen,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -2685,6 +2793,68 @@ _SURT_CTES = """
                            ELSE skey || ')' || spath || '?' || sq
                       END AS surt
                   FROM kk)
+"""
+
+
+def _PQ_CTES(src: str) -> str:
+    # PQ formula-codebook encode as DuckDB CTEs: consumes a CTE
+    # ``{src}(vec_id, embedding)`` and yields ``cent(s, j, w, c)`` plus
+    # ``best(vec_id, s, j)`` — the argmin code of each subspace.
+    # Mirrors operators/ann.pq_formula_codebook + pq_encode exactly;
+    # ties (measure-zero with real floats) break to the lower centroid
+    # id on both engines (numpy argmin takes the first minimum, the SQL
+    # orders by dist then j).
+    return f"""
+            dims AS (
+                SELECT e.vec_id, g.i - 1 AS i,
+                       CAST(e.embedding[g.i] AS DOUBLE) AS x
+                FROM {src} e CROSS JOIN
+                     (SELECT unnest(generate_series(1, 64)) AS i) g),
+            cent AS (
+                SELECT s.s, j.j, w.w,
+                       (CAST((j.j * 7 + w.w * 3 + s.s * 5) % 8 AS DOUBLE)
+                        - 3.5) / 4.0 AS c
+                FROM (SELECT unnest(generate_series(0, 3)) AS s) s
+                CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) j
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS w) w),
+            dd AS (
+                SELECT dims.vec_id, cent.s, cent.j,
+                       sum((dims.x - cent.c) * (dims.x - cent.c)) AS dist
+                FROM dims JOIN cent ON dims.i = cent.s * 16 + cent.w
+                GROUP BY 1, 2, 3),
+            best AS (
+                SELECT vec_id, s, j FROM (
+                    SELECT vec_id, s, j,
+                           row_number() OVER (
+                               PARTITION BY vec_id, s
+                               ORDER BY dist, j) AS brn
+                    FROM dd) WHERE brn = 1)
+"""
+
+
+# epoch-plan arithmetic as DuckDB CTEs (shared by the plan and expand
+# oracles): d = per-doc (source, n_tokens), per/ww = per-source counts
+# with the explicit {src0: 2, src1: 1, src2: 1} weights, tot = the 4x
+# budget, tw = weight total. Mirrors operators/curation.epoch_plan.
+_EPOCH_PLAN_CTES = """
+            d AS (
+                SELECT doc_id,
+                       'src' || CAST(doc_id % 3 AS VARCHAR) AS source,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) * 4 AS budget
+                    FROM d),
+            per AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+                FROM d GROUP BY source),
+            ww AS (
+                SELECT source, n_docs, avail_tokens,
+                       CASE WHEN source = 'src0' THEN 2.0 ELSE 1.0 END
+                           AS raw_w
+                FROM per),
+            tw AS (SELECT sum(raw_w) AS tot_w FROM ww)
 """
 
 
@@ -4936,5 +5106,102 @@ def oracle_sql() -> dict[str, str]:
             FROM shared
             JOIN sizes sa ON host_a = sa.host
             JOIN sizes sb ON host_b = sb.host
+        """,
+        "pq_encode_fixed": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 400),
+            {_PQ_CTES("e")}
+            SELECT vec_id,
+                   CAST(max(CASE WHEN s = 0 THEN j END) AS INT) AS c0,
+                   CAST(max(CASE WHEN s = 1 THEN j END) AS INT) AS c1,
+                   CAST(max(CASE WHEN s = 2 THEN j END) AS INT) AS c2,
+                   CAST(max(CASE WHEN s = 3 THEN j END) AS INT) AS c3
+            FROM best GROUP BY vec_id
+        """,
+        "pq_adc_fixed": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id >= 100 AND vec_id < 400),
+            {_PQ_CTES("e")},
+            q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 3),
+            qdims AS (
+                SELECT q.vec_id, g.i - 1 AS i,
+                       CAST(q.embedding[g.i] AS DOUBLE) AS x
+                FROM q CROSS JOIN
+                     (SELECT unnest(generate_series(1, 64)) AS i) g),
+            lut AS (
+                SELECT qdims.vec_id AS q_vec_id, cent.s, cent.j,
+                       sum((qdims.x - cent.c) * (qdims.x - cent.c)) AS pd
+                FROM qdims JOIN cent ON qdims.i = cent.s * 16 + cent.w
+                GROUP BY 1, 2, 3),
+            adc AS (
+                SELECT l.q_vec_id, b.vec_id, sum(l.pd) AS adc
+                FROM best b JOIN lut l ON l.s = b.s AND l.j = b.j
+                GROUP BY 1, 2),
+            r AS (
+                SELECT q_vec_id, vec_id, adc,
+                       row_number() OVER (
+                           PARTITION BY q_vec_id
+                           ORDER BY round(adc, 9), vec_id) AS rn
+                FROM adc)
+            SELECT q_vec_id, vec_id, CAST(rn AS BIGINT) AS rn,
+                   round(adc, 6) AS adc_dist
+            FROM r WHERE rn <= 5
+        """,
+        "epoch_plan": f"""
+            WITH {_EPOCH_PLAN_CTES}
+            SELECT source, n_docs, avail_tokens,
+                   round(raw_w / tot_w, 6) AS weight,
+                   CAST(round(raw_w / tot_w * budget) AS BIGINT)
+                       AS target_tokens,
+                   round(least(round(raw_w / tot_w * budget)
+                               / CAST(avail_tokens AS DOUBLE), 4.0), 6)
+                       AS epochs,
+                   CAST(floor(least(round(raw_w / tot_w * budget)
+                                    / CAST(avail_tokens AS DOUBLE), 4.0)
+                              * CAST(avail_tokens AS DOUBLE)) AS BIGINT)
+                       AS planned_tokens,
+                   (round(raw_w / tot_w * budget)
+                    / CAST(avail_tokens AS DOUBLE)) > 4.0 AS capped,
+                   greatest(
+                       CAST(round(raw_w / tot_w * budget) AS BIGINT)
+                       - CAST(floor(least(round(raw_w / tot_w * budget)
+                                          / CAST(avail_tokens AS DOUBLE),
+                                          4.0)
+                                    * CAST(avail_tokens AS DOUBLE))
+                              AS BIGINT),
+                       0) AS shortfall_tokens
+            FROM ww CROSS JOIN tw CROSS JOIN tot
+        """,
+        "epoch_expand": f"""
+            WITH {_EPOCH_PLAN_CTES},
+            plan AS (
+                SELECT source,
+                       least(round(raw_w / tot_w * budget)
+                             / CAST(avail_tokens AS DOUBLE), 4.0)
+                           AS epochs_raw
+                FROM ww CROSS JOIN tw CROSS JOIN tot),
+            gates AS (
+                SELECT source,
+                       CAST(floor(round(epochs_raw, 6)) AS INT) AS full_e,
+                       CAST(floor((round(epochs_raw, 6)
+                                   - floor(round(epochs_raw, 6)))
+                                  * 1000000) AS BIGINT) AS frac_thr
+                FROM plan),
+            fulls AS (
+                SELECT d.doc_id, d.source,
+                       CAST(unnest(generate_series(0, g.full_e - 1)) AS INT)
+                           AS epoch_index
+                FROM d JOIN gates g USING (source)
+                WHERE g.full_e > 0),
+            fracs AS (
+                SELECT d.doc_id, d.source, g.full_e AS epoch_index
+                FROM d JOIN gates g USING (source)
+                WHERE CAST(concat('0x', substr(md5('epoch|'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000000 < g.frac_thr)
+            SELECT doc_id, source, epoch_index FROM fulls
+            UNION ALL
+            SELECT doc_id, source, epoch_index FROM fracs
         """,
     }

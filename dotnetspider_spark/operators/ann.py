@@ -361,3 +361,318 @@ def pair_cosine_screen(
         F.round(cos, 6).alias("cos"),
         (cos >= F.lit(min_cos)).alias("keep"),
     )
+
+
+# -- Product quantization (Jégou, Douze & Schmid 2011, TPAMI; the
+# faiss PQ/IVFPQ compression standard) --------------------------------
+
+
+def pq_formula_codebook(
+    m: int = 4, k: int = 4, sub_dim: int = 16
+) -> list[list[list[float]]]:
+    """Deterministic formula codebook for oracle-checkable fixed-PQ
+    paths: centroid j of subspace s has component w equal to
+    ``((j*7 + w*3 + s*5) % 8 - 3.5) / 4`` — trivially replayable as SQL
+    so DuckDB can verify the encode/ADC math bit-for-bit. Production
+    codebooks come from :func:`pq_train`; the formula one exists so the
+    argmin/LUT plumbing has a cross-engine oracle."""
+    return [
+        [
+            [((j * 7 + w * 3 + s * 5) % 8 - 3.5) / 4.0 for w in range(sub_dim)]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_train(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 8,
+    seed: int = 42,
+    n_sample: int = 65536,
+) -> list[list[list[float]]]:
+    """Train an m-subspace, k-centroid product quantizer on a
+    deterministic sample (the published faiss practice: PQ codebooks
+    train on an in-memory sampled matrix — ``n_sample`` x d floats is
+    bounded regardless of corpus size, e.g. 64k x 64 x 8B = 32 MB at
+    10^10 vectors). Sample selection is the same no-driver-RNG rule as
+    :func:`train_centroids`: the ``n_sample`` vectors with the smallest
+    ``xxhash64(id, seed)``. Per subspace, Lloyd iterations run in numpy
+    on the sample; empty clusters re-seed to the point farthest from
+    its assigned centroid (standard k-means repair, deterministic).
+
+    Returns ``codebook[s][j][w]`` (m x k x d/m floats — config-sized;
+    broadcast into the encode/search UDFs)."""
+    base = embeddings.select(F.col(vec_col).alias("v")).withColumn(
+        "__h", F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))
+    )
+    rows = base.orderBy("__h").limit(n_sample).select("v").collect()
+    X = _mat(pd.Series([r.v for r in rows]))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    book: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        # deterministic init: k evenly-strided sample rows (sample is
+        # already hash-shuffled, so strides are a pseudo-random pick)
+        idx = np.arange(k) * max(1, len(Xs) // k) % len(Xs)
+        C = Xs[idx].astype(np.float64).copy()
+        for _ in range(iterations):
+            d2 = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2.0 * Xs @ C.T
+                + (C * C).sum(axis=1)
+            )
+            a = np.argmin(d2, axis=1)
+            worst = np.argsort(-d2[np.arange(len(Xs)), a])
+            wi = 0
+            for j in range(k):
+                mask = a == j
+                if mask.any():
+                    C[j] = Xs[mask].mean(axis=0)
+                else:
+                    C[j] = Xs[worst[wi]]
+                    wi += 1
+        book.append([[float(x) for x in row] for row in C])
+    return book
+
+
+def _pq_encode_udf(codebook: np.ndarray):
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, k, sub)
+    m, k, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def f(vecs: pd.Series) -> pd.Series:
+        X = _mat(vecs)
+        out = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            Xs = X[:, s * sub : (s + 1) * sub]
+            C = cb[s]
+            d2 = (
+                (Xs * Xs).sum(axis=1, keepdims=True)
+                - 2.0 * Xs @ C.T
+                + (C * C).sum(axis=1)
+            )
+            # np.argmin takes the FIRST minimum — ties break to the
+            # lower centroid id, matching the oracle's "dist, j" order
+            out[:, s] = np.argmin(d2, axis=1)
+        return pd.Series([row.astype(int).tolist() for row in out])
+
+    return f
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the id of the nearest
+    codebook centroid by squared L2 (batch numpy matmul in an Arrow
+    UDF — map-only, zero shuffle; the codebook rides the closure, m*k*
+    sub floats). Output (id, codes array<int>) is d/m * 8/ceil(log2 k)
+    x smaller than the float32 vector — at 10^10 vectors the codes
+    table is what the ADC scan reads; floats stay in cold storage for
+    the final exact re-rank only."""
+    udf = _pq_encode_udf(np.asarray(codebook, dtype=np.float64))
+    return embeddings.select(
+        F.col(id_col),
+        udf(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    base_codes: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes a lookup
+    table of partial squared distances to every centroid of every
+    subspace (m x k doubles — computed in one Arrow UDF pass over the
+    query set and FLATTENED into a column), then scans the codes table
+    with a pure codegen'd expression: ``adc = sum_s lut[s*k + code_s]``
+    (``transform`` with index + ``element_at`` + ``aggregate`` — the
+    scan never touches Python and never ships a float vector).
+
+    Shape at scale: queries are the small side (broadcast), codes the
+    big side — the scan is one map-only pass over codes, then ONE
+    shuffle for the per-query top-k window. This is exactly the faiss
+    ADC loop re-expressed as columnar algebra; compose with
+    :func:`ann_search`-style IVF bucketing to scan only probed buckets.
+
+    Returns (q_vec_id, vec_id, rn, adc_dist) — ascending distance,
+    ties to the lower base id, same contract as the cosine searches.
+    Ranking compares ``round(adc, 9)``: base rows with IDENTICAL codes
+    have mathematically equal ADC, but an engine that sums the m lut
+    entries in a different order can land a few ulps apart — rounding
+    at 1e-9 (noise is ~1e-14) collapses those back into exact ties so
+    the ``vec_id`` tie-break decides identically on every engine."""
+    from pyspark.sql import Window
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, kk, sub = cb.shape
+
+    @pandas_udf("array<double>")
+    def lut_udf(vecs: pd.Series) -> pd.Series:
+        Q = _mat(vecs)
+        out = []
+        for q in Q:
+            lut = np.empty((m, kk), dtype=np.float64)
+            for s in range(m):
+                diff = q[s * sub : (s + 1) * sub] - cb[s]
+                lut[s] = (diff * diff).sum(axis=1)
+            out.append(lut.ravel().tolist())
+        return pd.Series(out)
+
+    ql = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        lut_udf(F.col(vec_col).cast("array<double>")).alias("lut"),
+    )
+    joined = base_codes.select(
+        F.col(id_col).alias("vec_id"), "codes"
+    ).crossJoin(F.broadcast(ql)).filter(F.col("vec_id") != F.col("q_vec_id"))
+    part = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(F.col("lut"), (i * kk + c + 1).cast("int")),
+    )
+    adc = F.aggregate(part, F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.round(F.col("adc"), 9).asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.select("q_vec_id", "vec_id", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("q_vec_id", "vec_id", "rn", F.round("adc", 6).alias("adc_dist"))
+    )
+
+
+def ivfpq_index(
+    base: DataFrame,
+    centroids,
+    codebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the IVFPQ index table (Jégou et al. 2011 §IV; the faiss
+    IVFPQ layout): assign each vector to its nearest coarse centroid,
+    then PQ-encode the RESIDUAL (x - centroid) — residuals are far
+    better centered than raw vectors, so the same codebook budget buys
+    much lower quantization error. One Arrow UDF pass computes bucket +
+    residual codes together (the coarse table and codebook ride the
+    closure — both config-sized); output (id, bucket, codes) is the
+    scan table: at 10^10 vectors, persist it partitioned/bucketed by
+    ``bucket`` so a probe reads only its buckets' files."""
+    c = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, kk, sub = cb.shape
+
+    @pandas_udf("struct<bucket:int, codes:array<int>>")
+    def f(vecs: pd.Series) -> pd.DataFrame:
+        X = _mat(vecs)
+        Xn = _norm_rows(X)
+        b = np.argmax(Xn @ c.T, axis=1)
+        R = X - c[b]
+        codes = np.empty((len(X), m), dtype=np.int64)
+        for s in range(m):
+            Rs = R[:, s * sub : (s + 1) * sub]
+            C = cb[s]
+            d2 = (
+                (Rs * Rs).sum(axis=1, keepdims=True)
+                - 2.0 * Rs @ C.T
+                + (C * C).sum(axis=1)
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"bucket": b.astype(np.int32), "codes": [r.tolist() for r in codes]}
+        )
+
+    out = base.select(
+        F.col(id_col), f(F.col(vec_col).cast("array<double>")).alias("__ix")
+    )
+    return out.select(
+        id_col, F.col("__ix.bucket").alias("bucket"), F.col("__ix.codes").alias("codes")
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebook,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ search: per query, probe the ``nprobe`` nearest coarse
+    buckets and ADC-scan only those buckets' codes. Because codes are
+    residuals, the lookup table is per (query, bucket) — computed in
+    one Arrow UDF pass over the exploded (query x probe) rows (nprobe x
+    |queries| rows, still the tiny side), flattened, and broadcast into
+    the bucket-equi-join against the index. The scan itself is the same
+    pure codegen ``element_at``/``aggregate`` expression as
+    :func:`pq_adc_topk` — Python never touches the big side, and the
+    join key means each query reads ~nprobe/n_centroids of the index
+    instead of all of it (compose with bucket-partitioned storage for
+    the 10^10 shape). Returns (q_vec_id, vec_id, rn, adc_dist)."""
+    from pyspark.sql import Window
+
+    c = _norm_rows(np.asarray(centroids, dtype=np.float64))
+    cb = np.asarray(codebook, dtype=np.float64)
+    m, kk, sub = cb.shape
+
+    probes = queries.select(
+        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("qv")
+    ).withColumn(
+        "bucket",
+        F.explode(_probe_udf(c, nprobe)(F.col("qv").cast("array<double>"))),
+    )
+
+    @pandas_udf("array<double>")
+    def lut_udf(vecs: pd.Series, buckets: pd.Series) -> pd.Series:
+        Q = _mat(vecs)
+        R = Q - c[buckets.to_numpy()]
+        out = []
+        for r in R:
+            lut = np.empty((m, kk), dtype=np.float64)
+            for s in range(m):
+                diff = r[s * sub : (s + 1) * sub] - cb[s]
+                lut[s] = (diff * diff).sum(axis=1)
+            out.append(lut.ravel().tolist())
+        return pd.Series(out)
+
+    ql = probes.select(
+        "q_vec_id",
+        "bucket",
+        lut_udf(F.col("qv").cast("array<double>"), F.col("bucket")).alias("lut"),
+    )
+    joined = index.join(F.broadcast(ql), "bucket").filter(
+        F.col(id_col) != F.col("q_vec_id")
+    )
+    part = F.transform(
+        F.col("codes"),
+        lambda code, i: F.element_at(
+            F.col("lut"), (i * kk + code + 1).cast("int")
+        ),
+    )
+    adc = F.aggregate(part, F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.round(F.col("adc"), 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        joined.select("q_vec_id", F.col(id_col), adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_vec_id", id_col, "rn", F.round("adc", 6).alias("adc_dist")
+        )
+    )

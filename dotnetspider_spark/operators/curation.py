@@ -673,3 +673,127 @@ def top_p_by_score(
         )
         .drop("__rn", "__n")
     )
+
+
+def epoch_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weights: dict[str, float] | None = None,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget epoch planner for data-constrained pretraining
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models": repeating a source up to ~4 epochs is nearly as good as
+    fresh data; beyond that returns decay fast). Given per-doc token
+    counts, a total training budget, and either explicit per-source mix
+    weights or the ``n^alpha`` temperature rule (Xue et al. 2021),
+    compute for each source how many epochs (repeats, fractional) the
+    budget asks for, cap at ``max_epochs``, and report the shortfall
+    the cap leaves unfilled — the number a mixing pipeline feeds back
+    into re-weighting.
+
+    Output per source: ``n_docs``, ``avail_tokens``, ``weight`` (
+    normalized), ``target_tokens`` = budget x weight share,
+    ``epochs`` = min(target/avail, max_epochs), ``planned_tokens`` =
+    floor(epochs x avail), ``capped``, ``shortfall_tokens``.
+
+    Distributed shape: ONE partial-agg'd groupBy over the corpus (the
+    only full-data pass; map-side combine makes it a count/sum
+    exchange of |sources| rows), then pure column algebra on a
+    config-sized frame with the weight total riding a broadcast
+    single-row cross join — the same scalar pattern as
+    :func:`temperature_mix`. Nothing below the groupBy scales with
+    corpus size, so the plan costs the same at 10^10 docs as at 10^4.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    per = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("avail_tokens"),
+    )
+    if weights is not None:
+        items = sorted(weights.items())
+        wdf = per.sparkSession.createDataFrame(
+            items, schema=f"{source_col} string, __w double"
+        )
+        per = per.join(F.broadcast(wdf), source_col, "inner")
+        raw_w = F.col("__w")
+    else:
+        raw_w = F.pow(F.col("avail_tokens").cast("double"), F.lit(alpha))
+    per = per.withColumn("__raw_w", raw_w)
+    tot = per.agg(F.sum("__raw_w").alias("__tot_w"))
+    weight = F.col("__raw_w") / F.col("__tot_w")
+    target = F.round(weight * F.lit(float(budget_tokens)))
+    epochs_raw = target / F.col("avail_tokens").cast("double")
+    epochs = F.least(epochs_raw, F.lit(float(max_epochs)))
+    planned = F.floor(epochs * F.col("avail_tokens").cast("double"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            F.round(weight, 6).alias("weight"),
+            target.cast("long").alias("target_tokens"),
+            F.round(epochs, 6).alias("epochs"),
+            planned.cast("long").alias("planned_tokens"),
+            (epochs_raw > F.lit(float(max_epochs))).alias("capped"),
+            F.greatest(
+                target.cast("long") - planned.cast("long"), F.lit(0)
+            ).alias("shortfall_tokens"),
+        )
+    )
+
+
+def epoch_expand(
+    docs: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Materialize an :func:`epoch_plan` as explicit (doc, epoch_index)
+    training instances: every doc of a source appears ``floor(epochs)``
+    times, and the fractional remainder epoch takes a deterministic
+    hash-gated subset of the source's docs (the without-replacement
+    analog of sampling the partial epoch — same hash-vs-threshold gate
+    as :func:`deterministic_sample`, so the expansion is reproducible
+    across runs, engines, and partitionings).
+
+    Shape: the plan is config-sized, so it broadcast-joins onto the
+    corpus; the full-epoch copies come from one ``explode(sequence)``
+    (map-only row generation, no shuffle) and the fractional epoch is a
+    map-only filtered union. Output rows carry (id, source,
+    epoch_index); downstream shuffling/packing owns ordering.
+    """
+    from .textdedup import _hash64
+
+    p = F.broadcast(
+        plan.select(
+            source_col,
+            F.floor(F.col("epochs")).cast("int").alias("__full"),
+            # explicit floor: Spark's double->long cast truncates while
+            # other engines round, so the truncation must be spelled out
+            # for the threshold to replay identically in the oracle
+            F.floor(
+                (F.col("epochs") - F.floor(F.col("epochs")))
+                * F.lit(1_000_000)
+            ).cast("long").alias("__frac_thr"),
+        )
+    )
+    base = docs.select(id_col, source_col).join(p, source_col)
+    full = base.filter(F.col("__full") > 0).select(
+        id_col,
+        source_col,
+        F.explode(
+            F.sequence(F.lit(0), F.col("__full") - F.lit(1))
+        ).alias("epoch_index"),
+    )
+    h = _hash64(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    frac = base.filter(
+        F.pmod(h, F.lit(1_000_000)) < F.col("__frac_thr")
+    ).select(id_col, source_col, F.col("__full").alias("epoch_index"))
+    return full.unionByName(frac)

@@ -504,3 +504,42 @@ def test_sniff_fast_path_is_jvm_map_only(spark):
     assert "ArrowEvalPython" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "mapInPandas" not in plan.lower(), plan
+
+
+def test_pq_adc_scan_side_is_python_free(spark):
+    """pq_adc_topk's scan over the codes table must be pure codegen —
+    the LUT lookup (element_at/transform/aggregate) runs JVM-side, and
+    the only Arrow UDF in the whole plan is the per-query LUT builder
+    on the tiny broadcast side. At 10^10 codes, a Python stage on the
+    scan side would bottleneck the whole search."""
+    import re
+
+    from dotnetspider_spark.operators.ann import (
+        pq_adc_topk,
+        pq_formula_codebook,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = pq_formula_codebook()
+    # pre-materialized codes table (the stored index): the scan must
+    # not re-enter Python for scoring
+    codes = spark.createDataFrame(
+        [(i, [i % 4, (i * 3) % 4, (i * 5) % 4, (i * 7) % 4]) for i in range(200)],
+        "vec_id long, codes array<int>",
+    )
+    plan = _plan(
+        pq_adc_topk(codes, e.filter(F.col("vec_id") < 3), cb, k=5)
+    )
+    # exactly one Arrow/Python eval node (the query-side LUT UDF) —
+    # formatted explain prints each node in the tree AND as a detail
+    # block, so count the numbered detail blocks only
+    evals = re.findall(r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython)", plan)
+    assert len(evals) == 1, f"expected 1 Python stage, saw {len(evals)}"
+    # ... and it feeds the BROADCAST side, not the codes scan: the
+    # broadcast exchange's block must be the one downstream of the UDF
+    blocks = re.split(r"\n\n", plan)
+    for b in blocks:
+        if re.match(r"\(\d+\) (ArrowEvalPython|BatchEvalPython)", b):
+            assert "lut" in b or "pythonUDF" in b
+    # the scoring projection is JVM expression work on the scan side
+    assert "aggregate(transform(codes" in plan or "aggregate(" in plan
