@@ -2463,6 +2463,24 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_bpe_merge_sequence(spark, sf_dir):
+    # full iterative BPE training (operators/tokenizer.py bpe_train,
+    # Sennrich et al. 2016): per round one pair-count agg over the
+    # Heaps-sized word table + one vocab-sized top-1; merges apply as a
+    # JVM fold. Inherently iterative with data-dependent literals per
+    # round, so no SQL oracle (a plain-replace unroll diverges from the
+    # greedy fold on same-symbol runs like 'aaaa'); semantics pinned in
+    # tests/test_tokenizer.py against a pure-Python reference.
+    from dotnetspider_spark.operators.tokenizer import bpe_train
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = bpe_train(d, n_merges=6)
+    return spark.createDataFrame(
+        [(i, l, r, n) for i, (l, r, n) in enumerate(merges)],
+        "step int, left string, right string, n long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2599,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_screen": q_image_quality_screen,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "bpe_merge_sequence": q_bpe_merge_sequence,
     }
 
 

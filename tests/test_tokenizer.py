@@ -81,3 +81,86 @@ def test_bigram_lm_matches_pure_python_reference(spark):
     assert got[3] == (0, None, "middle")
     # repeated common bigrams score lower NLL than unseen-history pairs
     assert got[0][1] < got[2][1]
+
+
+def _pyref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich et al. 2016 reference: per round, count
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent (ties: lexicographically smallest (left, right)), apply
+    left-to-right greedily."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), n = best
+        merges.append((l, r, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    from dotnetspider_spark.operators.tokenizer import bpe_train
+
+    texts = [
+        "lower lower lowest low low low newer newer wider wide",
+        "new newer newest low slow slower the the the the then",
+        "aaaa aaa aa banana bandana cabana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # reference operates on the same word-frequency table
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _pyref_bpe(wf, n_merges=12)
+    got = bpe_train(docs, n_merges=12)
+    assert got == want
+
+
+def test_bpe_segment_applies_merges_greedily(spark):
+    from dotnetspider_spark.operators.tokenizer import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "banana band"), (1, "aaaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=3)
+    out = {r.doc_id: (r.n_words, r.n_subwords) for r in
+           bpe_segment(docs, merges).collect()}
+    assert out[0][0] == 2 and out[1][0] == 1
+    # replay the same merges in python and compare subword counts
+    def seg_count(text):
+        total = 0
+        for w in text.lower().split():
+            syms = list(w)
+            for l, r, _ in merges:
+                o, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        o.append(l + r); i += 2
+                    else:
+                        o.append(syms[i]); i += 1
+                syms = o
+            total += len(syms)
+        return total
+    assert out[0][1] == seg_count("banana band")
+    assert out[1][1] == seg_count("aaaa")
