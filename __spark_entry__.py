@@ -2463,6 +2463,25 @@ def q_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_host_backoff(spark, sf_dir):
+    # adaptive per-host backoff (operators/frontier.adaptive_backoff):
+    # AIMD-style delay multipliers + cooldown from observed 429/503
+    # rates. Synthetic statuses make host h_k throttle at ~k/10, so
+    # every multiplier tier and the cooldown flag are exercised.
+    from dotnetspider_spark.operators.frontier import adaptive_backoff
+
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")).alias(
+            "host"
+        ),
+        F.when(F.col("event_id") % 10 < F.col("user_id") % 8, 429)
+        .otherwise(200)
+        .alias("status"),
+    )
+    return adaptive_backoff(log)
+
+
 def q_bpe_merge_sequence(spark, sf_dir):
     # full iterative BPE training (operators/tokenizer.py bpe_train,
     # Sennrich et al. 2016): per round one pair-count agg over the
@@ -2601,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_canonical": q_surt_canonical,
         "cdx_index": q_cdx_index,
         "mirror_hosts": q_mirror_hosts,
+        "host_backoff": q_host_backoff,
         "pq_encode_fixed": q_pq_encode_fixed,
         "pq_adc_fixed": q_pq_adc_fixed,
         "epoch_plan": q_epoch_plan,
@@ -5125,6 +5145,36 @@ def oracle_sql() -> dict[str, str]:
             FROM shared
             JOIN sizes sa ON host_a = sa.host
             JOIN sizes sb ON host_b = sb.host
+        """,
+        "host_backoff": """
+            WITH log AS (
+                SELECT 'h' || CAST(user_id % 8 AS VARCHAR) AS host,
+                       CASE WHEN event_id % 10 < user_id % 8 THEN 429
+                            ELSE 200 END AS status
+                FROM events),
+            per AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                       CAST(sum(CASE WHEN status IN (429, 503) THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_throttle
+                FROM log GROUP BY host),
+            m AS (
+                SELECT host, n_fetches, n_throttle,
+                       CAST(n_throttle AS DOUBLE) / n_fetches AS r,
+                       n_fetches >= 20 AS enough
+                FROM per),
+            mm AS (
+                SELECT host, n_fetches, n_throttle, r, enough,
+                       CAST(CASE WHEN NOT enough THEN 1
+                                 WHEN r < 0.05 THEN 1
+                                 WHEN r < 0.20 THEN 2
+                                 WHEN r < 0.50 THEN 4
+                                 ELSE 8 END AS INT) AS multiplier
+                FROM m)
+            SELECT host, n_fetches, n_throttle,
+                   round(r, 6) AS throttle_rate, multiplier,
+                   CAST(multiplier AS BIGINT) * 200 AS delay_ms,
+                   (enough AND r >= 0.50) AS cooldown
+            FROM mm
         """,
         "pq_encode_fixed": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings

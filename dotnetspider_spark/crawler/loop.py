@@ -149,6 +149,20 @@ class CrawlConfig:
     trap_guard: bool = False
     trap_min_urls: int = 100
     trap_max_ratio: float = 8.0
+    #: opt-in adaptive per-host backoff (operators/frontier.py
+    #: adaptive_backoff; AIMD response to 429/503 — absent in the
+    #: reference, whose politeness is the static SleepTime): each
+    #: iteration reads the PREVIOUS iteration's fetch log (one
+    #: column-pruned parquet read of host+status), shrinks throttling
+    #: hosts' poll budgets by the multiplier, and parks >=50%-throttle
+    #: hosts for one iteration (budget 0 — their frontier rows are NOT
+    #: consumed, they simply wait). The one-iteration observation
+    #: window makes the control loop self-correcting: a parked host
+    #: produces no observations, so the next iteration it re-enters at
+    #: multiplier 1 (the AIMD probe). Default OFF: backoff
+    #: intentionally diverges from reference crawl ordering.
+    adaptive_backoff: bool = False
+    backoff_min_observations: int = 20
 
     def __post_init__(self):
         if self.use_bloom and self.bucketed_seen:
@@ -406,6 +420,31 @@ def _with_block(batch: DataFrame) -> DataFrame:
     )
 
 
+def _apply_backoff(fr_b: DataFrame, backoff) -> DataFrame:
+    """Shrink the ``__budget`` column by the adaptive-backoff verdicts:
+    cooldown hosts poll nothing this iteration (their frontier rows are
+    not consumed — they wait), throttling hosts keep at least one slot
+    (the AIMD probe that detects recovery). ``backoff`` is a broadcast
+    (host, multiplier, cooldown) frame or None (no-op)."""
+    if backoff is None:
+        return fr_b
+    adj = F.when(
+        F.coalesce(F.col("cooldown"), F.lit(False)), F.lit(0)
+    ).otherwise(
+        F.greatest(
+            F.floor(
+                F.col("__budget")
+                / F.coalesce(F.col("multiplier"), F.lit(1)).cast("double")
+            ),
+            F.lit(1),
+        )
+    )
+    return (
+        fr_b.join(backoff, "host", "left")
+        .withColumn("__budget", adj.cast("int"))
+        .drop("multiplier", "cooldown")
+    )
+
 
 class Checkpointer:
     """Manifest writer over the parquet delta-snapshot layout.
@@ -646,6 +685,39 @@ def crawl(
         frontier = frontier_view()
         iter_base = F.lit((it + 1) << _ITER_SHIFT)
 
+        # --- 1a. opt-in adaptive backoff: read LAST iteration's fetch
+        #         statuses (column-pruned parquet read, host+status
+        #         only) and derive per-host budget multipliers. The
+        #         one-iteration window keeps the control loop
+        #         self-correcting (see CrawlConfig.adaptive_backoff).
+        backoff = None
+        if cfg.adaptive_backoff and it > 0:
+            # throttle statuses (429/503) are NOT successes, so the
+            # observation log is fetched (2xx/media) UNION errors —
+            # both persisted per iteration with host + status
+            logs = [
+                spark.read.parquet(p).select("host", "status")
+                for p in (
+                    f"{root}/fetched/iter={it - 1}",
+                    f"{root}/errors/iter={it - 1}",
+                )
+                if os.path.isdir(p)
+            ]
+            if logs:
+                from dotnetspider_spark.operators.frontier import (
+                    adaptive_backoff as _adaptive_backoff,
+                )
+
+                log = logs[0]
+                for extra in logs[1:]:
+                    log = log.unionByName(extra)
+                backoff = F.broadcast(
+                    _adaptive_backoff(
+                        log,
+                        min_observations=cfg.backoff_min_observations,
+                    ).select("host", "multiplier", "cooldown")
+                )
+
         # --- 1. poll: select this iteration's batch ------------------
         order = poll_order(cfg.dfs, cfg.priority_first) + [F.col("url").asc()]
         if cfg.global_limit is not None:
@@ -666,6 +738,22 @@ def crawl(
             fr_b = frontier.join(delays, "host", "left").withColumn(
                 "__budget", budget
             ).drop("crawl_delay_ms")
+            fr_b = _apply_backoff(fr_b, backoff)
+            batch = select_fetch_batch(
+                fr_b, dfs=cfg.dfs, budget_col="__budget",
+                salt_buckets=cfg.salt_buckets,
+                priority_first=cfg.priority_first,
+            ).withColumnRenamed("host_rank", "rank").drop("__budget")
+            batch = _with_block(batch)
+        elif backoff is not None and cfg.per_host_limit is not None:
+            # backoff without per-host robots delays: the static limit
+            # becomes the budget column so the multiplier can shrink it
+            fr_b = _apply_backoff(
+                frontier.withColumn(
+                    "__budget", F.lit(cfg.per_host_limit)
+                ),
+                backoff,
+            )
             batch = select_fetch_batch(
                 fr_b, dfs=cfg.dfs, budget_col="__budget",
                 salt_buckets=cfg.salt_buckets,
@@ -1001,13 +1089,24 @@ def crawl(
         from pyspark.sql import Observation
 
         obs = Observation(f"crawl-iter-{it}")
-        fetched_raw.observe(
-            obs,
-            F.count(F.lit(1)).alias("n_fetch"),
-            F.sum(_status_ok().cast("int")).alias("n_ok"),
-            F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
-            F.sum((F.col("status") == 404).cast("int")).alias("n_missing"),
-        ).groupBy("host").agg(
+        metrics_src = fetched_raw
+        if n_consumed > 0:
+            # a zero-row batch (every host parked by adaptive backoff)
+            # runs the write as a zero-task job, so the Observation
+            # never fires and .get ASSERTS instead of returning zeros —
+            # observe only when there is something to observe
+            metrics_src = metrics_src.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_fetch"),
+                F.sum(_status_ok().cast("int")).alias("n_ok"),
+                F.sum((F.col("status") >= 500).cast("int")).alias(
+                    "n_transient"
+                ),
+                F.sum((F.col("status") == 404).cast("int")).alias(
+                    "n_missing"
+                ),
+            )
+        metrics_src.groupBy("host").agg(
             F.count("*").alias("n_batch"),
             F.sum(_status_ok().cast("int")).alias("n_ok"),
             F.sum((F.col("status") >= 500).cast("int")).alias("n_transient"),
@@ -1015,14 +1114,17 @@ def crawl(
         ).withColumn("iter", F.lit(it)).write.mode("overwrite").parquet(
             f"{root}/metrics/iter={it}"
         )
-        scal = obs.get
         n_hosts = spark.read.schema("host string").parquet(
             f"{root}/metrics/iter={it}"
         ).count()
-        n_fetch = int(scal["n_fetch"] or 0)
-        n_ok = int(scal["n_ok"] or 0)
-        n_tr = int(scal["n_transient"] or 0)
-        n_miss = int(scal["n_missing"] or 0)
+        if n_consumed > 0:
+            scal = obs.get
+            n_fetch = int(scal["n_fetch"] or 0)
+            n_ok = int(scal["n_ok"] or 0)
+            n_tr = int(scal["n_transient"] or 0)
+            n_miss = int(scal["n_missing"] or 0)
+        else:
+            n_fetch = n_ok = n_tr = n_miss = 0
         row = {
             "iter": it,
             "n_frontier": n_frontier + n_consumed - n_fresh,  # at iteration start

@@ -324,3 +324,59 @@ def crawl_delay_report(
             ).alias("drain_s"),
         )
     )
+
+
+def adaptive_backoff(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    base_delay_ms: int = 200,
+    min_observations: int = 20,
+) -> DataFrame:
+    """Per-host adaptive politeness from observed throttle signals —
+    the AIMD-style response every production crawler layers on top of
+    static robots delays (Heritrix's retry-delay politics; RFC 6585
+    429 + Retry-After semantics): hosts that answer with 429/503 get
+    multiplicatively longer delays, hosts above a hard throttle rate
+    get a cooldown flag so the scheduler parks them for an iteration.
+
+    Deterministic rule (oracle-replayable, no floats in the verdict):
+    with throttle rate r = n_throttle / n over ``min_observations``+
+    fetches, the delay multiplier is 1 / 2 / 4 / 8 for
+    r < 5% / < 20% / < 50% / ≥ 50%, and ``cooldown`` is set at ≥ 50%.
+    Hosts with fewer than ``min_observations`` rows keep multiplier 1
+    (no evidence, no punishment — they also stay out of cooldown).
+
+    Shape: ONE partial-agg'd host groupBy over the fetch log (the map
+    side reduces each partition to |hosts| rows before the exchange);
+    everything after is column algebra on the host table. The output
+    joins back onto the frontier as the ``delay_ms`` politeness input
+    of ``select_fetch_batch`` — config-sized, so that join broadcasts.
+
+    Returns (host, n_fetches, n_throttle, throttle_rate, multiplier,
+    delay_ms, cooldown).
+    """
+    throttle = F.col(status_col).isin(429, 503)
+    per = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(throttle.cast("long")).cast("long").alias("n_throttle"),
+    )
+    rate = F.col("n_throttle") / F.col("n_fetches").cast("double")
+    enough = F.col("n_fetches") >= min_observations
+    mult = (
+        F.when(~enough, F.lit(1))
+        .when(rate < 0.05, F.lit(1))
+        .when(rate < 0.20, F.lit(2))
+        .when(rate < 0.50, F.lit(4))
+        .otherwise(F.lit(8))
+        .cast("int")
+    )
+    return per.select(
+        "host",
+        "n_fetches",
+        "n_throttle",
+        F.round(rate, 6).alias("throttle_rate"),
+        mult.alias("multiplier"),
+        (mult.cast("long") * F.lit(base_delay_ms)).alias("delay_ms"),
+        (enough & (rate >= 0.50)).alias("cooldown"),
+    )

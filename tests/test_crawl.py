@@ -720,3 +720,76 @@ def test_trap_guard_drops_exploding_host_children(spark):
     unguarded = crawl(spark, corpus, seeds, CrawlConfig(max_depth=2))
     assert unguarded.metrics[0]["n_trap_hosts"] == 0
     assert unguarded.metrics[0]["n_new"] == 150  # trap children flood in
+
+
+def test_adaptive_backoff_parks_throttled_host_then_reprobes(spark):
+    """Opt-in adaptive backoff (CrawlConfig.adaptive_backoff): a host
+    answering 429 to a full iteration's batch is parked the NEXT
+    iteration (no rows consumed — they wait in the frontier), then
+    re-probed the iteration after (the one-iteration observation window
+    is the AIMD probe). Nothing is lost: every URL is eventually
+    consumed. With the flag off, the throttled host polls every
+    iteration."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.testing.datagen import CORPUS_SCHEMA, SEED_SCHEMA
+
+    def mk(pid, host, path, status):
+        return {
+            "page_id": pid, "url": f"http://{host}{path}", "host": host,
+            "out_links": [], "html": "<html>x</html>",
+            "image_id": f"img{pid}", "bytes": None, "w": 1, "h": 1,
+            "fmt": "png", "caption": f"c{pid}", "phash": 0,
+            "status": status, "crawl_delay_ms": 0,
+        }
+
+    rows = [mk(i, "throttled.example", f"/p/{i}", 429) for i in range(12)]
+    rows += [mk(100 + i, "good.example", f"/p/{i}", 200) for i in range(12)]
+    corpus = spark.createDataFrame(
+        rows, CORPUS_SCHEMA.replace(", redirect_to string", "")
+    )
+
+    def seed(url, i):
+        return dict(url=url, method="GET", referer=None, origin=None,
+                    content=None, headers=None, priority=0, depth=1,
+                    retried=0, seq=i)
+
+    seeds = spark.createDataFrame(
+        [seed(f"http://throttled.example/p/{i}", i) for i in range(12)]
+        + [seed(f"http://good.example/p/{i}", 100 + i) for i in range(12)],
+        SEED_SCHEMA,
+    )
+    cfg = CrawlConfig(
+        max_depth=1, per_host_limit=4,
+        adaptive_backoff=True, backoff_min_observations=4,
+    )
+    res = crawl(spark, corpus, seeds, cfg)
+    # 429s are not successes: throttled polls surface in the ERRORS
+    # table (failing.log analog), good polls in fetched — both carry
+    # the iteration they were consumed in
+    t_iter = {
+        r.iter: r.n
+        for r in res.errors.filter(F.col("url").contains("throttled"))
+        .groupBy("iter").agg(F.count("*").alias("n")).collect()
+    }
+    g_iter = {
+        r.iter: r.n
+        for r in res.fetched.filter(F.col("url").contains("good"))
+        .groupBy("iter").agg(F.count("*").alias("n")).collect()
+    }
+    # iter 0: both hosts poll their 4-slot budget
+    assert t_iter.get(0) == 4 and g_iter.get(0) == 4
+    # iter 1: throttled host parked (4/4 were 429), good host continues
+    assert 1 not in t_iter and g_iter.get(1) == 4
+    # iter 2: re-probe — throttled host polls again
+    assert t_iter.get(2) == 4
+    # completeness: every URL of both hosts is eventually consumed
+    assert sum(t_iter.values()) == 12 and sum(g_iter.values()) == 12
+
+    # flag off (default): the throttled host is polled every iteration
+    res_off = crawl(spark, corpus, seeds, CrawlConfig(max_depth=1,
+                                                      per_host_limit=4))
+    off_iter1 = res_off.errors.filter(
+        (F.col("iter") == 1) & F.col("url").contains("throttled")
+    ).count()
+    assert off_iter1 == 4

@@ -246,3 +246,22 @@ def test_crawl_delta_statuses(spark):
     rows = {r.url: r for r in crawl_delta(old, new).collect()}
     assert rows["u3"].old_digest == "d3" and rows["u3"].new_digest == "dX"
     assert rows["u1"].new_digest is None and rows["u4"].old_digest is None
+
+
+def test_adaptive_backoff_tiers_and_min_observations(spark):
+    from dotnetspider_spark.operators.frontier import adaptive_backoff
+
+    rows = (
+        [("calm", 200)] * 100
+        + [("warm", 429)] * 10 + [("warm", 200)] * 90
+        + [("hot", 503)] * 30 + [("hot", 200)] * 70
+        + [("dead", 429)] * 60 + [("dead", 200)] * 40
+        + [("sparse", 429)] * 5  # < min_observations: no punishment
+    )
+    df = spark.createDataFrame(rows, "host string, status int")
+    out = {r.host: r for r in adaptive_backoff(df, base_delay_ms=100).collect()}
+    assert (out["calm"].multiplier, out["calm"].cooldown) == (1, False)
+    assert (out["warm"].multiplier, out["warm"].delay_ms) == (2, 200)
+    assert (out["hot"].multiplier, out["hot"].cooldown) == (4, False)
+    assert (out["dead"].multiplier, out["dead"].cooldown) == (8, True)
+    assert (out["sparse"].multiplier, out["sparse"].cooldown) == (1, False)
