@@ -2471,15 +2471,20 @@ def q_host_backoff(spark, sf_dir):
     from dotnetspider_spark.operators.frontier import adaptive_backoff
 
     e = _t(spark, sf_dir, "events")
+    throttled = F.col("event_id") % 10 < F.col("user_id") % 8
     log = e.select(
         F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")).alias(
             "host"
         ),
-        F.when(F.col("event_id") % 10 < F.col("user_id") % 8, 429)
-        .otherwise(200)
-        .alias("status"),
+        F.when(throttled, 429).otherwise(200).alias("status"),
+        # throttle responses carry Retry-After: host h_k asks for 2k s,
+        # so the max-retry-after path (explicit server signal beats the
+        # inferred multiplier) is exercised at every tier
+        F.when(throttled, (F.col("user_id") % 8) * 2)
+        .cast("long")
+        .alias("retry_after_s"),
     )
-    return adaptive_backoff(log)
+    return adaptive_backoff(log, retry_after_col="retry_after_s")
 
 
 def q_bpe_merge_sequence(spark, sf_dir):
@@ -5150,20 +5155,26 @@ def oracle_sql() -> dict[str, str]:
             WITH log AS (
                 SELECT 'h' || CAST(user_id % 8 AS VARCHAR) AS host,
                        CASE WHEN event_id % 10 < user_id % 8 THEN 429
-                            ELSE 200 END AS status
+                            ELSE 200 END AS status,
+                       CASE WHEN event_id % 10 < user_id % 8
+                            THEN CAST((user_id % 8) * 2 AS BIGINT)
+                            ELSE NULL END AS retry_after_s
                 FROM events),
             per AS (
                 SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
                        CAST(sum(CASE WHEN status IN (429, 503) THEN 1
-                                     ELSE 0 END) AS BIGINT) AS n_throttle
+                                     ELSE 0 END) AS BIGINT) AS n_throttle,
+                       CAST(max(retry_after_s) AS BIGINT)
+                           AS max_retry_after_s
                 FROM log GROUP BY host),
             m AS (
-                SELECT host, n_fetches, n_throttle,
+                SELECT host, n_fetches, n_throttle, max_retry_after_s,
                        CAST(n_throttle AS DOUBLE) / n_fetches AS r,
                        n_fetches >= 20 AS enough
                 FROM per),
             mm AS (
-                SELECT host, n_fetches, n_throttle, r, enough,
+                SELECT host, n_fetches, n_throttle, max_retry_after_s,
+                       r, enough,
                        CAST(CASE WHEN NOT enough THEN 1
                                  WHEN r < 0.05 THEN 1
                                  WHEN r < 0.20 THEN 2
@@ -5172,7 +5183,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM m)
             SELECT host, n_fetches, n_throttle,
                    round(r, 6) AS throttle_rate, multiplier,
-                   CAST(multiplier AS BIGINT) * 200 AS delay_ms,
+                   max_retry_after_s,
+                   greatest(CAST(multiplier AS BIGINT) * 200,
+                            coalesce(max_retry_after_s * 1000, 0))
+                       AS delay_ms,
                    (enough AND r >= 0.50) AS cooldown
             FROM mm
         """,

@@ -332,6 +332,7 @@ def adaptive_backoff(
     status_col: str = "status",
     base_delay_ms: int = 200,
     min_observations: int = 20,
+    retry_after_col: str | None = None,
 ) -> DataFrame:
     """Per-host adaptive politeness from observed throttle signals —
     the AIMD-style response every production crawler layers on top of
@@ -353,14 +354,28 @@ def adaptive_backoff(
     joins back onto the frontier as the ``delay_ms`` politeness input
     of ``select_fetch_batch`` — config-sized, so that join broadcasts.
 
+    ``retry_after_col``: optional column of server-sent Retry-After
+    delta-seconds (RFC 9110 §10.2.3 — the fetch stage emits it as
+    ``retry_after_s``): the per-host MAX rides the same aggregation and
+    the final delay honors whichever is longer, the multiplier delay or
+    the server's explicit ask. An explicit server signal beats an
+    inferred one, so it applies regardless of ``min_observations``.
+
     Returns (host, n_fetches, n_throttle, throttle_rate, multiplier,
-    delay_ms, cooldown).
+    [max_retry_after_s,] delay_ms, cooldown).
     """
     throttle = F.col(status_col).isin(429, 503)
-    per = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_fetches"),
         F.sum(throttle.cast("long")).cast("long").alias("n_throttle"),
-    )
+    ]
+    if retry_after_col is not None:
+        aggs.append(
+            F.max(F.col(retry_after_col))
+            .cast("long")
+            .alias("max_retry_after_s")
+        )
+    per = fetch_log.groupBy(F.col(host_col).alias("host")).agg(*aggs)
     rate = F.col("n_throttle") / F.col("n_fetches").cast("double")
     enough = F.col("n_fetches") >= min_observations
     mult = (
@@ -371,12 +386,19 @@ def adaptive_backoff(
         .otherwise(F.lit(8))
         .cast("int")
     )
-    return per.select(
-        "host",
-        "n_fetches",
-        "n_throttle",
+    delay = mult.cast("long") * F.lit(base_delay_ms)
+    cols = [
+        F.col("host"),
+        F.col("n_fetches"),
+        F.col("n_throttle"),
         F.round(rate, 6).alias("throttle_rate"),
         mult.alias("multiplier"),
-        (mult.cast("long") * F.lit(base_delay_ms)).alias("delay_ms"),
-        (enough & (rate >= 0.50)).alias("cooldown"),
-    )
+    ]
+    if retry_after_col is not None:
+        cols.append(F.col("max_retry_after_s"))
+        delay = F.greatest(
+            delay, F.coalesce(F.col("max_retry_after_s") * 1000, F.lit(0))
+        )
+    cols.append(delay.alias("delay_ms"))
+    cols.append((enough & (rate >= 0.50)).alias("cooldown"))
+    return per.select(*cols)

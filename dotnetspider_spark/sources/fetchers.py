@@ -196,6 +196,8 @@ class DictTransport:
                 hdrs["location"] = page["location"]
             if page.get("set_cookie"):
                 hdrs["set-cookie"] = page["set_cookie"]
+            if page.get("retry_after") is not None:
+                hdrs["retry-after"] = str(page["retry_after"])
             body = page.get("body", b"")
             if isinstance(body, str):
                 body = body.encode("utf-8")
@@ -366,7 +368,7 @@ class HttpFetcher:
     EXTRA_SCHEMA = (
         "status int, bytes binary, target_url string, content_type string, "
         "encoding string, html string, fetch_ms long, "
-        "redirect_hops array<string>"
+        "redirect_hops array<string>, retry_after_s long"
     )
 
     def __init__(
@@ -488,6 +490,18 @@ class HttpFetcher:
                             break
                     except TransportError:
                         status, hdrs, body = 599, {}, b""
+                    # Retry-After (RFC 9110 §10.2.3) from the FINAL
+                    # response: the delta-seconds form only — the
+                    # HTTP-date form is rare on throttle responses and
+                    # needs wall-clock anchoring the columnar log
+                    # cannot carry; unparseable values stay null
+                    ra = hdrs.get("retry-after")
+                    try:
+                        retry_after = (
+                            int(str(ra).strip()) if ra is not None else None
+                        )
+                    except ValueError:
+                        retry_after = None
                     ctype = hdrs.get("content-type")
                     if is_media_type_py(ctype):
                         # media payload: bytes only — charset-decoding a
@@ -509,7 +523,7 @@ class HttpFetcher:
                         (
                             status, bytes(body) if body else None, cur, ctype,
                             enc, html, int((time.monotonic() - t0) * 1000),
-                            hops or None,
+                            hops or None, retry_after,
                         ),
                     ):
                         extras[f].append(v)

@@ -920,3 +920,48 @@ def test_seed_cookies_injected_per_host(spark):
     rows = {r.url: r for r in f.fetch(batch).collect()}
     assert rows["http://c.example/page"].html == "cookie=lang=en; tz=utc"
     assert rows["http://other.example/page"].html == "cookie=own=1"
+
+
+def test_http_fetcher_captures_retry_after_seconds(spark):
+    pages = {
+        "http://t.example/limited": {
+            "status": 429, "body": "slow down", "retry_after": 30,
+        },
+        "http://t.example/dated": {
+            # HTTP-date form: not parseable without wall-clock anchoring
+            "status": 429, "body": "x",
+            "retry_after": "Wed, 21 Oct 2026 07:28:00 GMT",
+        },
+        "http://t.example/fine": {"status": 200, "body": "ok"},
+    }
+    f = HttpFetcher(DictTransport(pages), n_partitions=1)
+    out = f.fetch(_batch(spark, list(pages)))
+    rows = {r.url: r for r in out.collect()}
+    assert rows["http://t.example/limited"].retry_after_s == 30
+    assert rows["http://t.example/dated"].retry_after_s is None
+    assert rows["http://t.example/fine"].retry_after_s is None
+
+
+def test_adaptive_backoff_honors_retry_after(spark):
+    from dotnetspider_spark.operators.frontier import adaptive_backoff
+
+    rows = (
+        [("polite", 429, 60)] * 10 + [("polite", 200, None)] * 90
+        + [("quiet", 200, None)] * 50
+    )
+    df = spark.createDataFrame(
+        rows, "host string, status int, retry_after_s long"
+    )
+    out = {
+        r.host: r
+        for r in adaptive_backoff(
+            df, base_delay_ms=100, retry_after_col="retry_after_s"
+        ).collect()
+    }
+    # multiplier says 2x100=200ms, but the server asked for 60s: 60s wins
+    assert out["polite"].multiplier == 2
+    assert out["polite"].max_retry_after_s == 60
+    assert out["polite"].delay_ms == 60_000
+    # no retry-after observed: multiplier delay stands
+    assert out["quiet"].max_retry_after_s is None
+    assert out["quiet"].delay_ms == 100
