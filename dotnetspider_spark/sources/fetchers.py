@@ -198,6 +198,20 @@ class DictTransport:
                 hdrs["set-cookie"] = page["set_cookie"]
             if page.get("retry_after") is not None:
                 hdrs["retry-after"] = str(page["retry_after"])
+            if page.get("etag"):
+                hdrs["etag"] = page["etag"]
+            if page.get("last_modified"):
+                hdrs["last-modified"] = page["last_modified"]
+            # conditional GET: validator match -> 304, empty body
+            req = {str(k).lower(): str(v) for k, v in (headers or {}).items()}
+            if (
+                page.get("etag")
+                and req.get("if-none-match") == page["etag"]
+            ) or (
+                page.get("last_modified")
+                and req.get("if-modified-since") == page["last_modified"]
+            ):
+                return 304, hdrs, b""
             body = page.get("body", b"")
             if isinstance(body, str):
                 body = body.encode("utf-8")
@@ -368,7 +382,8 @@ class HttpFetcher:
     EXTRA_SCHEMA = (
         "status int, bytes binary, target_url string, content_type string, "
         "encoding string, html string, fetch_ms long, "
-        "redirect_hops array<string>, retry_after_s long"
+        "redirect_hops array<string>, retry_after_s long, "
+        "resp_etag string, resp_last_modified string"
     )
 
     def __init__(
@@ -464,9 +479,28 @@ class HttpFetcher:
 
             for pdf in batches:
                 extras: dict[str, list] = {f: [] for f in out_fields}
-                for url, host, method, headers in zip(
-                    pdf["url"], pdf["host"], pdf["method"], pdf["headers"]
+                # conditional-GET validators (RFC 9110 §13.1): when the
+                # batch carries stored etag / last_modified columns
+                # (a revisit crawl re-reading its own resp_* capture),
+                # each row sends If-None-Match / If-Modified-Since and
+                # a 304 means "unchanged" — no body, no children, the
+                # cheapest possible revisit
+                etags = pdf["etag"] if "etag" in pdf.columns else [None] * len(pdf)
+                lastmods = (
+                    pdf["last_modified"]
+                    if "last_modified" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                for url, host, method, headers, etag, lastmod in zip(
+                    pdf["url"], pdf["host"], pdf["method"], pdf["headers"],
+                    etags, lastmods,
                 ):
+                    if etag is not None or lastmod is not None:
+                        headers = dict(headers) if headers else {}
+                        if etag is not None:
+                            headers["if-none-match"] = str(etag)
+                        if lastmod is not None:
+                            headers["if-modified-since"] = str(lastmod)
                     t0 = time.monotonic()
                     cur, status, hdrs, body = url, 599, {}, b""
                     hops: list[str] = []
@@ -524,6 +558,7 @@ class HttpFetcher:
                             status, bytes(body) if body else None, cur, ctype,
                             enc, html, int((time.monotonic() - t0) * 1000),
                             hops or None, retry_after,
+                            hdrs.get("etag"), hdrs.get("last-modified"),
                         ),
                     ):
                         extras[f].append(v)

@@ -965,3 +965,39 @@ def test_adaptive_backoff_honors_retry_after(spark):
     # no retry-after observed: multiplier delay stands
     assert out["quiet"].max_retry_after_s is None
     assert out["quiet"].delay_ms == 100
+
+
+def test_conditional_get_roundtrip_and_304(spark):
+    """Revisit-crawl conditional GET: the first fetch captures the
+    validators (resp_etag / resp_last_modified); feeding them back as
+    etag / last_modified batch columns sends If-None-Match /
+    If-Modified-Since and an unchanged page answers 304 with no body."""
+    pages = {
+        "http://c.example/page": {
+            "status": 200, "body": "<html>v1</html>",
+            "etag": 'W/"abc123"', "last_modified": "Tue, 19 Aug 2026 00:00:00 GMT",
+        },
+    }
+    f = HttpFetcher(DictTransport(pages), n_partitions=1)
+    first = f.fetch(_batch(spark, ["http://c.example/page"])).collect()[0]
+    assert first.status == 200 and first.html == "<html>v1</html>"
+    assert first.resp_etag == 'W/"abc123"'
+    assert first.resp_last_modified == "Tue, 19 Aug 2026 00:00:00 GMT"
+
+    revisit = (
+        _batch(spark, ["http://c.example/page"])
+        .withColumn("etag", F.lit(first.resp_etag))
+        .withColumn("last_modified", F.lit(first.resp_last_modified))
+    )
+    second = f.fetch(revisit).collect()[0]
+    assert second.status == 304
+    assert second.html is None and second.bytes is None
+    # validators are re-captured so the NEXT revisit can reuse them
+    assert second.resp_etag == 'W/"abc123"'
+
+    # stale validator: full 200 response
+    stale = _batch(spark, ["http://c.example/page"]).withColumn(
+        "etag", F.lit('W/"old"')
+    )
+    third = f.fetch(stale).collect()[0]
+    assert third.status == 200 and third.html == "<html>v1</html>"
