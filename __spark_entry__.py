@@ -2487,6 +2487,59 @@ def q_host_backoff(spark, sf_dir):
     return adaptive_backoff(log, retry_after_col="retry_after_s")
 
 
+def q_ccnet_pipeline(spark, sf_dir):
+    # CCNet pipeline composition (Wenzek et al. 2020): corpus-level
+    # duplicate-line removal -> language ID -> LM quality bucketing,
+    # chained in the published order so downstream stages score the
+    # CLEANED text (one shared unigram model stands in for CCNet's
+    # per-language KenLMs — this corpus is monolingual-synthetic).
+    from dotnetspider_spark.operators.curation import remove_duplicate_lines
+    from dotnetspider_spark.operators.textquality import unigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    multi = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text"),
+    )
+    cleaned = remove_duplicate_lines(multi, min_occurrences=3).select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        "n_lines_kept",
+        "n_lines_removed",
+    )
+    n_stop = F.regexp_count(
+        F.lower(F.col("text")), F.lit(r"\b(the|a|of|and)\b")
+    )
+    lang = cleaned.withColumn(
+        "lang_pred", F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unk"))
+    )
+    scored = unigram_lm_score(lang, head_nll=3.40, tail_nll=3.50)
+    return lang.select(
+        "doc_id", "lang_pred", "n_lines_kept", "n_lines_removed"
+    ).join(scored, "doc_id")
+
+
+def q_image_resolution_dedup(spark, sf_dir):
+    # resolution-aware near-identical collapse (operators/images.py
+    # resolution_dedup): same-phash groups keep the largest pixel
+    # count (the LAION thumbnail/CDN-variant rule). phash pool of 151
+    # values over 500 synthetic images forces multi-member groups; one
+    # 'boiler' phash shared by ~all docs exercises the degenerate cap.
+    from dotnetspider_spark.operators.images import resolution_dedup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(-1))
+        .otherwise(F.col("doc_id") % 151)
+        .cast("long")
+        .alias("phash"),
+        (8 + (F.col("doc_id") * 7) % 1024).cast("int").alias("w"),
+        (8 + (F.col("doc_id") * 13) % 1024).cast("int").alias("h"),
+    )
+    return resolution_dedup(pairs, max_group=50)
+
+
 def q_bpe_merge_sequence(spark, sf_dir):
     # full iterative BPE training (operators/tokenizer.py bpe_train,
     # Sennrich et al. 2016): per round one pair-count agg over the
@@ -2626,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "mirror_hosts": q_mirror_hosts,
         "host_backoff": q_host_backoff,
+        "ccnet_pipeline": q_ccnet_pipeline,
+        "image_resolution_dedup": q_image_resolution_dedup,
         "pq_encode_fixed": q_pq_encode_fixed,
         "pq_adc_fixed": q_pq_adc_fixed,
         "epoch_plan": q_epoch_plan,
@@ -5189,6 +5244,84 @@ def oracle_sql() -> dict[str, str]:
                        AS delay_ms,
                    (enough AND r >= 0.50) AS cooldown
             FROM mm
+        """,
+        "ccnet_pipeline": """
+            WITH d AS (
+                SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+                FROM documents),
+            sp AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+            pos AS (
+                SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+                FROM sp),
+            lines AS (SELECT doc_id, i AS p, l[i] AS line FROM pos),
+            dup AS (
+                SELECT line FROM lines WHERE line <> ''
+                GROUP BY line HAVING count(*) >= 3),
+            kept AS (
+                SELECT doc_id, p, line FROM lines
+                WHERE line NOT IN (SELECT line FROM dup)),
+            re AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY p) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, len(l) AS n_total FROM sp),
+            cleaned AS (
+                SELECT t.doc_id,
+                       coalesce(r.clean_text, '') AS text,
+                       CAST(coalesce(r.n_kept, 0) AS BIGINT)
+                           AS n_lines_kept,
+                       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT)
+                           AS n_lines_removed
+                FROM tot t LEFT JOIN re r USING (doc_id)),
+            lang AS (
+                SELECT doc_id, text, n_lines_kept, n_lines_removed,
+                       CASE WHEN len(regexp_extract_all(lower(text),
+                                '\\b(the|a|of|and)\\b')) > 0
+                            THEN 'en' ELSE 'unk' END AS lang_pred
+                FROM cleaned),
+            tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM lang),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM tok WHERE token <> '' GROUP BY 1, 2),
+            vocab AS (SELECT token, sum(tf) AS ctok FROM tf GROUP BY token),
+            tt AS (SELECT sum(ctok) * 1.0 AS total FROM vocab),
+            s AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       sum(tf * (ln((SELECT total FROM tt)) - ln(ctok)))
+                           / sum(tf) AS nll
+                FROM tf JOIN vocab USING (token) GROUP BY doc_id)
+            SELECT l.doc_id, l.lang_pred, l.n_lines_kept,
+                   l.n_lines_removed, s.n_tokens,
+                   round(s.nll, 6) AS avg_nll,
+                   CASE WHEN s.nll < 3.40 THEN 'head'
+                        WHEN s.nll < 3.50 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lang l JOIN s USING (doc_id)
+        """,
+        "image_resolution_dedup": """
+            WITH pairs AS (
+                SELECT doc_id AS image_id,
+                       CAST(CASE WHEN doc_id % 5 = 0 THEN -1
+                                 ELSE doc_id % 151 END AS BIGINT) AS phash,
+                       CAST(8 + (doc_id * 7) % 1024 AS BIGINT) AS w,
+                       CAST(8 + (doc_id * 13) % 1024 AS BIGINT) AS h
+                FROM documents WHERE doc_id < 500),
+            ranked AS (
+                SELECT image_id, phash, w, h,
+                       row_number() OVER (
+                           PARTITION BY phash
+                           ORDER BY w * h DESC, image_id ASC) AS rn,
+                       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
+                           AS n_copies
+                FROM pairs)
+            SELECT image_id, phash, w, h, n_copies,
+                   (n_copies > 50) OR (rn = 1) AS keep,
+                   n_copies > 50 AS degenerate
+            FROM ranked
         """,
         "pq_encode_fixed": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings

@@ -412,3 +412,52 @@ def metadata_integrity(
     return sniffed.withColumn("meta_reason", reason).withColumn(
         "meta_ok", F.col("meta_reason") == "ok"
     )
+
+
+def resolution_dedup(
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    w_col: str = "w",
+    h_col: str = "h",
+    max_group: int = 10_000,
+) -> DataFrame:
+    """Keep the HIGHEST-RESOLUTION copy per perceptual-hash group — the
+    LAION/DataComp rule for near-identical images that differ only by
+    rescaling (thumbnails, CDN size variants): grouping on exact phash
+    catches them (rescaling preserves the 64-bit DCT hash), and the
+    largest pixel count is the copy worth training on. Ties break to
+    the lower id so the verdict is engine-portable.
+
+    Shape: the rank runs over (id, phash, w, h) ONLY — a projection
+    made map-side, so payload bytes never enter the group exchange —
+    and one window per phash group ranks by pixel count. Groups are
+    near-dup-sized by construction, but a degenerate hash (solid-color
+    fills, tracking pixels share one phash) could serialize a task at
+    10^10 images: groups wider than ``max_group`` keep EVERYTHING and
+    are flagged instead of ranked (prune-not-drop — the same
+    boilerplate-cap reasoning as ``archive.mirror_hosts``), one extra
+    count over the same window partition, no second shuffle.
+
+    Returns (id, phash, w, h, n_copies, keep, degenerate)."""
+    from pyspark.sql import Window
+
+    slim = pairs.select(
+        F.col(id_col),
+        F.col(phash_col).alias("phash"),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h"),
+    )
+    wrank = Window.partitionBy("phash").orderBy(
+        (F.col("w") * F.col("h")).desc(), F.col(id_col).asc()
+    )
+    wall = Window.partitionBy("phash")
+    return (
+        slim.withColumn("__rn", F.row_number().over(wrank))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wall).cast("long"))
+        .withColumn("degenerate", F.col("n_copies") > max_group)
+        .withColumn(
+            "keep", F.col("degenerate") | (F.col("__rn") == 1)
+        )
+        .drop("__rn")
+    )

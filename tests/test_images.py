@@ -264,3 +264,26 @@ def test_metadata_integrity_reasons(spark):
         ).collect()
     }
     assert with_scan["real_jpeg"] == (True, "ok")
+
+
+def test_resolution_dedup_keeps_largest_and_caps_degenerate(spark):
+    from dotnetspider_spark.operators.images import resolution_dedup
+
+    rows = (
+        # one phash group with three sizes: largest (2) wins
+        [(0, 7, 100, 100), (1, 7, 640, 480), (2, 7, 1024, 768)]
+        # pixel-count tie: lower id (3) wins
+        + [(3, 8, 200, 300), (4, 8, 300, 200)]
+        # singleton
+        + [(5, 9, 50, 50)]
+        # degenerate group: > max_group members, ALL kept + flagged
+        + [(100 + i, 0, 10, 10) for i in range(12)]
+    )
+    df = spark.createDataFrame(rows, "image_id long, phash long, w int, h int")
+    out = {r.image_id: r for r in resolution_dedup(df, max_group=10).collect()}
+    assert [out[i].keep for i in (0, 1, 2)] == [False, False, True]
+    assert out[3].keep and not out[4].keep
+    assert out[5].keep and out[5].n_copies == 1
+    for i in range(12):
+        assert out[100 + i].keep and out[100 + i].degenerate
+    assert not out[2].degenerate
