@@ -75,6 +75,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    max_words: int | None = None,
 ) -> list[tuple[str, str, int]]:
     """Full iterative BPE merge training (Sennrich et al. 2016 §3.2),
     distributed: the corpus collapses ONCE to its word-frequency table
@@ -95,10 +96,22 @@ def bpe_train(
     re-persisting the (symbols, freq) table each round and unpersisting
     the previous one, so round R does not replay rounds 0..R-1.
 
+    ``max_words``: cap the per-round table to the top-N words by
+    frequency (ties to the lexicographically smaller word). Every
+    published trainer effectively does this — the frequency tail
+    contributes negligibly to pair counts but dominates row count under
+    Heaps' law — and it turns the per-round pass from
+    O(distinct words) into O(max_words) regardless of corpus size. The
+    cap is a single TakeOrderedAndProject (no full sort). None = exact.
+
     Returns the merge sequence ``[(left, right, count), ...]`` — the
     tokenizer artifact itself (apply order = list order).
     """
     wf = word_frequencies(docs, text_col=text_col)
+    if max_words is not None:
+        wf = wf.orderBy(
+            F.col("n_occurrences").desc(), F.col("word").asc()
+        ).limit(max_words)
     words = wf.select(
         F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .alias("syms"),

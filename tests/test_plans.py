@@ -543,3 +543,31 @@ def test_pq_adc_scan_side_is_python_free(spark):
             assert "lut" in b or "pythonUDF" in b
     # the scoring projection is JVM expression work on the scan side
     assert "aggregate(transform(codes" in plan or "aggregate(" in plan
+
+
+def test_resolution_dedup_rank_never_ships_payload(spark):
+    """resolution_dedup's window exchange must carry the slim
+    (id, phash, w, h) projection only — at 10^10 images, shipping the
+    bytes column through the phash hash-partitioning would multiply the
+    exchange by the payload size for columns the rank never reads."""
+    import re
+
+    from dotnetspider_spark.operators.images import resolution_dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i % 7, 100, 100, bytearray(b"\x89PNG" * 10)) for i in range(50)],
+        "image_id long, phash long, w int, h int, bytes binary",
+    )
+    plan = _plan(resolution_dedup(pairs))
+    blocks = re.split(r"\n\n", plan)
+    checked = 0
+    for b in blocks:
+        if not re.match(r"\(\d+\) Exchange", b):
+            continue
+        m = re.search(r"hashpartitioning\(([^)]*)\)", b)
+        if not m or "phash" not in m.group(1):
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert inp and "bytes" not in inp.group(1), b
+        checked += 1
+    assert checked >= 1

@@ -164,3 +164,18 @@ def test_bpe_segment_applies_merges_greedily(spark):
         return total
     assert out[0][1] == seg_count("banana band")
     assert out[1][1] == seg_count("aaaa")
+
+
+def test_bpe_train_max_words_cap_matches_truncated_reference(spark):
+    from dotnetspider_spark.operators.tokenizer import bpe_train
+
+    texts = ["low low low lower lowest wide wider new newer newest the the"]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    wf: dict[str, int] = {}
+    for w in texts[0].split():
+        wf[w] = wf.get(w, 0) + 1
+    # cap = top-4 words by (freq desc, word asc); reference sees only those
+    top4 = dict(sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:4])
+    want = _pyref_bpe(top4, n_merges=5)
+    got = bpe_train(docs, n_merges=5, max_words=4)
+    assert got == want
