@@ -707,6 +707,11 @@ def epoch_plan(
     single-row cross join — the same scalar pattern as
     :func:`temperature_mix`. Nothing below the groupBy scales with
     corpus size, so the plan costs the same at 10^10 docs as at 10^4.
+
+    With explicit ``weights``, sources ABSENT from the dict are
+    excluded from the plan entirely (inner join) — the mixing-config
+    semantics: an unlisted source gets zero budget, and listing it with
+    weight 0.0 makes the exclusion explicit in the output instead.
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
