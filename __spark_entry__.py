@@ -2558,6 +2558,157 @@ def q_bpe_merge_sequence(spark, sf_dir):
     )
 
 
+def q_config_asof_join(spark, sf_dir):
+    # backward-inclusive as-of join (operators/temporal.asof_join):
+    # every fetch event picks up the per-host crawl_delay snapshot in
+    # force at its timestamp (the reference's mutable Site config,
+    # reconstructed from a snapshot log). Union + running-last shape —
+    # one shuffle on host, no range-join row amplification. Snapshots
+    # are synthesized from every 37th event and collapsed to one row
+    # per (host, ts) on both engines (the operator's tie contract).
+    from dotnetspider_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".example")
+    )
+    left = e.select(F.col("event_id"), host.alias("host"), F.col("ts"))
+    snaps = (
+        e.filter(F.col("event_id") % 37 == 0)
+        .select(
+            host.alias("host"),
+            F.col("ts"),
+            (F.col("event_id") % 7 + 1).cast("long").alias("crawl_delay"),
+        )
+        .groupBy("host", "ts")
+        .agg(F.min("crawl_delay").alias("crawl_delay"))
+    )
+    return asof_join(left, snaps, key="host", payload=["crawl_delay"])
+
+
+def q_host_latency_quantiles(spark, sf_dir):
+    # exact per-host p50/p90/p99 (operators/temporal.exact_quantiles):
+    # discrete quantile = value at 1-indexed rank ceil(p*n) in the
+    # ascending per-host sort — one window shuffle on host, per-group
+    # counts broadcast back, no global sort, no percentile_approx
+    # approximation. The oracle states the identical window expression
+    # (not quantile_disc) so the definition is pinned, not assumed.
+    from dotnetspider_spark.operators.temporal import exact_quantiles
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("host"), (F.col("user_id") % 20).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+    return exact_quantiles(
+        e, group="host", value="value", ps=(0.5, 0.9, 0.99), tie_break="event_id"
+    )
+
+
+def q_docs_tfidf_simjoin(spark, sf_dir):
+    # exact TF-IDF cosine similarity self-join via the inverted-index
+    # postings join (operators/simjoin.tfidf_simjoin) — the "verify"
+    # stage of a dedup pipeline as a first-class op. max_df=50 drops
+    # ubiquitous tokens BEFORE the join (stop-postings skew guard,
+    # shared with the oracle); bounded to doc_id < 120 because the
+    # compare is row-exact and the tiny synthetic vocabulary makes the
+    # pair set quadratic-ish above that.
+    from dotnetspider_spark.operators.simjoin import tfidf_simjoin
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return tfidf_simjoin(d, threshold=0.3, max_df=50)
+
+
+def q_lsh_candidate_eval(spark, sf_dir):
+    # precision/recall of the MinHash band candidates against exact
+    # token-set Jaccard >= 0.7 (operators/simjoin.lsh_candidate_eval):
+    # the tuning loop for (k, bands, threshold) run as a distributed
+    # full-outer join of the two pair sets — neither side collected.
+    # Candidates: the same 4-perm/2-band generator as
+    # docs_minhash_band_pairs over doc_id < 100.
+    from dotnetspider_spark.operators.simjoin import lsh_candidate_eval
+    from dotnetspider_spark.operators.textdedup import (
+        minhash_signature,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sig = minhash_signature(d, "doc_id", "text", k=4)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("b0"), "mh0", "mh1"),
+                F.concat_ws("|", F.lit("b1"), "mh2", "mh3"),
+            )
+        ).alias("band_key"),
+    )
+    rb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("band_key").alias("band_key_b")
+    )
+    cands = (
+        bands.join(
+            rb,
+            (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    rt = toks.select(F.col("id").alias("id_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        toks.join(rt, (F.col("tok") == F.col("tok_b")) & (F.col("id") < F.col("id_b")))
+        .groupBy(F.col("id").alias("id_a"), "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= 0.7
+        )
+        .select("id_a", "id_b")
+    )
+    return lsh_candidate_eval(cands, truth)
+
+
+def q_soft404_detect(spark, sf_dir):
+    # soft-404 gate (functions/content.soft404_flag): 2xx responses
+    # whose body is a short "not found" template stub — flagged before
+    # extraction so dedup/link stats never see them. Status + marker
+    # synthesized deterministically from documents; the real corpus
+    # would carry these columns out of the fetch stage.
+    from dotnetspider_spark.functions.content import soft404_flag
+
+    d = _t(spark, sf_dir, "documents")
+    status = F.when(F.col("doc_id") % 13 == 0, 404).otherwise(200).cast("int")
+    body = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("<html><body>Page Not Found - "), F.col("text")),
+    ).otherwise(F.col("text"))
+    rows = d.select(
+        "doc_id", status.alias("status"), body.alias("body")
+    )
+    return rows.select(
+        "doc_id",
+        "status",
+        soft404_flag(F.col("status"), F.col("body"), max_chars=512).alias(
+            "is_soft404"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -2685,6 +2836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_fixed": q_pq_adc_fixed,
         "epoch_plan": q_epoch_plan,
         "epoch_expand": q_epoch_expand,
+        "config_asof_join": q_config_asof_join,
+        "host_latency_quantiles": q_host_latency_quantiles,
+        "docs_tfidf_simjoin": q_docs_tfidf_simjoin,
+        "lsh_candidate_eval": q_lsh_candidate_eval,
+        "soft404_detect": q_soft404_detect,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -5419,5 +5575,159 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, epoch_index FROM fulls
             UNION ALL
             SELECT doc_id, source, epoch_index FROM fracs
+        """,
+        "config_asof_join": """
+            WITH l AS (
+                SELECT event_id,
+                       'host' || CAST(user_id % 20 AS VARCHAR) || '.example'
+                           AS host,
+                       ts
+                FROM events),
+            snap0 AS (
+                SELECT 'host' || CAST(user_id % 20 AS VARCHAR) || '.example'
+                           AS host,
+                       ts,
+                       CAST(event_id % 7 + 1 AS BIGINT) AS crawl_delay
+                FROM events WHERE event_id % 37 = 0),
+            snap AS (
+                SELECT host, ts, min(crawl_delay) AS crawl_delay
+                FROM snap0 GROUP BY host, ts)
+            SELECT l.event_id, l.host, l.ts, s.crawl_delay
+            FROM l ASOF LEFT JOIN snap s
+              ON l.host = s.host AND l.ts >= s.ts
+        """,
+        "host_latency_quantiles": """
+            WITH d AS (
+                SELECT 'host' || CAST(user_id % 20 AS VARCHAR) || '.example'
+                           AS host,
+                       value, event_id
+                FROM events),
+            r AS (
+                SELECT host, value,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY value, event_id) AS rn,
+                       count(*) OVER (PARTITION BY host) AS n
+                FROM d)
+            SELECT host, CAST(max(n) AS BIGINT) AS n,
+                   min(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+                   min(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+                   min(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
+            FROM r GROUP BY host
+        """,
+        "docs_tfidf_simjoin": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE doc_id < 120),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+            tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                GROUP BY doc_id, tok),
+            dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+            w AS (
+                SELECT tf.doc_id, tf.tok,
+                       tf.tf * ln(n.n_docs / dfreq.df) AS weight
+                FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+                WHERE dfreq.df <= 50),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(weight * weight)) AS nrm
+                FROM w GROUP BY doc_id),
+            dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(a.weight * b.weight) AS dot
+                FROM w a JOIN w b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots
+            JOIN nrm na ON na.doc_id = id_a
+            JOIN nrm nb ON nb.doc_id = id_b
+            WHERE dot / (na.nrm * nb.nrm) >= 0.3
+        """,
+        "lsh_candidate_eval": """
+            WITH tok0 AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS token
+                FROM documents WHERE doc_id < 100),
+            sig AS (
+                SELECT doc_id,
+                       min(md5('s0|' || token)) AS mh0,
+                       min(md5('s1|' || token)) AS mh1,
+                       min(md5('s2|' || token)) AS mh2,
+                       min(md5('s3|' || token)) AS mh3
+                FROM tok0 WHERE token <> '' GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, concat_ws('|', 'b0', mh0, mh1) AS band_key
+                FROM sig
+                UNION ALL
+                SELECT doc_id, concat_ws('|', 'b1', mh2, mh3) AS band_key
+                FROM sig),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+            toks AS (
+                SELECT DISTINCT doc_id, token FROM tok0 WHERE token <> ''),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_inter
+                FROM toks a JOIN toks b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            truth AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_inter AS DOUBLE)
+                      / (sa.n_tok + sb.n_tok - n_inter) >= 0.7),
+            j AS (
+                SELECT c.id_a IS NOT NULL AS is_cand,
+                       t.id_a IS NOT NULL AS is_true
+                FROM cand c FULL OUTER JOIN truth t
+                  ON c.id_a = t.id_a AND c.id_b = t.id_b)
+            SELECT CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_candidates,
+                   CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true,
+                   CAST(sum(CASE WHEN is_cand AND is_true THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hits,
+                   round(CAST(sum(CASE WHEN is_cand AND is_true
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / nullif(sum(CASE WHEN is_cand THEN 1 ELSE 0 END),
+                                  0), 6) AS "precision",
+                   round(CAST(sum(CASE WHEN is_cand AND is_true
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END),
+                                  0), 6) AS recall
+            FROM j
+        """,
+        "soft404_detect": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN doc_id % 13 = 0 THEN 404 ELSE 200 END
+                            AS INTEGER) AS status,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN '<html><body>Page Not Found - ' || text
+                            ELSE text END AS body
+                FROM documents)
+            SELECT doc_id, status,
+                   (status >= 200 AND status < 300
+                    AND (contains(lower(substring(body, 1, 512)),
+                                  'page not found')
+                         OR contains(lower(substring(body, 1, 512)),
+                                     '404 not found')
+                         OR contains(lower(substring(body, 1, 512)),
+                                     'no longer exists')
+                         OR contains(lower(substring(body, 1, 512)),
+                                     'does not exist')
+                         OR contains(lower(substring(body, 1, 512)),
+                                     'page you requested could not be found'))
+                    AND length(body) <= 512) AS is_soft404
+            FROM b
         """,
     }

@@ -111,3 +111,41 @@ def sniff_charset(header: Column | None, body_head: Column | None) -> Column:
         meta = F.nullif(F.regexp_extract(body_head, _CHARSET_META, 1), F.lit(""))
         out = meta if out is None else F.coalesce(out, meta)
     return F.lower(F.coalesce(out, F.lit("utf-8")) if out is not None else F.lit("utf-8"))
+
+
+_SOFT404_MARKERS = [
+    "page not found",
+    "404 not found",
+    "no longer exists",
+    "does not exist",
+    "page you requested could not be found",
+]
+
+
+def soft404_flag(
+    status: Column, body: Column, max_chars: int = 512
+) -> Column:
+    """Soft-404 detection: a 2xx response whose body is a short
+    "not found" page (Bar-Yossef et al., "Sic Transit Gloria Telae",
+    WWW'04 — the marker-phrase heuristic layer; the paper's
+    random-probe method needs live fetches and lives in the fetch
+    stage if ever enabled). A soft 404 poisons both the dedup corpus
+    (thousands of identical "not found" bodies) and link statistics,
+    so the gate runs right after fetch, before extraction.
+
+    Pure column expression over (status, body): 2xx AND a marker
+    phrase in the first ``max_chars`` lowercased chars AND a short
+    body. Bounded substring so the scan never walks a 10 MB page —
+    real soft-404 bodies are template stubs.
+    """
+    head = F.lower(F.substring(body, 1, max_chars))
+    marked = None
+    for m in _SOFT404_MARKERS:
+        hit = head.contains(m)
+        marked = hit if marked is None else (marked | hit)
+    return (
+        (status >= 200)
+        & (status < 300)
+        & marked
+        & (F.length(body) <= F.lit(max_chars))
+    )
