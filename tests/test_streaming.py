@@ -245,3 +245,128 @@ def test_commit_batch_replay_is_idempotent(spark, tmp_path):
     os.replace(part, f"{table}/batch5-99999.parquet")
     _commit_batch(df.limit(25), table, batch_id=5)
     assert spark.read.parquet(table).count() == 165
+
+
+def test_throttle_hosts_state_carries_across_batches(spark, tmp_path):
+    """Custom stateful throttle: per-host min spacing enforced WITHIN a
+    micro-batch (sorted ts,url) and ACROSS micro-batches (one-long
+    state); admitted timestamps per host strictly increase."""
+    from datetime import datetime as dt
+
+    from dotnetspider_spark.streaming.politeness import throttle_hosts
+
+    ev_dir = tmp_path / "req"
+    ev_dir.mkdir()
+    t = lambda s: dt.fromisoformat(f"2024-01-01 00:00:{s}")
+    # batch 1: a gets 3 requests 100ms apart with delay=150ms ->
+    # admit @ .000, deny @ .100, admit @ .200 (>= .000+.150... no:
+    # next_allowed after .000 is .150; .100 denied; .200 admitted).
+    _write_events(
+        spark,
+        ev_dir / "f1",
+        [
+            ("a.example", t("00.000"), 200, 10, 5),
+            ("a.example", t("00.100"), 200, 10, 5),
+            ("a.example", t("00.200"), 200, 10, 5),
+            ("b.example", t("00.000"), 200, 10, 5),
+        ],
+        mtime=1_700_000_000,
+    )
+    # batch 2: a @ .300 — next_allowed carried = .350 -> DENIED (the
+    # cross-batch state carry is the point); a @ .400 admitted.
+    _write_events(
+        spark,
+        ev_dir / "f2",
+        [
+            ("a.example", t("00.300"), 200, 10, 5),
+            ("a.example", t("00.400"), 200, 10, 5),
+        ],
+        mtime=1_700_000_100,
+    )
+    from dotnetspider_spark.streaming.metrics import FETCH_EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(FETCH_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ev_dir}/*")
+        .select("host", "url", "ts")
+    )
+    q = (
+        throttle_hosts(stream, delay_ms=150)
+        .writeStream.format("memory")
+        .queryName("throttle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.host, r.ts.isoformat(timespec="milliseconds"), r.admitted)
+        for r in spark.sql("SELECT * FROM throttle").collect()
+    }
+    assert got == {
+        ("a.example", "2024-01-01T00:00:00.000", True),
+        ("a.example", "2024-01-01T00:00:00.100", False),
+        ("a.example", "2024-01-01T00:00:00.200", True),
+        ("a.example", "2024-01-01T00:00:00.300", False),
+        ("a.example", "2024-01-01T00:00:00.400", True),
+        ("b.example", "2024-01-01T00:00:00.000", True),
+    }
+    # admitted per host strictly increasing (the spacing invariant)
+    admits = sorted(
+        r.ts for r in spark.sql("SELECT * FROM throttle").collect()
+        if r.admitted and r.host == "a.example"
+    )
+    deltas = [
+        (b - a).total_seconds() for a, b in zip(admits, admits[1:])
+    ]
+    assert all(d >= 0.150 for d in deltas)
+
+
+def test_stream_request_dedup_drops_within_horizon(spark, tmp_path):
+    """Watermarked streaming dedup: a duplicate identity in a LATER
+    micro-batch within the horizon is dropped; first sighting passes."""
+    from datetime import datetime as dt
+
+    from dotnetspider_spark.streaming.metrics import FETCH_EVENT_SCHEMA
+    from dotnetspider_spark.streaming.politeness import stream_request_dedup
+
+    ev_dir = tmp_path / "reqd"
+    ev_dir.mkdir()
+    t = lambda m: dt.fromisoformat(f"2024-01-01 00:0{m}:00")
+    _write_events(
+        spark,
+        ev_dir / "f1",
+        [("a.example", t(0), 200, 10, 5), ("b.example", t(1), 200, 10, 5)],
+        mtime=1_700_000_000,
+    )
+    # same urls replayed 2 minutes later in a later micro-batch
+    _write_events(
+        spark,
+        ev_dir / "f2",
+        [("a.example", t(3), 200, 10, 5), ("c.example", t(3), 200, 10, 5)],
+        mtime=1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(FETCH_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{ev_dir}/*")
+        .select("host", "ts")
+    )
+    q = (
+        stream_request_dedup(stream, identity_col="host", horizon="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.host, r.ts.isoformat()) for r in spark.sql("SELECT * FROM sdedup").collect()
+    )
+    assert got == [
+        ("a.example", "2024-01-01T00:00:00"),
+        ("b.example", "2024-01-01T00:01:00"),
+        ("c.example", "2024-01-01T00:03:00"),
+    ]
