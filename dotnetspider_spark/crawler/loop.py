@@ -463,10 +463,24 @@ class Checkpointer:
         self.root = root
 
     def save_manifest(self, it: int, state: dict) -> None:
+        payload = {"last_iter": it, "ts": time.time(), **state}
         tmp = f"{self.root}/_MANIFEST.json.tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_iter": it, "ts": time.time(), **state}, f)
+            json.dump(payload, f)
         os.replace(tmp, f"{self.root}/_MANIFEST.json")
+        # append-only versioned twin: one manifest per checkpointed
+        # iteration, never overwritten — the Iceberg snapshot-list
+        # analog. Data parts are themselves append-only (compaction
+        # writes NEW dirs and drops old ones from the CURRENT lists
+        # without deleting files), so any retained manifest remains a
+        # consistent, readable snapshot until crawler.timetravel
+        # .expire_snapshots reclaims it. Bytes are trivial: one small
+        # JSON per iteration vs the iteration's parquet.
+        os.makedirs(f"{self.root}/manifests", exist_ok=True)
+        vtmp = f"{self.root}/manifests/.iter={it}.json.tmp"
+        with open(vtmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(vtmp, f"{self.root}/manifests/iter={it}.json")
 
     def load_manifest(self) -> dict | None:
         try:
