@@ -173,3 +173,91 @@ def test_soft404_flag_gates(spark):
         ).collect()
     }
     assert out == {1: True, 2: False, 3: False, 4: False, 5: False, 6: True}
+
+
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """25 seeded-random cases against the independent reference
+    implementation (pandas.merge_asof, backward + allow_exact_matches):
+    same contract, so outputs must agree row-for-row including
+    no-match NULLs."""
+    import numpy as np
+    import pandas as pd
+
+    from dotnetspider_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(42)
+    for case in range(25):
+        n_l, n_r = rng.integers(1, 40), rng.integers(0, 25)
+        keys = [f"k{i}" for i in range(rng.integers(1, 5))]
+        lpd = pd.DataFrame(
+            {
+                "k": rng.choice(keys, n_l),
+                "ts": pd.to_datetime(rng.integers(0, 1000, n_l), unit="s"),
+                "row_id": np.arange(n_l),
+            }
+        )
+        # engine contract: right unique per (key, ts)
+        rpd = pd.DataFrame(
+            {
+                "k": rng.choice(keys, n_r),
+                "ts": pd.to_datetime(rng.integers(0, 1000, n_r), unit="s"),
+            }
+        ).drop_duplicates(["k", "ts"])
+        rpd["v"] = np.arange(len(rpd))
+        left = spark.createDataFrame(lpd)
+        right = (
+            spark.createDataFrame(rpd)
+            if len(rpd)
+            else spark.createDataFrame([], "k string, ts timestamp, v long")
+        )
+        got = {
+            r["row_id"]: r["v"]
+            for r in asof_join(left, right, key="k", payload=["v"]).collect()
+        }
+        exp_df = pd.merge_asof(
+            lpd.sort_values("ts", kind="stable"),
+            rpd.sort_values("ts", kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        exp = {
+            int(r.row_id): (None if pd.isna(r.v) else int(r.v))
+            for r in exp_df.itertuples()
+        }
+        assert got == exp, f"case {case}: {got} != {exp}"
+
+
+def test_exact_quantiles_matches_numpy_randomized(spark):
+    """20 seeded-random cases (with heavy ties) against the stated
+    definition computed independently: sorted[ceil(p*n)-1]."""
+    import math
+
+    import numpy as np
+
+    from dotnetspider_spark.operators.temporal import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    ps = (0.5, 0.9, 0.99)
+    for case in range(20):
+        n = int(rng.integers(1, 200))
+        groups = rng.choice(["g0", "g1", "g2"], n)
+        # small integer pool -> many exact ties
+        vals = rng.integers(0, 10, n).astype(float)
+        df = spark.createDataFrame(
+            [(g, float(v), i) for i, (g, v) in enumerate(zip(groups, vals))],
+            "host string, value double, event_id int",
+        )
+        out = {
+            r["host"]: r
+            for r in exact_quantiles(
+                df, "host", "value", ps=ps, tie_break="event_id"
+            ).collect()
+        }
+        for g in set(groups):
+            sv = np.sort(vals[groups == g])
+            assert out[g]["n"] == len(sv)
+            for p, name in zip(ps, ("p50", "p90", "p99")):
+                exp = sv[math.ceil(p * len(sv)) - 1]
+                assert out[g][name] == exp, f"case {case} {g} {name}"
