@@ -571,3 +571,69 @@ def test_resolution_dedup_rank_never_ships_payload(spark):
         assert inp and "bytes" not in inp.group(1), b
         checked += 1
     assert checked >= 1
+
+
+def test_asof_join_is_single_shuffle_no_range_join(spark):
+    """asof_join's plan must be the union + window shape: exchanges key
+    on the join key only (no range/theta join — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere), and no
+    single-partition exchange (the window partitions by key)."""
+    from dotnetspider_spark.operators.temporal import asof_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 13).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 13).cast("string").alias("k"),
+        F.timestamp_seconds(F.col("id") * 7).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plan = _plan(asof_join(left, right, key="k", payload=["v"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "SinglePartition" not in plan
+    # the one data exchange keys on the as-of key
+    assert "hashpartitioning(__k" in plan
+
+
+def test_exact_quantiles_has_no_global_sort(spark):
+    """exact_quantiles must rank within groups (hashpartitioning on the
+    group key) and never plan a global sort or single-partition
+    exchange; the counts side joins broadcast."""
+    from dotnetspider_spark.operators.temporal import exact_quantiles
+
+    df = spark.range(10000).select(
+        (F.col("id") % 20).cast("string").alias("host"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    plan = _plan(exact_quantiles(df, "host", "value", tie_break="event_id"))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # global sort's exchange kind
+    assert "hashpartitioning(host" in plan
+    assert "BroadcastHashJoin" in plan  # per-group counts come back tiny
+
+
+def test_tfidf_simjoin_never_ships_text(spark):
+    """The postings self-join shuffles (id, token, weight) triples —
+    the document text column must not appear in any exchange input
+    (ids-only discipline, same gate as the minhash/embedding paths)."""
+    import re
+
+    from dotnetspider_spark.operators.simjoin import tfidf_simjoin
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(tfidf_simjoin(docs, threshold=0.3, max_df=50))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for b in re.split(r"\n\n", plan):
+        if not re.match(r"\(\d+\) Exchange", b):
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert inp is None or "text#" not in inp.group(1), b
