@@ -2683,6 +2683,17 @@ def q_lsh_candidate_eval(spark, sf_dir):
     return lsh_candidate_eval(cands, truth)
 
 
+def q_docs_epoch_shuffle(spark, sf_dir):
+    # deterministic per-epoch shuffle-sharding (operators/curation
+    # .epoch_shuffle): shard + within-shard position as a pure function
+    # of (salt, epoch, id) — reproducible training data order with NO
+    # global sort (hash shard assignment + within-shard rank only).
+    from dotnetspider_spark.operators.curation import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, epoch=1, n_shards=8)
+
+
 def q_soft404_detect(spark, sf_dir):
     # soft-404 gate (functions/content.soft404_flag): 2xx responses
     # whose body is a short "not found" template stub — flagged before
@@ -2841,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_simjoin": q_docs_tfidf_simjoin,
         "lsh_candidate_eval": q_lsh_candidate_eval,
         "soft404_detect": q_soft404_detect,
+        "docs_epoch_shuffle": q_docs_epoch_shuffle,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
@@ -5705,6 +5717,20 @@ def oracle_sql() -> dict[str, str]:
                          / nullif(sum(CASE WHEN is_true THEN 1 ELSE 0 END),
                                   0), 6) AS recall
             FROM j
+        """,
+        "docs_epoch_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5('shuffle|1|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM documents)
+            SELECT doc_id,
+                   CAST(hv % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+                       AS INTEGER) AS pos
+            FROM h
         """,
         "soft404_detect": """
             WITH b AS (

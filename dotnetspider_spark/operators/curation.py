@@ -802,3 +802,48 @@ def epoch_expand(
         F.pmod(h, F.lit(1_000_000)) < F.col("__frac_thr")
     ).select(id_col, source_col, F.col("__full").alias("epoch_index"))
     return full.unionByName(frac)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle as shard + position:
+    every epoch the corpus gets a fresh pseudo-random order that is a
+    pure FUNCTION of (salt, epoch, id) — reproducible across runs,
+    partitionings and engines, which is what makes training runs
+    resumable and data-order bugs bisectable (the property tf.data /
+    webdataset shard shuffling provides; no engine RNG involved).
+
+    Returns (id, shard, pos): consume shard files in shard order,
+    rows within a shard in pos order, and the concatenation IS the
+    epoch's permutation.
+
+    Shape: NO global sort (a rangepartitioning sort over 10^10 rows is
+    the exact thing shard-based shuffling exists to avoid) — the hash
+    assigns each row a shard (one hash shuffle), and pos ranks within
+    the shard only. Shards are hash-balanced, so pick n_shards to make
+    a shard a task-sized unit; the within-shard window never sees more
+    than corpus/n_shards rows. The md5-based portable hash
+    (textdedup._hash64) makes the permutation DuckDB-verifiable."""
+    from .textdedup import _hash64
+
+    h = _hash64(
+        F.concat(
+            F.lit(f"{salt}|{epoch}|"), F.col(id_col).cast("string")
+        )
+    )
+    assigned = docs.select(
+        F.col(id_col),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("__h"),
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return assigned.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).alias("pos"),
+    )

@@ -459,3 +459,27 @@ def test_top_p_by_score_tie_breaks_on_id(spark):
         for r in top_p_by_score(df, "source", "score", top_p=0.5).collect()
     }
     assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
+    from dotnetspider_spark.operators.curation import epoch_shuffle
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    e0 = epoch_shuffle(docs, epoch=0, n_shards=4).collect()
+    # every doc exactly once; positions dense 0..k-1 per shard
+    assert sorted(r.doc_id for r in e0) == list(range(200))
+    per = {}
+    for r in e0:
+        per.setdefault(r.shard, []).append(r.pos)
+    assert set(per) <= set(range(4))
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # deterministic: same epoch -> identical assignment
+    again = epoch_shuffle(docs, epoch=0, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in e0} == {
+        (r.doc_id, r.shard, r.pos) for r in again
+    }
+    # different epoch -> a different permutation
+    e1 = {(r.doc_id, r.shard, r.pos) for r in
+          epoch_shuffle(docs, epoch=1, n_shards=4).collect()}
+    assert e1 != {(r.doc_id, r.shard, r.pos) for r in e0}
