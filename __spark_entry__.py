@@ -1423,6 +1423,38 @@ def q_robots_parse(spark, sf_dir):
     return robots_rules_table(docs)
 
 
+def q_robots_sitemap_discovery(spark, sf_dir):
+    # Sitemap: directive discovery from robots.txt (sitemaps.org
+    # protocol; RFC 9309 "other records" — group-independent). Pure
+    # JVM-side regexp_extract_all, no Python crossing. The fixture
+    # exercises: mixed case + leading whitespace, comment tails,
+    # multiple directives per file, a relative URL (dropped), and a
+    # directive inside an agent group (still honored).
+    from dotnetspider_spark.functions.robots import robots_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    i = F.col("doc_id").cast("string")
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("\nUser-agent: *\nDisallow: /q\n  sitemap: http://host"),
+            i, F.lit(".example/deep.xml  # in-group"),
+        ),
+    ).otherwise(F.lit(""))
+    bad = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("\nSitemap: /relative-invalid.xml")
+    ).otherwise(F.lit(""))
+    docs = d.select(
+        F.concat(F.lit("host"), i, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("# robots\nSiteMap: http://host"), i,
+            F.lit(".example/map-a.xml\n"),
+            extra, bad,
+        ).alias("robots_txt"),
+    )
+    return robots_sitemaps(docs)
+
+
 def q_docs_line_dedup(spark, sf_dir):
     # C4 corpus-level duplicate-line removal (Raffel et al. 2020): any
     # line occurring >=3 times anywhere in the corpus is discarded from
@@ -2778,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm": q_embedding_norm,
         "ann_cosine_topk": q_ann_cosine_topk,
         "curation_pipeline": q_curation_pipeline,
+        "robots_sitemap_discovery": q_robots_sitemap_discovery,
         # --- below the driver's 50-entry window (still oracle-backed,
         # verified by tools/check_correctness.py every round) ---
         "url_host_extract": q_url_host_extract,
@@ -3966,6 +3999,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT host, '/x', FALSE, d * 1000
             FROM h WHERE NOT has_ds AND has_wild
+        """,
+        "robots_sitemap_discovery": """
+            WITH h AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id AS VARCHAR) || '.example' AS host
+                FROM documents WHERE doc_id < 300)
+            SELECT host,
+                   'http://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/map-a.xml' AS sitemap_url
+            FROM h
+            UNION ALL
+            SELECT host,
+                   'http://host' || CAST(doc_id AS VARCHAR)
+                       || '.example/deep.xml' AS sitemap_url
+            FROM h WHERE doc_id % 3 = 0
         """,
         "docs_line_dedup": """
             WITH d AS (

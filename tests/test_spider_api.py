@@ -147,6 +147,34 @@ def test_robots_rules_table(spark):
     assert len(h2) == 1 and h2[0].path_prefix == "/x/" and not h2[0].allow
 
 
+def test_robots_sitemaps(spark):
+    from dotnetspider_spark.functions.robots import robots_sitemaps
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "h1.example",
+                "# robots\nSiteMap: http://h1.example/a.xml\n"
+                "User-agent: *\nDisallow: /q\n"
+                "  sitemap: https://h1.example/b.xml\t # comment tail\n"
+                "Sitemap: /relative.xml\n"
+                "Sitemap:\n"
+                "NotASitemap: http://h1.example/no.xml",
+            ),
+            ("h2.example", "User-agent: *\nDisallow: /x/"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = robots_sitemaps(docs).collect()
+    got = sorted((r.host, r.sitemap_url) for r in rows)
+    # mixed case + in-group + comment-tail strip all honored; relative,
+    # empty, and non-sitemap keys dropped; h2 contributes nothing
+    assert got == [
+        ("h1.example", "http://h1.example/a.xml"),
+        ("h1.example", "https://h1.example/b.xml"),
+    ]
+
+
 def test_content_handlers(spark):
     df = spark.createDataFrame(
         [("<html><script>var x=1;</script><b>Hello</b> <i>world</i> BLOCKED</html>",)],
