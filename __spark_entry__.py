@@ -1455,6 +1455,42 @@ def q_robots_sitemap_discovery(spark, sf_dir):
     return robots_sitemaps(docs)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    # WARC writer -> reader round-trip (sinks/warc.py + sources/warc.py):
+    # pages synthesized from documents are archived as gzipped WARC/1.0
+    # shards and read back; the oracle states the identity directly. The
+    # whole container format (record framing, Content-Length slicing,
+    # gzip) sits between the two sides, so a green row pins the writer
+    # byte-compatibility with the reader.
+    import tempfile
+
+    from dotnetspider_spark.sinks.warc import write_warc
+    from dotnetspider_spark.sources.warc import read_warc
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.when(F.col("doc_id") % 11 == 0, 404)
+        .otherwise(200)
+        .cast("int")
+        .alias("http_status"),
+        F.lit("text/html").alias("http_content_type"),
+        F.encode(F.col("text"), "utf-8").alias("body"),
+    )
+    out = tempfile.mkdtemp(prefix="warc-rt-")
+    write_warc(pages, out, n_shards=8)
+    return read_warc(spark, f"{out}/crawl-*.warc.gz").select(
+        "url",
+        "http_status",
+        "http_content_type",
+        F.decode(F.col("body"), "utf-8").alias("body_text"),
+    )
+
+
 def q_docs_line_dedup(spark, sf_dir):
     # C4 corpus-level duplicate-line removal (Raffel et al. 2020): any
     # line occurring >=3 times anywhere in the corpus is discarded from
@@ -2811,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "curation_pipeline": q_curation_pipeline,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "warc_roundtrip": q_warc_roundtrip,
         # --- below the driver's 50-entry window (still oracle-backed,
         # verified by tools/check_correctness.py every round) ---
         "url_host_extract": q_url_host_extract,
@@ -4014,6 +4051,15 @@ def oracle_sql() -> dict[str, str]:
                    'http://host' || CAST(doc_id AS VARCHAR)
                        || '.example/deep.xml' AS sitemap_url
             FROM h WHERE doc_id % 3 = 0
+        """,
+        "warc_roundtrip": """
+            SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END
+                        AS INTEGER) AS http_status,
+                   'text/html' AS http_content_type,
+                   text AS body_text
+            FROM documents WHERE doc_id < 500
         """,
         "docs_line_dedup": """
             WITH d AS (

@@ -42,26 +42,40 @@ WARC_SCHEMA = (
 _CRLF = b"\r\n"
 
 
+def format_warc_record(
+    url: str, date: str, status: int, content_type: str, body: bytes
+) -> bytes:
+    """One WARC/1.0 ``response`` record with an embedded HTTP/1.1
+    response (pure function — shared by the test-fixture builder and
+    the :mod:`..sinks.warc` writer so written archives are readable by
+    :func:`split_warc_records` byte-for-byte)."""
+    http = (
+        f"HTTP/1.1 {status} X\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + _CRLF + _CRLF
+
+
 def build_warc(records: list[dict]) -> bytes:
     """Synthesize a minimal valid WARC/1.0 byte stream (test fixture
     builder — deterministic, no external data). Each record dict:
     ``{url, date, status, content_type, body: bytes}``."""
     out = io.BytesIO()
     for r in records:
-        http = (
-            f"HTTP/1.1 {r['status']} X\r\n"
-            f"Content-Type: {r['content_type']}\r\n"
-            f"Content-Length: {len(r['body'])}\r\n\r\n"
-        ).encode() + r["body"]
-        head = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {r['url']}\r\n"
-            f"WARC-Date: {r['date']}\r\n"
-            "Content-Type: application/http;msgtype=response\r\n"
-            f"Content-Length: {len(http)}\r\n\r\n"
-        ).encode()
-        out.write(head + http + _CRLF + _CRLF)
+        out.write(
+            format_warc_record(
+                r["url"], r["date"], r["status"], r["content_type"], r["body"]
+            )
+        )
     return out.getvalue()
 
 

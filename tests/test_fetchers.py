@@ -560,6 +560,55 @@ def test_read_warc_dataframe(spark, tmp_path):
     assert all(r.record_content_type == "application/http;msgtype=response" for r in rows)
 
 
+def test_write_warc_roundtrip_and_determinism(spark, tmp_path):
+    from dotnetspider_spark.sinks.warc import write_warc
+    from dotnetspider_spark.sources.warc import read_warc
+
+    pages = spark.createDataFrame(
+        [
+            (
+                f"http://h{i % 3}.example/p/{i}",
+                "2024-01-01T00:00:00Z",
+                200 if i % 5 else 404,
+                "text/html",
+                f"<html>page {i} WARC/1.0 inside body</html>".encode(),
+            )
+            for i in range(40)
+        ],
+        "url string, warc_date string, http_status int, "
+        "http_content_type string, body binary",
+    )
+    out = tmp_path / "archive"
+    manifest = write_warc(pages, str(out), n_shards=4).collect()
+    assert {m.shard for m in manifest} == {0, 1, 2, 3}
+    assert sum(m.n_records for m in manifest) == 40
+
+    back = read_warc(spark, f"{out}/crawl-*.warc.gz").collect()
+    assert len(back) == 40
+    want = {
+        (r.url, r.http_status, r.http_content_type, bytes(r.body))
+        for r in pages.collect()
+    }
+    got = {
+        (r.url, r.http_status, r.http_content_type, bytes(r.body))
+        for r in back
+    }
+    # round-trip exact, including the body that embeds 'WARC/1.0' bytes
+    assert got == want
+
+    # byte-determinism: a re-run produces identical shard bytes
+    first = {m.warc_path: open(m.warc_path, "rb").read() for m in manifest}
+    write_warc(pages, str(out), n_shards=4).collect()
+    for p, data in first.items():
+        assert open(p, "rb").read() == data
+
+    # URI paths fail fast (executor-local writes would scatter shards)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_warc(pages, "s3://bucket/archive", n_shards=2)
+
+
 # ---------------------------------------------------------------------------
 # Urllib3Transport — the production transport factory (§2.5), driven
 # through an injected PoolManager-shaped fake (no network, no
