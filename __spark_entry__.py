@@ -1867,6 +1867,92 @@ def q_image_pipeline(spark, sf_dir):
     return canon.select("image_id", "phash")
 
 
+def q_clip_score_filter(spark, sf_dir):
+    # CLIP-score image-caption alignment (multimodal.clip_score — the
+    # model stage LAION/DataComp add on top of the structural screen;
+    # deterministic color-anchor stand-in for the learned encoder). The
+    # pair table carries REAL encoded bytes synthesized from documents:
+    # doc_id%3==0 -> solid image in the caption's color (cosine 1.0),
+    # ==1 -> solid image but the caption names the NEXT color (0.0),
+    # ==2 -> half/half two colors, caption names the first (1/sqrt(2)).
+    # The engine path actually encodes, decodes, and measures pixels
+    # through the map-only mapInPandas stage; the oracle replays the
+    # closed-form scores, so a regression anywhere in the codec, the
+    # anchor projection, or the cosine flips the hash.
+    from dotnetspider_spark.operators.multimodal import clip_score
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dotnetspider_spark.codec.png import encode_fakejpeg, encode_png
+        from dotnetspider_spark.operators.multimodal import COLOR_ANCHORS
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                c = doc_id % 8
+                c2 = (c + 1) % 8
+                px = np.zeros((10, 12, 3), np.uint8)
+                px[:, :] = COLOR_ANCHORS[c][1]
+                if doc_id % 3 == 2:
+                    px[5:, :] = COLOR_ANCHORS[c2][1]
+                word = COLOR_ANCHORS[c2 if doc_id % 3 == 1 else c][0]
+                fmt = "jpeg" if doc_id % 5 == 0 else "png"
+                data = (
+                    encode_fakejpeg(px, 90) if fmt == "jpeg" else encode_png(px)
+                )
+                rows.append(
+                    (str(doc_id), data, 12, 10, fmt, f"a {word} test card")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption"],
+            )
+
+    pairs = d.select("doc_id").mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, caption string",
+    )
+    return clip_score(pairs, threshold=0.5).select(
+        "image_id",
+        F.round("clip_score", 6).alias("clip_score"),
+        "keep",
+    )
+
+
+def q_pair_dedup_cross_modal(spark, sf_dir):
+    # Cross-modal pair dedup (images.cross_modal_dedup): phash near-dup
+    # edges (planted hamming-2 partners, banded join) UNION caption-
+    # duplicate star edges (planted groups of 3) -> one connected-
+    # components pass -> keep min-id per cluster. The planted groups
+    # overlap (pairs by 2, captions by 3), so clusters span BOTH
+    # relations — a two-sequential-dedup pipeline would split them.
+    # Oracle replays the union graph with a recursive CTE.
+    from dotnetspider_spark.operators.images import cross_modal_dedup
+    from dotnetspider_spark.operators.textdedup import _hash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    base = _hash64(
+        F.concat(
+            F.lit("ph|"), F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+        )
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.when(F.col("doc_id") % 2 == 1, base.bitwiseXOR(F.lit(5)))
+        .otherwise(base)
+        .alias("phash"),
+        F.concat(
+            F.lit("cap "), F.floor(F.col("doc_id") / 3).cast("long").cast("string")
+        ).alias("caption"),
+    )
+    return cross_modal_dedup(pairs).select("image_id", "phash")
+
+
 def q_anchor_text_top(spark, sf_dir):
     # anchor-text aggregation (retrieval.anchor_text_agg): link rows
     # synthesized from documents (each doc links to page doc_id % 40
@@ -2880,6 +2966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_pairs": q_phash_neardup_pairs,
         "domain_quota": q_domain_quota,
         "image_pipeline": q_image_pipeline,
+        "clip_score_filter": q_clip_score_filter,
+        "pair_dedup_cross_modal": q_pair_dedup_cross_modal,
         "docs_bm25_topk": q_docs_bm25_topk,
         "host_reputation": q_host_reputation,
         "docs_boilerplate_strip": q_docs_boilerplate_strip,
@@ -3682,6 +3770,55 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a AS id, least(a, min(b)) AS component
                 FROM reach GROUP BY a)
             SELECT image_id, ph AS phash FROM kept
+            WHERE image_id NOT IN
+                  (SELECT id FROM lab WHERE id <> component)
+        """,
+        "clip_score_filter": """
+            -- closed-form replay of the color-anchor CLIP stand-in: the
+            -- engine encodes/decodes real pixels; by construction class
+            -- 0 scores exactly 1, class 1 exactly 0, class 2 1/sqrt(2)
+            SELECT CAST(doc_id AS VARCHAR) AS image_id,
+                   CAST(CASE doc_id % 3
+                        WHEN 0 THEN 1.0
+                        WHEN 1 THEN 0.0
+                        ELSE ROUND(1.0 / SQRT(2.0), 6) END AS DOUBLE)
+                       AS clip_score,
+                   doc_id % 3 <> 1 AS keep
+            FROM documents WHERE doc_id < 240
+        """,
+        "pair_dedup_cross_modal": """
+            WITH RECURSIVE p AS (
+                SELECT doc_id AS image_id,
+                       CASE WHEN doc_id % 2 = 1 THEN xor(base, 5)
+                            ELSE base END AS ph,
+                       'cap ' || CAST(doc_id // 3 AS VARCHAR) AS cap
+                FROM (SELECT doc_id,
+                             CAST(concat('0x', substr(md5(
+                                 'ph|' || CAST(doc_id // 2 AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS base
+                      FROM documents WHERE doc_id < 600)),
+            e1 AS (
+                SELECT a.image_id AS ia, b.image_id AS ib
+                FROM p a JOIN p b
+                  ON a.image_id < b.image_id
+                 AND bit_count(xor(a.ph, b.ph)) <= 4),
+            e2 AS (
+                SELECT m.ia, q.image_id AS ib
+                FROM p q JOIN (SELECT cap, min(image_id) AS ia
+                               FROM p GROUP BY cap) m
+                  ON q.cap = m.cap AND q.image_id <> m.ia),
+            edges AS (SELECT ia, ib FROM e1 UNION SELECT ia, ib FROM e2),
+            sym AS (
+                SELECT ia AS a, ib AS b FROM edges
+                UNION SELECT ib, ia FROM edges),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS component
+                FROM reach GROUP BY a)
+            SELECT image_id, ph AS phash FROM p
             WHERE image_id NOT IN
                   (SELECT id FROM lab WHERE id <> component)
         """,

@@ -461,3 +461,55 @@ def resolution_dedup(
         )
         .drop("__rn")
     )
+
+
+def cross_modal_dedup(
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Pair-level dedup across BOTH modalities: two image-caption pairs
+    are duplicates when their images are phash-near (Hamming <=
+    ``max_hamming``, banded join — :func:`validate.phash_near_duplicates`)
+    OR their normalized captions are identical. Both edge sets union
+    into one graph; connected components keep the minimum-id pair per
+    cluster (LAION-5B dedups on URL+phash, DataComp on image content
+    regardless of caption — this is the conjunction a pipeline running
+    both ends up with, done in ONE component pass instead of two
+    sequential dedups that can split a cluster).
+
+    Scale shape: caption edges are the STAR form (group-min id ->
+    member), so a boilerplate caption shared by 10^6 pairs contributes
+    10^6-1 edges, not 10^12 — same skew discipline as the banded phash
+    side. The caption group key is ``md5(normalize_text(caption))``
+    (128-bit: at 10^10 pairs a 64-bit key would already expect birthday
+    collisions), so exchanges carry ids + fixed-width digests only —
+    caption text and image bytes never shuffle; the survivor set
+    anti-joins back by id.
+    """
+    from .curation import normalize_text
+    from .graph import dedup_keep_canonical
+    from .validate import phash_near_duplicates
+
+    img_edges = phash_near_duplicates(
+        pairs.select(id_col, phash_col),
+        max_hamming=max_hamming,
+        id_col=id_col,
+        phash_col=phash_col,
+    ).select("id_a", "id_b")
+
+    keys = pairs.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(caption_col))).alias("__cap"),
+    )
+    grp = keys.groupBy("__cap").agg(F.min(id_col).alias("id_a"))
+    cap_edges = (
+        keys.join(grp, "__cap")
+        .filter(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+
+    edges = img_edges.unionByName(cap_edges)
+    return dedup_keep_canonical(pairs, edges, id_col=id_col)

@@ -296,3 +296,112 @@ def image_quality(
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, IMAGE_QUALITY_SCHEMA
     )
+
+
+# ------------------------------------------------ image-text alignment
+
+#: Fixed color anchors for the deterministic joint-embedding stand-in:
+#: the 8 corners of the RGB cube, named by their everyday color words.
+COLOR_ANCHORS: tuple[tuple[str, tuple[int, int, int]], ...] = (
+    ("red", (255, 0, 0)),
+    ("green", (0, 255, 0)),
+    ("blue", (0, 0, 255)),
+    ("yellow", (255, 255, 0)),
+    ("cyan", (0, 255, 255)),
+    ("magenta", (255, 0, 255)),
+    ("white", (255, 255, 255)),
+    ("black", (0, 0, 0)),
+)
+
+_ANCHOR_RGB = np.array([c for _, c in COLOR_ANCHORS], np.float64)  # (8, 3)
+_ANCHOR_WORDS = {w: i for i, (w, _) in enumerate(COLOR_ANCHORS)}
+
+
+def image_anchor_vec(px: np.ndarray) -> np.ndarray:
+    """uint8 (h, w, 3) -> L2-normalized fraction of pixels nearest each
+    color anchor (ties break to the lower anchor index)."""
+    flat = px.reshape(-1, 3).astype(np.float64)
+    # (n, 8) squared distances to the anchors; argmin per pixel
+    d2 = ((flat[:, None, :] - _ANCHOR_RGB[None, :, :]) ** 2).sum(axis=2)
+    frac = np.bincount(d2.argmin(axis=1), minlength=len(COLOR_ANCHORS))
+    v = frac.astype(np.float64)
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def caption_anchor_vec(caption: str) -> np.ndarray:
+    """Caption -> L2-normalized color-word token counts in the SAME
+    anchor basis (zero vector when no anchor word appears)."""
+    v = np.zeros(len(COLOR_ANCHORS), np.float64)
+    for tok in caption.lower().split():
+        i = _ANCHOR_WORDS.get(tok.strip(".,;:!?()[]\"'"))
+        if i is not None:
+            v[i] += 1.0
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+def clip_score_py(data: bytes, fmt: str, caption: str) -> float:
+    """Pure-Python reference scorer (tests pin :func:`clip_score`
+    against it row for row). Cosine of the two anchor vectors; 0.0 when
+    either side is the zero vector."""
+    from dotnetspider_spark.codec.png import decode_image
+
+    return float(
+        image_anchor_vec(decode_image(data, fmt)) @ caption_anchor_vec(caption)
+    )
+
+
+def clip_score(pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """CLIP-style image-caption alignment score + keep verdict — the
+    model stage :func:`curation.image_caption_screen` documents as out
+    of scope for its structural gates (LAION, Schuhmann et al. 2021,
+    keeps pairs with CLIP cosine >= 0.28; DataComp varies the bar).
+
+    The sandbox ships no learned encoder, so the joint embedding is a
+    DETERMINISTIC STAND-IN (documented, like the FJPG/FVID codecs): both
+    modalities project onto the fixed :data:`COLOR_ANCHORS` basis —
+    image side = nearest-anchor pixel fractions over the DECODED pixels,
+    caption side = anchor-word token counts — and the score is their
+    cosine. A production deployment swaps the two ``*_anchor_vec``
+    calls for model encoders inside the SAME ``mapInPandas`` stage; the
+    Spark plumbing (Arrow batch iteration, full-row pass-through, no
+    shuffle, fail-closed undecodable handling) is what this operator
+    pins.
+
+    Output = input columns (bytes included, so downstream stages keep
+    streaming map-side) + ``clip_score double`` + ``decodable boolean``
+    + ``keep boolean`` (score >= threshold AND decodable — fail-closed
+    like validate_payloads). Map-only: no exchange at any scale.
+    """
+    in_cols = list(pairs.columns)
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in pairs.schema.fields]
+        + ["clip_score double", "decodable boolean", "keep boolean"]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import decode_image
+
+        for pdf in batches:
+            scores, dec = [], []
+            for data, fmt, caption in zip(pdf["bytes"], pdf["fmt"], pdf["caption"]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except (NotImplementedError, ValueError):
+                    scores.append(0.0)
+                    dec.append(False)
+                    continue
+                scores.append(
+                    float(image_anchor_vec(px) @ caption_anchor_vec(str(caption)))
+                )
+                dec.append(True)
+            out = pdf.copy()
+            out["clip_score"] = scores
+            out["decodable"] = dec
+            out["keep"] = [s >= threshold and d for s, d in zip(scores, dec)]
+            yield out
+
+    return pairs.mapInPandas(run, out_schema).select(
+        *in_cols, "clip_score", "decodable", "keep"
+    )

@@ -287,3 +287,43 @@ def test_resolution_dedup_keeps_largest_and_caps_degenerate(spark):
     for i in range(12):
         assert out[100 + i].keep and out[100 + i].degenerate
     assert not out[2].degenerate
+
+
+def test_cross_modal_dedup_unions_both_edge_sets(spark):
+    """A cluster chained through BOTH relations collapses to one
+    survivor: phash pairs (0,1)(2,3)(4,5) + caption groups {0,1,2} and
+    {3,4,5} connect 0..5 into a single component; 6 is isolated."""
+    from dotnetspider_spark.operators.images import cross_modal_dedup
+
+    rows = [
+        (0, 0x0, "cap A"), (1, 0x3, "cap A"), (2, 0xFF, "cap A"),
+        (3, 0xFC, "cap B"), (4, 0xFF00, "cap B"), (5, 0xFF03, "cap B"),
+        (6, 0xFFFF0000, "unique caption"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string"
+    )
+    kept = sorted(
+        r.image_id for r in cross_modal_dedup(df, max_hamming=4).collect()
+    )
+    assert kept == [0, 6]
+
+
+def test_cross_modal_dedup_caption_only_and_phash_only(spark):
+    """Each relation alone also dedups: same caption with far phashes,
+    near phashes with distinct captions."""
+    from dotnetspider_spark.operators.images import cross_modal_dedup
+
+    rows = [
+        (10, 0x0, "Same, Caption!"), (11, 0xFFFF, "same caption"),
+        (20, 0xF0F0, "left"), (21, 0xF0F3, "right"),
+        (30, 0x0F0F0F0F0F, "alone"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string"
+    )
+    kept = sorted(
+        r.image_id for r in cross_modal_dedup(df, max_hamming=4).collect()
+    )
+    # 11 falls to 10 via normalized caption; 21 falls to 20 via phash
+    assert kept == [10, 20, 30]

@@ -637,3 +637,21 @@ def test_tfidf_simjoin_never_ships_text(spark):
             continue
         inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
         assert inp is None or "text#" not in inp.group(1), b
+
+
+def test_clip_score_is_map_only_no_exchange(spark):
+    """clip_score is a pure mapInPandas pass-through: a single Python
+    stage over the scan, no exchange of MB-scale payload rows at any
+    cardinality."""
+    from dotnetspider_spark.operators.multimodal import clip_score
+
+    pairs = spark.range(64).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.lit(b"\x00").alias("bytes"),
+        F.lit(8).alias("w"), F.lit(8).alias("h"),
+        F.lit("png").alias("fmt"),
+        F.lit("a red test card").alias("caption"),
+    )
+    plan = _plan(clip_score(pairs))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 1  # one stage (tree line)
