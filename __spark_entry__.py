@@ -904,6 +904,18 @@ def q_image_quality_screen(spark, sf_dir):
     return image_quality(c)
 
 
+def q_image_augment(spark, sf_dir):
+    # seeded train-time augmentation: crop/flip/resize drawn purely from
+    # (seed, image_id) so shards are byte-stable across partitionings
+    # and resumes (rows-only: pandas-UDF codec + seeded Generator)
+    from dotnetspider_spark.operators.multimodal import augment_images
+
+    c = _tiny_corpus(spark).select("image_id", "bytes", "fmt")
+    return augment_images(c, 16, 16, seed=1).select(
+        "image_id", "w", "h", "fmt", "crop_x", "crop_y", "flipped"
+    )
+
+
 def q_image_dedup_canonical(spark, sf_dir):
     # image dedup tail: phash near-dup pairs -> connected components ->
     # keep the min-id image per duplicate cluster (rows-only: phash comes
@@ -3021,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_keep": q_image_dedup_keep,
         "image_dedup_canonical": q_image_dedup_canonical,
         "image_quality_screen": q_image_quality_screen,
+        "image_augment": q_image_augment,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_merge_sequence": q_bpe_merge_sequence,

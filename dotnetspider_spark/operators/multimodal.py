@@ -405,3 +405,87 @@ def clip_score(pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return pairs.mapInPandas(run, out_schema).select(
         *in_cols, "clip_score", "decodable", "keep"
     )
+
+
+# -------------------------------------------------- train augmentation
+
+AUGMENT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "crop_x int, crop_y int, flipped boolean"
+)
+
+
+def _aug_params(image_id: str, seed: int, h: int, w: int, min_crop: float):
+    """Deterministic per-image augmentation draw: a seeded Generator
+    keyed on (seed, image_id-hash) — reproducible across executors,
+    partitionings, and reruns, which is what makes augmented corpora
+    resumable and their shards byte-stable."""
+    key = int.from_bytes(
+        __import__("hashlib").md5(
+            f"aug|{seed}|{image_id}".encode()
+        ).digest()[:8],
+        "big",
+    )
+    rng = np.random.default_rng(key)
+    ch = max(1, int(round(h * (min_crop + (1 - min_crop) * rng.random()))))
+    cw = max(1, int(round(w * (min_crop + (1 - min_crop) * rng.random()))))
+    cy = int(rng.integers(0, h - ch + 1))
+    cx = int(rng.integers(0, w - cw + 1))
+    flip = bool(rng.random() < 0.5)
+    return cx, cy, cw, ch, flip
+
+
+def augment_images(
+    images: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    seed: int = 0,
+    min_crop: float = 0.8,
+) -> DataFrame:
+    """Training-time image augmentation as a corpus-prep stage: seeded
+    random crop (>= ``min_crop`` of each side) + horizontal flip (p=0.5)
+    + nearest resize to the training resolution, re-encoded PNG.
+
+    The draw is a pure function of ``(seed, image_id)`` (see
+    :func:`_aug_params`), NOT of partition or task order — rerunning the
+    job, changing parallelism, or resuming from checkpoint yields
+    byte-identical shards, and epoch k is ``seed=k``. Emits the applied
+    ``crop_x/crop_y/flipped`` audit columns so a sample's provenance is
+    reconstructable. Map-only mapInPandas, same batch-shape discipline
+    as :func:`resize_images`; undecodable rows are dropped (the
+    validate/screen stages upstream are where fail-closed accounting
+    lives)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dotnetspider_spark.codec.png import decode_image, encode_png
+
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(data), fmt)
+                except (NotImplementedError, ValueError):
+                    continue
+                h, w, _ = px.shape
+                cx, cy, cw, ch, flip = _aug_params(
+                    str(image_id), seed, h, w, min_crop
+                )
+                out = px[cy : cy + ch, cx : cx + cw]
+                if flip:
+                    out = out[:, ::-1]
+                yi = (np.arange(target_h) * ch // target_h).clip(0, ch - 1)
+                xi = (np.arange(target_w) * cw // target_w).clip(0, cw - 1)
+                out = np.ascontiguousarray(out[np.ix_(yi, xi)])
+                rows.append(
+                    (image_id, encode_png(out), target_w, target_h, "png",
+                     cx, cy, flip)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt",
+                         "crop_x", "crop_y", "flipped"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, AUGMENT_SCHEMA
+    )

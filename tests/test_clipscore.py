@@ -96,3 +96,70 @@ def test_clip_score_agrees_with_pure_python_reference(spark):
         assert got[image_id] == pytest.approx(
             clip_score_py(data, fmt, cap), abs=1e-12
         )
+
+
+# ---------------------------------------------------- augment_images
+
+
+def _corpus_rows(n=12, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        px = rng.integers(0, 256, (16 + i % 9, 14 + i % 11, 3), dtype=np.uint8)
+        rows.append((f"img{i}", encode_png(px), px.shape[1], px.shape[0],
+                     "png", "x"))
+    return rows
+
+
+def test_augment_images_deterministic_and_partition_invariant(spark):
+    from dotnetspider_spark.operators.multimodal import augment_images
+
+    rows = _corpus_rows()
+    df1 = spark.createDataFrame(rows, PAIRS_SCHEMA).repartition(1)
+    df4 = spark.createDataFrame(list(reversed(rows)), PAIRS_SCHEMA).repartition(4)
+    a = {r.image_id: r for r in augment_images(df1, 8, 8, seed=5).collect()}
+    b = {r.image_id: r for r in augment_images(df4, 8, 8, seed=5).collect()}
+    assert set(a) == set(b) == {r[0] for r in rows}
+    for k in a:  # byte-identical across partitioning and input order
+        assert bytes(a[k].bytes) == bytes(b[k].bytes)
+        assert (a[k].crop_x, a[k].crop_y, a[k].flipped) == (
+            b[k].crop_x, b[k].crop_y, b[k].flipped)
+        assert (a[k].w, a[k].h, a[k].fmt) == (8, 8, "png")
+
+
+def test_augment_images_seed_changes_draw_and_matches_reference(spark):
+    from dotnetspider_spark.codec.png import decode_image
+    from dotnetspider_spark.operators.multimodal import (
+        _aug_params,
+        augment_images,
+    )
+
+    rows = _corpus_rows(n=8)
+    df = spark.createDataFrame(rows, PAIRS_SCHEMA)
+    s5 = {r.image_id: r for r in augment_images(df, 8, 8, seed=5).collect()}
+    s6 = {r.image_id: r for r in augment_images(df, 8, 8, seed=6).collect()}
+    assert any(
+        bytes(s5[k].bytes) != bytes(s6[k].bytes) for k in s5
+    )  # epoch seed actually varies the draw
+    # replay one row's crop/flip/resize in pure numpy
+    image_id, data, w, h, fmt, _cap = rows[0]
+    px = decode_image(data, fmt)
+    cx, cy, cw, ch, flip = _aug_params(image_id, 5, px.shape[0], px.shape[1], 0.8)
+    out = px[cy : cy + ch, cx : cx + cw]
+    if flip:
+        out = out[:, ::-1]
+    yi = (np.arange(8) * ch // 8).clip(0, ch - 1)
+    xi = (np.arange(8) * cw // 8).clip(0, cw - 1)
+    expect = out[np.ix_(yi, xi)]
+    got = decode_image(bytes(s5[image_id].bytes), "png")
+    assert np.array_equal(got, expect)
+
+
+def test_augment_images_drops_undecodable(spark):
+    from dotnetspider_spark.operators.multimodal import augment_images
+
+    rows = _corpus_rows(n=3) + [("bad", b"nope", 4, 4, "png", "x")]
+    out = augment_images(
+        spark.createDataFrame(rows, PAIRS_SCHEMA), 8, 8
+    ).collect()
+    assert sorted(r.image_id for r in out) == ["img0", "img1", "img2"]
