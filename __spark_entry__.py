@@ -1401,9 +1401,10 @@ def q_revisit_schedule(spark, sf_dir):
 def q_robots_parse(spark, sf_dir):
     # robots.txt PARSER (functions/robots.py) oracle-checked: per-host
     # robots documents are synthesized deterministically with a foreign
-    # googlebot group, a '*' group (disallow + allow + wildcard-allow
-    # that must be DROPPED + crawl-delay, plus a wildcard disallow that
-    # must be TRUNCATED on every 5th host), and an exact-agent
+    # googlebot group, a '*' group (disallow + allow + a wildcard allow
+    # kept as a PATTERN rule + crawl-delay, plus a '$'-anchored wildcard
+    # disallow on every 5th host — both carried intact with their
+    # anchored regex in path_re, RFC 9309 §2.2.3), and an exact-agent
     # 'dotnetspider' group on every 4th host that must override '*'.
     # The oracle states the expected rule rows from the same arithmetic.
     from dotnetspider_spark.functions.robots import robots_rules_table
@@ -4175,16 +4176,20 @@ def oracle_sql() -> dict[str, str]:
                        doc_id % 5 = 0 AS has_wild
                 FROM documents WHERE doc_id < 200)
             SELECT host, '/ds' || b AS path_prefix, FALSE AS allow,
-                   CAST(NULL AS INTEGER) AS crawl_delay_ms
+                   CAST(NULL AS INTEGER) AS crawl_delay_ms,
+                   CAST(NULL AS VARCHAR) AS path_re
             FROM h WHERE has_ds
             UNION ALL
-            SELECT host, '/p' || a, FALSE, d * 1000
+            SELECT host, '/p' || a, FALSE, d * 1000, NULL
             FROM h WHERE NOT has_ds
             UNION ALL
-            SELECT host, '/p' || a || '/ok', TRUE, d * 1000
+            SELECT host, '/p' || a || '/ok', TRUE, d * 1000, NULL
             FROM h WHERE NOT has_ds
             UNION ALL
-            SELECT host, '/x', FALSE, d * 1000
+            SELECT host, '/w*', TRUE, d * 1000, '^/w.*'
+            FROM h WHERE NOT has_ds
+            UNION ALL
+            SELECT host, '/x*y$', FALSE, d * 1000, '^/x.*y$'
             FROM h WHERE NOT has_ds AND has_wild
         """,
         "robots_sitemap_discovery": """

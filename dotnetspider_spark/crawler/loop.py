@@ -297,32 +297,49 @@ def _status_ok():
 
 def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Annotate each row with boolean ``__allowed``. Rules are tiny config
-    (host, path_prefix, allow) — aggregated per host and BROADCAST
-    equi-joined, then the longest matching prefix is picked by a
-    JVM-side array fold: zero exchanges, zero windows, stays inside
-    whole-stage codegen (the previous per-identity window added one
-    shuffle per crawl iteration). Most-specific longest prefix wins like
-    real robots matchers; no rule = allow. Denied rows are kept (flagged)
-    so the loop can consume them AND log them to the errors table
-    (failing.log analog) without recomputing the gate."""
+    (host, path_prefix, allow[, path_re]) — aggregated per host and
+    BROADCAST equi-joined, then the most specific matching rule is
+    picked by a JVM-side array fold: zero exchanges, zero windows, stays
+    inside whole-stage codegen (the previous per-identity window added
+    one shuffle per crawl iteration). Plain rules match by path prefix;
+    wildcard rules (RFC 9309 ``*``/``$``) carry their anchored regex in
+    ``path_re`` and match via ``rlike`` — specificity is the ORIGINAL
+    pattern length in both cases and ties break to allow, same as
+    Google's matcher. The match subject is path?query (Googlebot
+    matches rules against the query string too — a plain prefix rule's
+    verdict is unchanged by the appended suffix). A rules table without
+    the ``path_re`` column (hand-built configs, older fixtures) is
+    treated as all-prefix. No rule = allow. Denied rows are kept
+    (flagged) so the loop can consume them AND log them to the errors
+    table (failing.log analog) without recomputing the gate."""
     if robots is None:
         return batch.withColumn("__allowed", F.lit(True))
+    if "path_re" not in robots.columns:
+        robots = robots.withColumn("path_re", F.lit(None).cast("string"))
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    subject = F.when(
+        query.isNull() | (query == F.lit("")), path
+    ).otherwise(F.concat(path, F.lit("?"), query))
     by_host = robots.groupBy("host").agg(
-        F.collect_list(F.struct("path_prefix", "allow")).alias("__rules")
+        F.collect_list(F.struct("path_prefix", "allow", "path_re")).alias(
+            "__rules"
+        )
     )
-    joined = batch.withColumn("__path", path).join(
+    joined = batch.withColumn("__path", subject).join(
         F.broadcast(by_host), "host", "left"
     )
     p = F.col("__path")
+    _arr_t = "array<struct<path_prefix:string,allow:boolean,path_re:string>>"
     matched = F.filter(
-        F.coalesce(
-            F.col("__rules"),
-            F.array().cast("array<struct<path_prefix:string,allow:boolean>>"),
-        ),
-        lambda r: p.startswith(r["path_prefix"]),
+        F.coalesce(F.col("__rules"), F.array().cast(_arr_t)),
+        lambda r: F.when(
+            r["path_re"].isNull(), p.startswith(r["path_prefix"])
+        ).otherwise(F.rlike(p, r["path_re"])),
     )
-    none_t = F.lit(None).cast("struct<path_prefix:string,allow:boolean>")
+    none_t = F.lit(None).cast(
+        "struct<path_prefix:string,allow:boolean,path_re:string>"
+    )
     # longest prefix wins; equal lengths tie-break to ALLOW (the Google
     # robots.txt spec's rule for equally-specific rules) — collect_list
     # order varies across partitions, so without this the verdict of an

@@ -6,20 +6,20 @@ robots.txt documents (one row per host) into the engine's rules schema
 ``(host, path_prefix, allow, crawl_delay_ms)`` which
 ``crawler.loop._robots_gate`` broadcast-joins against the frontier.
 
-Parsing follows the de-facto standard (REP, RFC 9309 subset):
+Parsing follows the de-facto standard (REP, RFC 9309):
 - ``User-agent`` groups; a group applies if it names our agent or ``*``
   (most-specific agent match wins: exact name > ``*``),
-- ``Allow`` / ``Disallow`` path prefixes (empty Disallow = allow all),
+- ``Allow`` / ``Disallow`` path rules (empty Disallow = allow all),
 - ``Crawl-delay`` seconds -> ``crawl_delay_ms``,
-- longest-prefix-wins precedence is applied at MATCH time by the gate
-  (loop.py orders matches by prefix length), so the table just carries
-  every rule of the winning group.
-
-Wildcards (``*``/``$``) inside paths are out of scope for the prefix
-gate; rows containing them are conservatively truncated at the first
-``*`` (a shorter prefix only ever blocks MORE — fail-safe, never
-fail-open for Disallow; Allow rows with wildcards are dropped entirely
-for the same reason).
+- wildcard rules (``*`` = any char run, trailing ``$`` = end anchor —
+  RFC 9309 §2.2.3 "special characters") are carried intact:
+  ``path_prefix`` keeps the ORIGINAL pattern (its length is the rule's
+  specificity, same as Google's matcher) and ``path_re`` carries the
+  equivalent anchored regex the gate evaluates; plain rules have
+  ``path_re`` NULL and match by prefix,
+- most-specific (longest-pattern) rule wins, allow on ties —
+  precedence is applied at MATCH time by the gate (loop.py), so the
+  table just carries every rule of the winning group.
 
 Parsing runs in ``mapInPandas`` over ``(host, robots_txt)`` rows — one
 Python pass per Arrow batch, one output row per rule.
@@ -33,7 +33,23 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-RULES_SCHEMA = "host string, path_prefix string, allow boolean, crawl_delay_ms int"
+RULES_SCHEMA = (
+    "host string, path_prefix string, allow boolean, crawl_delay_ms int, "
+    "path_re string"
+)
+
+
+def pattern_to_regex(path: str) -> str:
+    """RFC 9309 path pattern -> anchored Java-compatible regex: ``*`` ->
+    ``.*``, a TRAILING ``$`` -> end anchor (embedded ``$`` is literal),
+    everything else escaped. ``re.escape`` (3.7+) escapes only
+    regex-special punctuation, all of which Java regex accepts escaped."""
+    import re as _re
+
+    anchored = path.endswith("$")
+    body = path[:-1] if anchored else path
+    out = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return "^" + out + ("$" if anchored else "")
 
 
 def parse_robots_txt(text: str, agent: str = "dotnetspider") -> list[dict]:
@@ -99,24 +115,22 @@ def parse_robots_txt(text: str, agent: str = "dotnetspider") -> list[dict]:
             # empty Disallow = everything allowed; emit an allow-all marker
             out.append(
                 {"host": None, "path_prefix": "/", "allow": True,
-                 "crawl_delay_ms": delay_ms}
+                 "crawl_delay_ms": delay_ms, "path_re": None}
             )
             continue
-        if "*" in path or path.endswith("$"):
-            trunc = path.split("*", 1)[0].rstrip("$")
-            if allow:
-                continue  # wildcard Allow dropped (fail-safe)
-            if not trunc:
-                trunc = "/"
-            path = trunc  # truncated Disallow blocks more — fail-safe
+        path_re = (
+            pattern_to_regex(path)
+            if ("*" in path or path.endswith("$"))
+            else None
+        )
         out.append(
             {"host": None, "path_prefix": path, "allow": allow,
-             "crawl_delay_ms": delay_ms}
+             "crawl_delay_ms": delay_ms, "path_re": path_re}
         )
     if not out and delay_ms is not None:
         out.append(
             {"host": None, "path_prefix": "/", "allow": True,
-             "crawl_delay_ms": delay_ms}
+             "crawl_delay_ms": delay_ms, "path_re": None}
         )
     return out
 
@@ -163,7 +177,9 @@ def robots_rules_table(
                     rule["host"] = r["host"]
                     rows.append(rule)
             yield pd.DataFrame(
-                rows, columns=["host", "path_prefix", "allow", "crawl_delay_ms"]
+                rows,
+                columns=["host", "path_prefix", "allow", "crawl_delay_ms",
+                         "path_re"],
             )
 
     return robots_docs.select("host", "robots_txt").mapInPandas(run, RULES_SCHEMA)

@@ -596,6 +596,42 @@ def test_robots_equal_length_tie_prefers_allow(spark):
     assert row["__allowed"] is False
 
 
+def test_robots_wildcard_rules_match_like_googlebot(spark):
+    """RFC 9309 wildcard rules: '*' spans any run, trailing '$' anchors
+    at the END of path?query, specificity is pattern length, and a
+    wildcard rule matches the query string too."""
+    from dotnetspider_spark.crawler.loop import _robots_flag
+    from dotnetspider_spark.functions.robots import robots_rules_table
+
+    docs = spark.createDataFrame(
+        [("h.example",
+          "User-agent: *\n"
+          "Disallow: /p/*.pdf$\n"
+          "Disallow: /*?session=\n"
+          "Allow: /p/keep*.pdf$\n"
+          "Disallow: /cal\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules_table(docs)
+    cases = {
+        "http://h.example/p/a.pdf": False,        # *.pdf$ deny
+        "http://h.example/p/a.pdf?x=1": True,     # $ anchors past query
+        "http://h.example/p/a.pdfx": True,        # $ anchor: no match
+        "http://h.example/p/keepme.pdf": True,    # longer Allow wins
+        "http://h.example/x?session=9": False,    # query-string wildcard
+        "http://h.example/cal/2024": False,       # plain prefix still works
+        "http://h.example/ok": True,
+    }
+    batch = spark.createDataFrame(
+        [(u, "h.example") for u in cases], "url string, host string"
+    )
+    got = {
+        r["url"]: r["__allowed"]
+        for r in _robots_flag(batch, rules).collect()
+    }
+    assert got == cases
+
+
 def test_bloom_and_bucketed_seen_mutually_exclusive():
     with pytest.raises(ValueError, match="mutually exclusive"):
         CrawlConfig(use_bloom=True, bucketed_seen=True)

@@ -124,15 +124,29 @@ def test_parse_robots_txt_groups_and_rules():
     rules = parse_robots_txt(ROBOTS_TXT, agent="dotnetspider")
     by_prefix = {r["path_prefix"]: r for r in rules}
     assert by_prefix["/private/"]["allow"] is False
+    assert by_prefix["/private/"]["path_re"] is None
     assert by_prefix["/private/ok/"]["allow"] is True
-    # wildcard Disallow truncated at '*' (fail-safe: blocks more)
-    assert by_prefix["/tmp"]["allow"] is False
+    # wildcard Disallow carried intact with its anchored regex
+    assert by_prefix["/tmp*/x"]["allow"] is False
+    assert by_prefix["/tmp*/x"]["path_re"] == "^/tmp.*/x"
     # empty Disallow -> allow-all marker
     assert by_prefix["/"]["allow"] is True
     assert all(r["crawl_delay_ms"] == 1500 for r in rules)
     # exact agent group wins over '*'
     g = parse_robots_txt(ROBOTS_TXT, agent="googlebot")
     assert {r["path_prefix"] for r in g} == {"/only-google/"}
+
+
+def test_pattern_to_regex_wildcards_and_anchor():
+    from dotnetspider_spark.functions.robots import pattern_to_regex
+
+    assert pattern_to_regex("/a*b$") == "^/a.*b$"
+    assert pattern_to_regex("/w*") == "^/w.*"
+    assert pattern_to_regex("/plain") == "^/plain"
+    # embedded '$' is a literal, only the trailing one anchors
+    assert pattern_to_regex("/p$q$") == "^/p\\$q$"
+    # regex metacharacters in paths are escaped
+    assert pattern_to_regex("/a.b(c)") == "^/a\\.b\\(c\\)"
 
 
 def test_robots_rules_table(spark):
