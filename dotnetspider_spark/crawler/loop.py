@@ -316,8 +316,11 @@ def _robots_flag(batch: DataFrame, robots: DataFrame | None) -> DataFrame:
         return batch.withColumn("__allowed", F.lit(True))
     if "path_re" not in robots.columns:
         robots = robots.withColumn("path_re", F.lit(None).cast("string"))
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    query = F.parse_url(F.col("url"), F.lit("QUERY"))
+    # try_parse_url: an unparseable frontier URL (space, bad %-escape)
+    # must not abort the iteration — it degrades to subject "/" and the
+    # host's rules decide (no rules = allow), instead of killing the job
+    path = F.coalesce(F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    query = F.try_parse_url(F.col("url"), F.lit("QUERY"))
     subject = F.when(
         query.isNull() | (query == F.lit("")), path
     ).otherwise(F.concat(path, F.lit("?"), query))

@@ -80,9 +80,11 @@ def download_file_path(url: Column, folder: str = "downloads") -> Column:
     ``<folder>/<host><localPath>`` with ``//`` collapsed
     (Downloader.cs:390-395 ``CreateFilePath``). JVM-side parse_url +
     string ops; no UDF."""
+    # try_parse_url: a media row with an unparseable URL stores under
+    # the folder root instead of aborting the job (see urlops.url_host)
     raw = F.concat(
-        F.parse_url(url, F.lit("HOST")),
-        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
+        F.coalesce(F.try_parse_url(url, F.lit("HOST")), F.lit("")),
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")),
     )
     return F.concat(F.lit(folder + "/"), F.regexp_replace(raw, "//", "/"))
 

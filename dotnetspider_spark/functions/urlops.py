@@ -81,8 +81,15 @@ def is_fetchable(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased authority (host[:port] stripped of userinfo/port)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased authority (host[:port] stripped of userinfo/port).
+
+    ``try_parse_url``, not ``parse_url``: Java's URI parser REJECTS urls
+    the wild emits constantly (spaces, bad %-escapes), and the strict
+    form aborts the whole Spark job on the first such row — one
+    ``<a href="/a b">`` anywhere in a fetch batch would kill the
+    iteration. Unparseable rows yield NULL host and flow through the
+    null-tolerant group-bys instead."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
 def registrable_domain(url: Column) -> Column:

@@ -392,7 +392,9 @@ def url_quality_filter(
         score = score + F.when(low.contains(word), F.lit(float(wt))).otherwise(
             F.lit(0.0)
         )
-    host = F.lower(F.coalesce(F.parse_url(F.col(url_col), F.lit("HOST")), F.lit("")))
+    host = F.lower(
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))
+    )
     blocked = host.isin(*[h.lower() for h in blocked_hosts]) if blocked_hosts else F.lit(False)
     return df.withColumns(
         {

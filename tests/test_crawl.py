@@ -829,3 +829,38 @@ def test_adaptive_backoff_parks_throttled_host_then_reprobes(spark):
         (F.col("iter") == 1) & F.col("url").contains("throttled")
     ).count()
     assert off_iter1 == 4
+
+
+def test_invalid_urls_degrade_instead_of_aborting(spark):
+    """Java's URI parser rejects URLs the wild emits constantly (spaces,
+    dangling '%'). Every parse_url site uses try_parse_url, so such a
+    row must flow through host extraction and the robots gate — NULL
+    host, subject '/', no rules matched -> allowed — instead of
+    IllegalArgumentException aborting the whole iteration."""
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.crawler.loop import _robots_flag
+    from dotnetspider_spark.functions.urlops import url_host
+
+    urls = [
+        "http://h.example/a b",        # raw space (href='/a b')
+        "http://h.example/100%",       # dangling percent escape
+        "http://h.example/fine",
+    ]
+    df = spark.createDataFrame([(u, "h.example") for u in urls],
+                               "url string, host string")
+    hosts = dict(df.select("url", url_host(F.col("url")).alias("h")).collect())
+    assert hosts["http://h.example/fine"] == "h.example"
+    assert hosts["http://h.example/a b"] is None
+    robots = spark.createDataFrame(
+        [("h.example", "/a", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    verdicts = {
+        r["url"]: r["__allowed"] for r in _robots_flag(df, robots).collect()
+    }
+    # the parseable URL under /a is denied; the unparseable ones degrade
+    # to subject '/' which no rule matches -> allowed
+    assert verdicts["http://h.example/fine"] is True
+    assert verdicts["http://h.example/a b"] is True
+    assert verdicts["http://h.example/100%"] is True

@@ -148,3 +148,90 @@ def test_url_template_agrees_with_python_reference(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = [r[0] for r in df.select(url_template(F.col("url"))).collect()]
     assert got == [_ref_template(u) for u in urls]
+
+
+# --- robots wildcard gate vs a pure-python REP matcher -----------------
+
+# URL-legal chars only: Java's URI parser nulls out (try_parse_url)
+# subjects with raw spaces or dangling '%', which the urlsplit-based
+# python mirror below would still parse — that engine-level degradation
+# is pinned separately in test_crawl (invalid URL -> no crash, allow)
+_ROBOTS_PATH_ALPHABET = "ab0/.?=*$-_(&~"
+
+
+def _py_robots_verdict(subject: str, rules) -> bool:
+    """Pure-Python mirror of loop._robots_flag's fold: most specific
+    (longest ORIGINAL pattern) matching rule wins, allow on ties, no
+    match = allow. Divergence here means Java and Python regex semantics
+    disagree on a translated pattern — exactly the bug class this pins."""
+    import re as _re
+
+    best = None
+    for prefix, allow, rx in rules:
+        ok = (
+            subject.startswith(prefix)
+            if rx is None
+            else _re.search(rx, subject) is not None
+        )
+        if not ok:
+            continue
+        if (
+            best is None
+            or len(prefix) > len(best[0])
+            or (len(prefix) == len(best[0]) and allow and not best[1])
+        ):
+            best = (prefix, allow)
+    return True if best is None else best[1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet=_ROBOTS_PATH_ALPHABET, min_size=1, max_size=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.text(alphabet=_ROBOTS_PATH_ALPHABET.replace("*", "").replace("$", ""),
+                min_size=0, max_size=16),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@example([("/p/*.d$", False), ("/p/k*", True)], ["p/x.d", "p/kx.d", "q?="])
+@example([("/(&~", False)], ["(&~z"])
+@settings(max_examples=30, deadline=None)
+def test_robots_gate_agrees_with_python_matcher(spark, raw_rules, paths):
+    import pyspark.sql.functions as F
+
+    from dotnetspider_spark.crawler.loop import _robots_flag
+    from dotnetspider_spark.functions.robots import pattern_to_regex
+
+    rules = []
+    for pat, allow in raw_rules:
+        pat = "/" + pat.lstrip("/")
+        rx = (
+            pattern_to_regex(pat)
+            if ("*" in pat or pat.endswith("$"))
+            else None
+        )
+        rules.append((pat, allow, rx))
+    urls = ["http://h.example/" + p for p in paths]
+    robots = spark.createDataFrame(
+        [("h.example", pre, al, rx) for pre, al, rx in rules],
+        "host string, path_prefix string, allow boolean, path_re string",
+    )
+    batch = spark.createDataFrame(
+        [(u, "h.example") for u in urls], "url string, host string"
+    )
+    got = {
+        r["url"]: r["__allowed"] for r in _robots_flag(batch, robots).collect()
+    }
+    from urllib.parse import urlsplit
+
+    for u in urls:
+        s = urlsplit(u)
+        subject = (s.path or "/") + (("?" + s.query) if s.query else "")
+        assert got[u] == _py_robots_verdict(subject, rules), (u, rules)
