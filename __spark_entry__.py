@@ -1966,6 +1966,106 @@ def q_pair_dedup_cross_modal(spark, sf_dir):
     return cross_modal_dedup(pairs).select("image_id", "phash")
 
 
+def q_image_funnel(spark, sf_dir):
+    # END-TO-END image-curation FUNNEL with a hash-matched oracle: the
+    # structural pair screen, the CLIP-score gate (REAL bytes through
+    # the codec), and cross-modal dedup run in sequence; one output row
+    # per stage with rows_in/rows_out — the retention report a pipeline
+    # owner reads before training. Constructions are closed-form so the
+    # oracle replays every gate: fmt 'gif' on doc_id%5==4 rows (screen
+    # format gate), metadata w/h from the doc_id formula (screen
+    # min-side/aspect gates), clip class = doc_id%3 (match / mismatch /
+    # half-half, as in clip_score_filter), planted phash partners
+    # doc_id//2 (dedup stage). Pixel payloads are real 12x10 encodes;
+    # the w/h METADATA columns deliberately follow the formula, not the
+    # pixels — the screen judges metadata, the clip stage judges pixels.
+    from dotnetspider_spark.operators.curation import image_caption_screen
+    from dotnetspider_spark.operators.images import cross_modal_dedup
+    from dotnetspider_spark.operators.multimodal import clip_score
+    from dotnetspider_spark.operators.textdedup import _hash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dotnetspider_spark.codec.png import encode_fakejpeg, encode_png
+        from dotnetspider_spark.operators.multimodal import COLOR_ANCHORS
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                c = doc_id % 8
+                c2 = (c + 1) % 8
+                px = np.zeros((10, 12, 3), np.uint8)
+                px[:, :] = COLOR_ANCHORS[c][1]
+                if doc_id % 3 == 2:
+                    px[5:, :] = COLOR_ANCHORS[c2][1]
+                word = COLOR_ANCHORS[c2 if doc_id % 3 == 1 else c][0]
+                if doc_id % 5 == 4:
+                    fmt = "gif"  # screened out before any decode
+                    data = encode_png(px)
+                elif doc_id % 2 == 0:
+                    fmt, data = "png", encode_png(px)
+                else:
+                    fmt, data = "jpeg", encode_fakejpeg(px, 90)
+                rows.append(
+                    (doc_id, data,
+                     int(8 + (doc_id * 7) % 1024),
+                     int(8 + (doc_id * 13) % 1024),
+                     fmt, f"a {word} test card id {doc_id}")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "bytes", "w", "h", "fmt", "caption"],
+            )
+
+    base = _hash64(
+        F.concat(
+            F.lit("ph|"), F.floor(F.col("image_id") / 2).cast("long").cast("string")
+        )
+    )
+    pairs = d.select("doc_id").mapInPandas(
+        gen,
+        "image_id long, bytes binary, w int, h int, fmt string, caption string",
+    ).withColumn(
+        "phash",
+        F.when(F.col("image_id") % 2 == 1, base.bitwiseXOR(F.lit(5))).otherwise(
+            base
+        ),
+    )
+    screened = image_caption_screen(
+        pairs.select("image_id", "w", "h", "fmt", "caption")
+    )
+    s1 = pairs.join(
+        screened.filter(F.col("keep")).select("image_id"), "image_id", "semi"
+    )
+    s2 = clip_score(s1, threshold=0.5).filter(F.col("keep"))
+    s3 = cross_modal_dedup(s2.select("image_id", "phash", "caption"))
+
+    def cnt(df):
+        return df.agg(F.count("*").cast("bigint").alias("n"))
+
+    def stage(name, a, b):
+        return (
+            cnt(a)
+            .crossJoin(cnt(b).withColumnRenamed("n", "m"))
+            .select(
+                F.lit(name).alias("stage"),
+                F.col("n").alias("rows_in"),
+                F.col("m").alias("rows_out"),
+            )
+        )
+
+    return (
+        stage("screen", pairs, s1)
+        .unionByName(stage("clip", s1, s2))
+        .unionByName(stage("dedup", s2, s3))
+    )
+
+
 def q_anchor_text_top(spark, sf_dir):
     # anchor-text aggregation (retrieval.anchor_text_agg): link rows
     # synthesized from documents (each doc links to page doc_id % 40
@@ -2981,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "clip_score_filter": q_clip_score_filter,
         "pair_dedup_cross_modal": q_pair_dedup_cross_modal,
+        "image_funnel": q_image_funnel,
         "docs_bm25_topk": q_docs_bm25_topk,
         "host_reputation": q_host_reputation,
         "docs_boilerplate_strip": q_docs_boilerplate_strip,
@@ -3835,6 +3936,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, ph AS phash FROM p
             WHERE image_id NOT IN
                   (SELECT id FROM lab WHERE id <> component)
+        """,
+        "image_funnel": """
+            WITH RECURSIVE p AS (
+                SELECT doc_id,
+                       CAST(8 + (doc_id * 7) % 1024 AS INT) AS w,
+                       CAST(8 + (doc_id * 13) % 1024 AS INT) AS h,
+                       CASE WHEN doc_id % 5 = 4 THEN 'gif'
+                            WHEN doc_id % 2 = 0 THEN 'png'
+                            ELSE 'jpeg' END AS fmt,
+                       CASE WHEN doc_id % 2 = 1 THEN xor(base, 5)
+                            ELSE base END AS ph,
+                       doc_id % 3 <> 1 AS keep_clip
+                FROM (SELECT doc_id,
+                             CAST(concat('0x', substr(md5(
+                                 'ph|' || CAST(doc_id // 2 AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS base
+                      FROM documents WHERE doc_id < 600)),
+            s1 AS (
+                SELECT * FROM p
+                WHERE least(w, h) >= 64
+                  AND greatest(w, h) * 1.0 / least(w, h) <= 3.0
+                  AND fmt IN ('png', 'jpeg')),
+            s2 AS (SELECT * FROM s1 WHERE keep_clip),
+            prs AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib
+                FROM s2 a JOIN s2 b
+                  ON a.doc_id < b.doc_id
+                 AND bit_count(xor(a.ph, b.ph)) <= 4),
+            sym AS (
+                SELECT ia AS a, ib AS b FROM prs
+                UNION SELECT ib, ia FROM prs),
+            reach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+            lab AS (
+                SELECT a AS id, least(a, min(b)) AS comp
+                FROM reach GROUP BY a),
+            s3 AS (
+                SELECT doc_id FROM s2
+                WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> comp))
+            SELECT 'screen' AS stage,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p) AS rows_in,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS rows_out
+            UNION ALL
+            SELECT 'clip',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1),
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 'dedup',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2),
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
         "docs_incremental_dedup": """
             WITH newd AS (
