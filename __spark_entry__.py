@@ -1468,6 +1468,65 @@ def q_robots_sitemap_discovery(spark, sf_dir):
     return robots_sitemaps(docs)
 
 
+def q_page_policy(spark, sf_dir):
+    # REP page directives (functions/linkpolicy.py — north-rule addition;
+    # the reference follows every href, XPathRequestExtractor.cs:21-38):
+    # per-doc HTML is synthesized deterministically with a plain anchor,
+    # a rel="nofollow" anchor on even ids (dropped) vs rel="external
+    # noopener" on odd ids (followed), meta robots "NOINDEX, nofollow"
+    # on id%3==0 (attr order + case exercised on id%3==1's inert
+    # "index, follow"), and <link rel=canonical> on id%5==0. An
+    # X-Robots-Tag column exercises the JVM-side merge: unscoped
+    # "noindex, nofollow" (id%7==0), foreign-agent-scoped ignored
+    # (id%7==1), our-agent-scoped honored (id%7==2). The oracle states
+    # noindex/nofollow/canonical/children from the same arithmetic.
+    from dotnetspider_spark.functions.linkpolicy import page_policy_table
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"),
+                    F.lit(".example"))
+    a2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<a rel="nofollow" href="/n'), sid, F.lit('">x</a>')),
+    ).otherwise(
+        F.concat(F.lit('<a rel="external noopener" href="/u'), sid,
+                 F.lit('">x</a>')),
+    )
+    meta = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<meta name="robots" content="NOINDEX, nofollow">'),
+    ).when(
+        F.col("doc_id") % 3 == 1,
+        F.lit('<meta content="index, follow" name="robots">'),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('<link rel="canonical" href="/canon'), sid,
+                 F.lit('">')),
+    ).otherwise(F.lit(""))
+    xrobots = F.when(F.col("doc_id") % 7 == 0, F.lit("noindex, nofollow")) \
+        .when(F.col("doc_id") % 7 == 1, F.lit("googlebot: noindex")) \
+        .when(F.col("doc_id") % 7 == 2, F.lit("dotnetspider: noindex")) \
+        .otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, F.lit("/dir/p"), sid).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), meta, canon,
+            F.lit('</head><body><a href="/a'), sid, F.lit('">x</a>'), a2,
+            F.lit("</body></html>"),
+        ).alias("html"),
+        xrobots.alias("xrobots"),
+    )
+    out = page_policy_table(pages, "html", "url", x_robots_col="xrobots")
+    return out.select(
+        "doc_id", "noindex", "nofollow", "canonical",
+        F.size("follow_children").alias("n_children"),
+        F.concat_ws("|", "follow_children").alias("children_cat"),
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     # WARC writer -> reader round-trip (sinks/warc.py + sources/warc.py):
     # pages synthesized from documents are archived as gzipped WARC/1.0
@@ -2987,6 +3046,37 @@ def q_soft404_detect(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    # deterministic train/val/test membership (curation.hash_split):
+    # split is a pure function of doc_id — stable across re-runs and
+    # corpus growth (never randomSplit, whose assignment depends on
+    # partitioning). Map-only; the oracle recomputes the same portable
+    # md5-band assignment.
+    from dotnetspider_spark.operators.curation import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", salt="split1").select("doc_id", "split")
+
+
+def q_aesthetic_screen(spark, sf_dir):
+    # frozen linear head over embeddings (ann.linear_head_score — the
+    # LAION-aesthetic predictor pattern): score = w.x + b with plan-
+    # literal weights (deterministic here: w_i alternates +/- 1/(i+1)),
+    # then a keep/drop screen at threshold 0. Pure JVM zip_with +
+    # aggregate — no Python, no shuffle.
+    from dotnetspider_spark.operators.ann import linear_head_score
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    weights = [(1.0 if i % 2 == 0 else -1.0) / (i + 1) for i in range(dim)]
+    scored = linear_head_score(e, weights, bias=0.05)
+    return scored.select(
+        "vec_id",
+        F.round(F.col("head_score"), 6).alias("head_score"),
+        (F.col("head_score") > 0).alias("keep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness artifact checks the FIRST
     # ~50 entries only (observed cap, CORRECTNESS_r03). The window below
@@ -3046,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "curation_pipeline": q_curation_pipeline,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
+        "page_policy": q_page_policy,
         "warc_roundtrip": q_warc_roundtrip,
         # --- below the driver's 50-entry window (still oracle-backed,
         # verified by tools/check_correctness.py every round) ---
@@ -3124,6 +3215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_simjoin": q_docs_tfidf_simjoin,
         "lsh_candidate_eval": q_lsh_candidate_eval,
         "soft404_detect": q_soft404_detect,
+        "train_val_split": q_train_val_split,
+        "aesthetic_screen": q_aesthetic_screen,
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
@@ -4359,6 +4452,37 @@ def oracle_sql() -> dict[str, str]:
                    'http://host' || CAST(doc_id AS VARCHAR)
                        || '.example/deep.xml' AS sitemap_url
             FROM h WHERE doc_id % 3 = 0
+        """,
+        "page_policy": """
+            WITH p AS (
+                SELECT doc_id,
+                       'http://h' || CAST(doc_id % 10 AS VARCHAR)
+                           || '.example' AS hostpfx,
+                       (doc_id % 3 = 0) AS meta_noindex,
+                       (doc_id % 3 = 0) AS meta_nofollow,
+                       (doc_id % 7 = 0 OR doc_id % 7 = 2) AS hdr_noindex,
+                       (doc_id % 7 = 0) AS hdr_nofollow
+                FROM documents WHERE doc_id < 400),
+            f AS (
+                SELECT doc_id, hostpfx,
+                       (meta_noindex OR hdr_noindex) AS noindex,
+                       (meta_nofollow OR hdr_nofollow) AS nofollow
+                FROM p)
+            SELECT doc_id, noindex, nofollow,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN hostpfx || '/canon' || CAST(doc_id AS VARCHAR)
+                        END AS canonical,
+                   CAST(CASE WHEN nofollow THEN 0
+                             WHEN doc_id % 2 = 0 THEN 1 ELSE 2
+                        END AS INTEGER) AS n_children,
+                   CASE WHEN nofollow THEN ''
+                        WHEN doc_id % 2 = 0
+                        THEN hostpfx || '/a' || CAST(doc_id AS VARCHAR)
+                        ELSE hostpfx || '/a' || CAST(doc_id AS VARCHAR)
+                             || '|' || hostpfx || '/u'
+                             || CAST(doc_id AS VARCHAR)
+                   END AS children_cat
+            FROM f
         """,
         "warc_roundtrip": """
             SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
@@ -6157,5 +6281,31 @@ def oracle_sql() -> dict[str, str]:
                                      'page you requested could not be found'))
                     AND length(body) <= 512) AS is_soft404
             FROM b
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 900000 THEN 'train'
+                        WHEN u < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(concat('0x', substr(md5('split1|'
+                             || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                             % 1000000 AS u
+                  FROM documents)
+        """,
+        "aesthetic_screen": """
+            WITH w AS (
+                SELECT list(CASE WHEN i % 2 = 0 THEN 1.0 / (i + 1)
+                                 ELSE -1.0 / (i + 1) END ORDER BY i) AS wv
+                FROM (SELECT unnest(range(0, (SELECT max(len(embedding))
+                                              FROM embeddings))) AS i)),
+            s AS (
+                SELECT vec_id,
+                       list_dot_product(embedding::DOUBLE[], w.wv) + 0.05
+                           AS score
+                FROM embeddings, w)
+            SELECT vec_id, round(score, 6) AS head_score,
+                   (score > 0) AS keep
+            FROM s
         """,
     }

@@ -163,6 +163,16 @@ class CrawlConfig:
     #: intentionally diverges from reference crawl ordering.
     adaptive_backoff: bool = False
     backoff_min_observations: int = 20
+    #: opt-in REP page-directive policy (functions/linkpolicy.py —
+    #: north-rule addition, absent in the reference which follows every
+    #: href): discovery drops rel="nofollow"/"ugc"/"sponsored" anchors,
+    #: drops ALL children of meta-robots-nofollow pages, and enqueues a
+    #: page's <link rel="canonical"> target as an extra child (appended
+    #: after the followed links, first-occurrence dedup preserved) so
+    #: the canonical variant reaches the frontier. Same fused
+    #: one-crossing parse budget as the default path. Default OFF:
+    #: policy intentionally diverges from reference crawl results.
+    honor_link_policy: bool = False
 
     def __post_init__(self):
         if self.use_bloom and self.bucketed_seen:
@@ -389,15 +399,31 @@ def _discover_children(success: DataFrame, cfg: CrawlConfig, iter_base) -> DataF
         if "target_url" in success.columns
         else F.col("url")
     )
+    if cfg.honor_link_policy:
+        from dotnetspider_spark.functions.linkpolicy import (
+            extract_policy_links_udf,
+        )
+
+        pol = extract_policy_links_udf(F.col("html"), base)
+        # canonical target appended after the followed links (position
+        # order of real links preserved for seq); array_distinct keeps
+        # first occurrence, so a canonical already linked in-body does
+        # not duplicate
+        links = F.array_distinct(
+            F.when(
+                pol["canonical"].isNotNull() & (pol["canonical"] != base),
+                F.concat(pol["children"], F.array(pol["canonical"])),
+            ).otherwise(pol["children"])
+        )
+    else:
+        links = extract_canonical_links_udf(F.col("html"), base)
     canon = success.select(
         F.col("referer").alias("__p_referer"),
         F.col("origin").alias("__p_origin"),
         F.col("headers").alias("__p_headers"),
         F.col("depth").alias("__p_depth"),
         F.col("__block"),
-        F.posexplode(
-            extract_canonical_links_udf(F.col("html"), base)
-        ).alias("__pos", "url"),
+        F.posexplode(links).alias("__pos", "url"),
     ).filter(is_fetchable(F.col("url")))
     child = canon.select(
         F.col("url"),

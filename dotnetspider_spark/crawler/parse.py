@@ -207,6 +207,74 @@ def _hot_hrefs(html_text: str) -> list:
     return out
 
 
+def _canonize(raws, base_url: str) -> list[str]:
+    """Junk-gate → canonicalize → first-occurrence-dedup a page's raw
+    hrefs against ``base_url``. Shared by the fused crawl parse UDF and
+    the link-policy parse (functions/linkpolicy.py) so both paths emit
+    byte-identical canonical URLs — frontier ``identity`` is computed
+    from these bytes, so divergence here is dedup divergence."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    out: list[str] = []
+    seen: set[str] = set()
+    base_prefix = None
+    for raw in raws:
+        if not raw or raw.startswith("#") or raw.lower().startswith("javascript:"):
+            continue
+        raw = raw.strip()
+        # fast paths cover the two dominant link shapes with pure string
+        # work; everything else falls through to the exact RFC 3986
+        # resolve (fuzz tests pin byte-identical output). Guards: "/."
+        # excludes every dot segment; embedded tab/newline must fall
+        # through (urlsplit strips ASCII tab/newline anywhere —
+        # bpo-43882); ";" must fall through because urljoin drops an
+        # empty trailing ";params" ("/x;" -> "/x") which urlsplit-based
+        # shortcuts keep — identity divergence (round-3 verdict item 2).
+        clean = (
+            "/." not in raw
+            and "\t" not in raw
+            and "\n" not in raw
+            and "\r" not in raw
+            and ";" not in raw
+        )
+        if (
+            clean
+            and raw.startswith("/")
+            and not raw.startswith("//")
+            and "?" not in raw
+            and "#" not in raw
+            and "\\" not in raw
+        ):
+            # host-relative, no query/fragment/dot segments
+            if base_prefix is None:
+                s0 = urlsplit(base_url)
+                base_prefix = f"{s0.scheme.lower()}://{s0.netloc.lower()}"
+            canon = base_prefix + raw
+        elif clean and _ABS_CLEAN.match(raw):
+            # absolute, lowercase netloc, non-empty path, no query/frag
+            canon = raw
+        else:
+            try:
+                if (
+                    raw.startswith(("http://", "https://"))
+                    and "/." not in raw
+                    and ";" not in raw
+                ):
+                    s = urlsplit(raw)
+                else:
+                    s = urlsplit(urljoin(base_url, raw))
+            except ValueError:
+                continue
+            canon = urlunsplit(
+                (s.scheme.lower(), s.netloc.lower(), s.path or "/", s.query, "")
+            )
+        if len(canon) < 6 or not _SCHEME_OK.match(canon) or canon in seen:
+            continue
+        seen.add(canon)
+        out.append(canon)
+    return out
+
+
 def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
     """Fused parse→junk-filter→canonicalize→dedup, one boundary crossing.
 
@@ -219,75 +287,12 @@ def _canonical_links(html: pd.Series, base: pd.Series) -> pd.Series:
     (no dot segments to resolve — verified equivalent by fuzz tests);
     only document-relative and dotted paths pay the full RFC 3986 resolve.
     """
-    from urllib.parse import urljoin, urlsplit, urlunsplit
 
     def one(pair):
         h, b = pair
         if not h:
             return []
-        out: list[str] = []
-        seen: set[str] = set()
-        base_url = b or ""
-        base_prefix = None
-        for raw in _hot_hrefs(h):
-            if not raw or raw.startswith("#") or raw.lower().startswith("javascript:"):
-                continue
-            raw = raw.strip()
-            # fast paths cover the two dominant link shapes with pure
-            # string work (no urlsplit object construction); everything
-            # else falls through to the exact RFC 3986 resolve. The fuzz
-            # test below (test_crawl) pins byte-identical output.
-            # Guards: "/." excludes every dot segment ("/./", "/..");
-            # embedded tab/newline must fall through (urlsplit strips
-            # ASCII tab/newline anywhere — bpo-43882); ";" must fall
-            # through because urljoin (via urlparse) splits a trailing
-            # ";params" off the last path segment and DROPS it when
-            # empty ("/x;" -> "/x"), which urlsplit-based shortcuts
-            # keep — identity divergence (Hypothesis counterexample
-            # path="/;", round-3 verdict item 2).
-            clean = (
-                "/." not in raw
-                and "\t" not in raw
-                and "\n" not in raw
-                and "\r" not in raw
-                and ";" not in raw
-            )
-            if (
-                clean
-                and raw.startswith("/")
-                and not raw.startswith("//")
-                and "?" not in raw
-                and "#" not in raw
-                and "\\" not in raw
-            ):
-                # host-relative, no query/fragment/dot segments
-                if base_prefix is None:
-                    s0 = urlsplit(base_url)
-                    base_prefix = f"{s0.scheme.lower()}://{s0.netloc.lower()}"
-                canon = base_prefix + raw
-            elif clean and _ABS_CLEAN.match(raw):
-                # absolute, lowercase netloc, non-empty path, no query/frag
-                canon = raw
-            else:
-                try:
-                    if (
-                        raw.startswith(("http://", "https://"))
-                        and "/." not in raw
-                        and ";" not in raw
-                    ):
-                        s = urlsplit(raw)
-                    else:
-                        s = urlsplit(urljoin(base_url, raw))
-                except ValueError:
-                    continue
-                canon = urlunsplit(
-                    (s.scheme.lower(), s.netloc.lower(), s.path or "/", s.query, "")
-                )
-            if len(canon) < 6 or not _SCHEME_OK.match(canon) or canon in seen:
-                continue
-            seen.add(canon)
-            out.append(canon)
-        return out
+        return _canonize(_hot_hrefs(h), b or "")
 
     return pd.Series(map(one, zip(html, base)), dtype="object")
 

@@ -676,3 +676,32 @@ def ivfpq_search(
             "q_vec_id", id_col, "rn", F.round("adc", 6).alias("adc_dist")
         )
     )
+
+
+def linear_head_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    vec_col: str = "embedding",
+    out_col: str = "head_score",
+) -> DataFrame:
+    """Frozen linear head over an embedding column — the LAION-style
+    aesthetic/CLIP-quality predictor pattern: score = w·x + b with the
+    trained weights shipped as a plan literal.
+
+    Pure JVM expressions (zip_with product + aggregate fold): no Python
+    crossing, no shuffle, whole-stage-codegen friendly — at 10^10 rows
+    this is a map-only scan bounded by parquet read bandwidth. For
+    multi-layer heads, chain: hidden = relu(W1·x+b1) per unit is more
+    literals; beyond ~10^3 weights switch to a broadcast join against a
+    (unit, dim, weight) table or a pandas UDF with the matrix closed
+    over — the single-layer literal form is the right shape for the
+    published 1-layer aesthetic heads.
+    """
+    w_lit = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), w_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, dot + F.lit(float(bias)))

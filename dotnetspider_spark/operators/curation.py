@@ -849,3 +849,46 @@ def epoch_shuffle(
         "shard",
         (F.row_number().over(w) - 1).alias("pos"),
     )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable hash.
+
+    The split a training pipeline needs at 100 TB: membership must be a
+    pure function of the example id (stable across re-runs, machines,
+    and engine versions — never ``randomSplit``, whose assignment
+    depends on partitioning), and val/test must stay clean when the
+    corpus grows: an id keeps its split forever, new ids fill in
+    proportionally. Map-only, no shuffle.
+
+    ``weights`` maps split name -> fraction (must sum to ~1); order of
+    dict insertion defines the cumulative bands. The md5-based
+    ``_hash64`` (textdedup.py) makes assignment DuckDB-verifiable.
+    """
+    from .textdedup import _hash64
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 < total < 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    # 60-bit hash -> uniform integer in [0, 1e6); cumulative bands
+    u = F.pmod(
+        _hash64(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    names = list(weights)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < int(round(acc * 1_000_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return docs.withColumn("split", expr)

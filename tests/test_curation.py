@@ -483,3 +483,38 @@ def test_epoch_shuffle_is_permutation_and_epoch_dependent(spark):
     e1 = {(r.doc_id, r.shard, r.pos) for r in
           epoch_shuffle(docs, epoch=1, n_shards=4).collect()}
     assert e1 != {(r.doc_id, r.shard, r.pos) for r in e0}
+
+
+def test_hash_split_deterministic_and_growth_stable(spark):
+    from dotnetspider_spark.operators.curation import hash_split
+
+    d1 = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    d2 = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(d1, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(d2, "doc_id").collect()}
+    # ids keep their split when the corpus doubles (val/test stay clean)
+    assert all(s2[k] == v for k, v in s1.items())
+    frac = sum(1 for v in s2.values() if v == "train") / len(s2)
+    assert 0.85 < frac < 0.95
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(d1, "doc_id", weights={"train": 0.5, "val": 0.1})
+
+
+def test_linear_head_score_matches_numpy(spark):
+    import numpy as np
+
+    from dotnetspider_spark.operators.ann import linear_head_score
+
+    vecs = [([1.0, -2.0, 0.5], 1), ([0.0, 0.0, 0.0], 2), ([3.0, 1.0, -1.0], 3)]
+    df = spark.createDataFrame(
+        [(i, v) for v, i in vecs], "vec_id long, embedding array<float>"
+    )
+    w = [0.2, -0.4, 1.0]
+    got = {
+        r["vec_id"]: r["head_score"]
+        for r in linear_head_score(df, w, bias=0.1).collect()
+    }
+    for v, i in vecs:
+        assert abs(got[i] - (float(np.dot(v, w)) + 0.1)) < 1e-9
