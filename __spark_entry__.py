@@ -1527,6 +1527,58 @@ def q_page_policy(spark, sf_dir):
     )
 
 
+def q_feed_parse(spark, sf_dir):
+    # RSS/Atom feed ingest (sources/feeds.py — discovery-source trio
+    # with sitemaps + robots Sitemap directives; the reference never
+    # reads its sample site's RSS). Even ids synthesize RSS 2.0 (item 1
+    # RFC-822 pubDate, item 2 an unparseable date -> published NULL);
+    # odd ids synthesize Atom (entry 1 pins rel=alternate precedence
+    # over rel=self, ISO-8601 updated; entry 2 default-rel link +
+    # published). The oracle restates entries from the arithmetic —
+    # the whole XML + date-parse layer sits between the two sides.
+    from dotnetspider_spark.sources.feeds import parse_feeds
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sid = F.col("doc_id").cast("string")
+    e0 = F.lit(1700000000) + F.col("doc_id") * 3600
+    e1 = e0 + 60
+    rfc0 = F.date_format(
+        F.timestamp_seconds(e0), "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+    iso0 = F.date_format(F.timestamp_seconds(e0), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    iso1 = F.date_format(F.timestamp_seconds(e1), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    base = F.concat(F.lit("http://f"), (F.col("doc_id") % 9).cast("string"),
+                    F.lit(".example"))
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>c</title><item>'
+              "<title>t"), sid, F.lit("-0</title><link>"),
+        base, F.lit("/rss/"), sid, F.lit("/0</link><pubDate>"), rfc0,
+        F.lit("</pubDate><guid>g"), sid, F.lit("-0</guid></item><item>"
+              "<title>t"), sid, F.lit("-1</title><link>"),
+        base, F.lit("/rss/"), sid,
+        F.lit("/1</link><pubDate>not a date</pubDate><guid>g"), sid,
+        F.lit("-1</guid></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>c</title>'
+              "<entry><title>t"), sid,
+        F.lit('-0</title><link rel="self" href="'), base,
+        F.lit('/self"/><link rel="alternate" href="'), base,
+        F.lit("/atom/"), sid, F.lit('/0"/><updated>'), iso0,
+        F.lit("</updated><id>g"), sid, F.lit("-0</id></entry><entry>"
+              "<title>t"), sid, F.lit('-1</title><link href="'),
+        base, F.lit("/atom/"), sid, F.lit('/1"/><published>'), iso1,
+        F.lit("</published><id>g"), sid, F.lit("-1</id></entry></feed>"),
+    )
+    feeds = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias(
+            "feed_xml"
+        ),
+    )
+    return parse_feeds(feeds, keep_cols=("doc_id",))
+
+
 def q_warc_roundtrip(spark, sf_dir):
     # WARC writer -> reader round-trip (sinks/warc.py + sources/warc.py):
     # pages synthesized from documents are archived as gzipped WARC/1.0
@@ -3137,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "robots_sitemap_discovery": q_robots_sitemap_discovery,
         "page_policy": q_page_policy,
+        "feed_parse": q_feed_parse,
         "warc_roundtrip": q_warc_roundtrip,
         # --- below the driver's 50-entry window (still oracle-backed,
         # verified by tools/check_correctness.py every round) ---
@@ -4483,6 +4536,33 @@ def oracle_sql() -> dict[str, str]:
                              || CAST(doc_id AS VARCHAR)
                    END AS children_cat
             FROM f
+        """,
+        "feed_parse": """
+            WITH d AS (
+                SELECT doc_id,
+                       'http://f' || CAST(doc_id % 9 AS VARCHAR)
+                           || '.example' AS b,
+                       1700000000 + doc_id * 3600 AS e0
+                FROM documents WHERE doc_id < 300),
+            e AS (
+                SELECT doc_id, b, e0, unnest([0, 1]) AS j FROM d)
+            SELECT doc_id,
+                   b || CASE WHEN doc_id % 2 = 0 THEN '/rss/' ELSE '/atom/'
+                        END || CAST(doc_id AS VARCHAR) || '/'
+                     || CAST(j AS VARCHAR) AS url,
+                   't' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(j AS VARCHAR) AS title,
+                   CAST(CASE
+                        WHEN doc_id % 2 = 0 AND j = 0 THEN e0
+                        WHEN doc_id % 2 = 1 AND j = 0 THEN e0
+                        WHEN doc_id % 2 = 1 AND j = 1 THEN e0 + 60
+                        END AS BIGINT) AS published,
+                   'g' || CAST(doc_id AS VARCHAR) || '-'
+                       || CAST(j AS VARCHAR) AS guid,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+                       AS kind,
+                   CAST(j AS INTEGER) AS pos
+            FROM e
         """,
         "warc_roundtrip": """
             SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR)
