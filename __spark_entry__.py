@@ -1263,6 +1263,69 @@ def q_pagerank_2iter(spark, sf_dir):
     )
 
 
+
+def q_trustrank_2iter(spark, sf_dir):
+    # TrustRank (graph.trustrank — Gyongyi et al. VLDB'04): personalized
+    # PageRank teleporting to a 5-node trusted whitelist over the same
+    # deterministic crawl-graph slice as pagerank_2iter; the oracle
+    # unrolls both iterations with the trust-vector teleport.
+    from dotnetspider_spark.operators.graph import trustrank
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2000)
+        & ((F.col("user_id") + F.col("event_id")) % 7 == 0)
+    )
+    edges = ev.select(
+        F.concat(F.lit("n"), (F.col("user_id") % 30).cast("string")).alias("src"),
+        F.concat(F.lit("n"), (F.col("event_id") % 30).cast("string")).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seeds = spark.createDataFrame(
+        [("n0",), ("n1",), ("n2",), ("n3",), ("n4",)], "id string"
+    )
+    return trustrank(edges, seeds, n_iter=2).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
+
+def q_ip_politeness_topk(spark, sf_dir):
+    # per-IP politeness over per-host survivors (frontier.
+    # select_fetch_batch_ip — Mercator/Heritrix per-server queue
+    # concern, absent in the reference's per-site SleepTime): hosts
+    # derived from orders customers, 7 hosts share each synthetic IP,
+    # per-host budget 2 then per-IP budget 3 in BFS (seq asc) order.
+    # The salted two-level ranks are provably equal to direct windows,
+    # which is exactly what the oracle replays.
+    from dotnetspider_spark.operators.frontier import select_fetch_batch_ip
+
+    o = _t(spark, sf_dir, "orders")
+    fr = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("host"),
+        F.concat(
+            F.lit("http://c"), F.col("o_custkey").cast("string"),
+            F.lit(".example/o/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    host_ip = fr.select("host").distinct().select(
+        "host",
+        F.concat(
+            F.lit("10.0.0."),
+            F.pmod(F.expr("cast(regexp_extract(host, 'c(\\\\d+)', 1) as bigint)"),
+                   F.lit(7)).cast("string"),
+        ).alias("ip"),
+    )
+    out = select_fetch_batch_ip(
+        fr, host_ip, per_host_limit=2, per_ip_limit=3, dfs=False
+    )
+    return out.select(
+        "host", "ip", F.col("seq").alias("o_orderkey"),
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+        F.col("ip_rank").cast("bigint").alias("ip_rank"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3215,6 +3278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "embedding_quantize": q_embedding_quantize,
         "pagerank_2iter": q_pagerank_2iter,
+        "trustrank_2iter": q_trustrank_2iter,
+        "ip_politeness_topk": q_ip_politeness_topk,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4272,6 +4337,76 @@ def oracle_sql() -> dict[str, str]:
                        + 0.85 * coalesce(c2.contrib, 0) AS rank
                 FROM nodes n LEFT JOIN c2 USING (id))
             SELECT id, round(rank, 6) AS rank FROM r2
+        """,
+        "trustrank_2iter": """
+            WITH e AS (
+                SELECT DISTINCT
+                       'n' || CAST(user_id % 30 AS VARCHAR) AS src,
+                       'n' || CAST(event_id % 30 AS VARCHAR) AS dst
+                FROM events
+                WHERE event_id < 2000 AND (user_id + event_id) % 7 = 0
+                  AND user_id % 30 <> event_id % 30),
+            nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            sset AS (
+                SELECT id FROM nodes
+                WHERE id IN ('n0', 'n1', 'n2', 'n3', 'n4')),
+            sn AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM sset),
+            t AS (
+                SELECT n.id,
+                       CASE WHEN s.id IS NOT NULL
+                            THEN 1.0 / (SELECT s FROM sn) ELSE 0 END AS tv
+                FROM nodes n LEFT JOIN sset s USING (id)),
+            deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            r0 AS (SELECT id, tv AS rank FROM t),
+            dang0 AS (
+                SELECT coalesce(sum(r.rank), 0) AS dang
+                FROM r0 r LEFT JOIN deg ON r.id = deg.src
+                WHERE deg.src IS NULL),
+            c1 AS (
+                SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS contrib
+                FROM e JOIN r0 r ON e.src = r.id
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            r1 AS (
+                SELECT t.id,
+                       (0.15 + 0.85 * (SELECT dang FROM dang0)) * t.tv
+                       + 0.85 * coalesce(c1.contrib, 0) AS rank
+                FROM t LEFT JOIN c1 USING (id)),
+            dang1 AS (
+                SELECT coalesce(sum(r.rank), 0) AS dang
+                FROM r1 r LEFT JOIN deg ON r.id = deg.src
+                WHERE deg.src IS NULL),
+            c2 AS (
+                SELECT e.dst AS id, sum(r.rank / deg.out_deg) AS contrib
+                FROM e JOIN r1 r ON e.src = r.id
+                JOIN deg ON e.src = deg.src
+                GROUP BY e.dst),
+            r2 AS (
+                SELECT t.id,
+                       (0.15 + 0.85 * (SELECT dang FROM dang1)) * t.tv
+                       + 0.85 * coalesce(c2.contrib, 0) AS rank
+                FROM t LEFT JOIN c2 USING (id))
+            SELECT id, round(rank, 6) AS rank FROM r2
+        """,
+        "ip_politeness_topk": """
+            WITH f AS (
+                SELECT 'c' || CAST(o_custkey AS VARCHAR) AS host,
+                       '10.0.0.' || CAST(o_custkey % 7 AS VARCHAR) AS ip,
+                       o_orderkey
+                FROM orders),
+            h AS (
+                SELECT host, ip, o_orderkey,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY o_orderkey ASC) AS host_rank
+                FROM f),
+            hs AS (SELECT * FROM h WHERE host_rank <= 2),
+            i AS (
+                SELECT host, ip, o_orderkey, host_rank,
+                       row_number() OVER (PARTITION BY ip
+                           ORDER BY o_orderkey ASC) AS ip_rank
+                FROM hs)
+            SELECT host, ip, o_orderkey, host_rank, ip_rank
+            FROM i WHERE ip_rank <= 3
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -402,3 +402,55 @@ def adaptive_backoff(
     cols.append(delay.alias("delay_ms"))
     cols.append((enough & (rate >= 0.50)).alias("cooldown"))
     return per.select(*cols)
+
+
+def select_fetch_batch_ip(
+    frontier: DataFrame,
+    host_ip: DataFrame,
+    per_host_limit: int = 8,
+    per_ip_limit: int | None = None,
+    dfs: bool = True,
+    priority_first: bool = False,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Politeness at BOTH the vhost and the physical-server level.
+
+    The reference budgets per host name (SleepTime per site) — but at
+    web scale thousands of virtual hosts resolve to one server, and a
+    per-host budget alone hammers shared infrastructure (the classic
+    Mercator/Heritrix per-IP queue concern). This composes the per-host
+    batch (``select_fetch_batch``, salted two-level rank) with a second
+    per-IP cap over the survivors.
+
+    ``host_ip``: (host, ip) mapping from the resolver cache. Joined
+    plainly (hosts are ~10^4x fewer than frontier rows; AQE broadcasts
+    when small). Unresolved hosts fall back to their own bucket —
+    politeness never LOOSENS because DNS lagged.
+
+    The IP rank reuses the salted two-level shape (salt on host hash):
+    a 10^5-vhost server contributes at most per_host_limit rows per
+    host into per-(ip, salt) groups, so no single window task sees the
+    whole server's candidates.
+    """
+    order = poll_order(dfs, priority_first)
+    batch = select_fetch_batch(
+        frontier, dfs, per_host_limit, None, salt_buckets, priority_first
+    )
+    ip_col = F.coalesce(F.col("ip"), F.col("host"))
+    j = batch.join(host_ip.select("host", "ip"), "host", "left").withColumn(
+        "ip", ip_col
+    )
+    if per_ip_limit is None:
+        return j
+    salt = F.pmod(F.xxhash64(F.col("host")), F.lit(salt_buckets))
+    w_salt = Window.partitionBy(F.col("ip"), salt).orderBy(*order)
+    pre = (
+        j.withColumn("__irn", F.row_number().over(w_salt))
+        .filter(F.col("__irn") <= per_ip_limit)
+        .drop("__irn")
+    )
+    w_ip = Window.partitionBy("ip").orderBy(*order)
+    return (
+        pre.withColumn("ip_rank", F.row_number().over(w_ip))
+        .filter(F.col("ip_rank") <= per_ip_limit)
+    )

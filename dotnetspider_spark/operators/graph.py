@@ -470,3 +470,117 @@ def opic(
         "history",
         ((F.col("history") + F.col("cash")) / F.col("__t")).alias("importance"),
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    trusted: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    state_dir: str | None = None,
+    tol: float | None = None,
+) -> DataFrame:
+    """TrustRank — personalized PageRank whose teleport vector is a
+    curated whitelist (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    trust flows out from known-good seed hosts, so link-spam farms that
+    inflate plain PageRank score near zero. The frontier composition is
+    the same as ``pagerank``: feed scores into
+    ``select_fetch_batch(priority_first=True)`` (or demote hosts below
+    a trust floor).
+
+    Formulation: ``t(v) = 1/|S|`` for seeds (intersected with the graph
+    — trust cannot be parked on absent ids), else 0; ``r_0 = t``;
+    ``r_{k+1}(v) = (1-d)·t(v) + d·(Σ_{u→v} r_k(u)/out(u) +
+    dangling_k·t(v))`` — dangling mass teleports back through the
+    trust vector, the personalized-PageRank treatment.
+
+    Scale shape is identical to ``pagerank`` (one src-keyed join + one
+    dst-keyed agg per iteration, scalar dangling agg, parquet-round-
+    tripped state); the trust vector rides the node table as one extra
+    double column. ``trusted``: DataFrame whose first column holds the
+    seed node ids. ``tol``: optional L1 early stop, ``n_iter`` caps.
+    """
+    spark = edges.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="spark-tr-state-")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e.write.mode("overwrite").parquet(f"{root}/edges")
+    e = spark.read.parquet(f"{root}/edges")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seed_ids = trusted.select(
+        F.col(trusted.columns[0]).cast("string").alias("id")
+    ).distinct()
+    in_graph = nodes.join(seed_ids, "id", "left_semi")
+    trust = nodes.join(
+        in_graph.withColumn("__seed", F.lit(1)), "id", "left"
+    )
+    trust.write.mode("overwrite").parquet(f"{root}/trust_raw")
+    trust = spark.read.parquet(f"{root}/trust_raw")
+    s = trust.filter(F.col("__seed").isNotNull()).count()
+    if s == 0:
+        raise ValueError("trustrank: no trusted seed appears in the graph")
+    trust = trust.select(
+        "id",
+        F.when(F.col("__seed").isNotNull(), F.lit(1.0 / s))
+        .otherwise(F.lit(0.0))
+        .alias("tv"),
+    )
+    trust.write.mode("overwrite").parquet(f"{root}/trust")
+    trust = spark.read.parquet(f"{root}/trust")
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg.write.mode("overwrite").parquet(f"{root}/deg")
+    deg = spark.read.parquet(f"{root}/deg")
+
+    ranks = trust.select("id", F.col("tv").alias("rank"))
+    for it in range(1, n_iter + 1):
+        with_deg = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left")
+            .select("id", "rank", "out_deg")
+            .persist()
+        )
+        try:
+            dangling = (
+                with_deg.filter(F.col("out_deg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+            contribs = (
+                e.join(with_deg.filter(F.col("out_deg").isNotNull()),
+                       e["src"] == F.col("id"))
+                .select(F.col("dst").alias("id"),
+                        (F.col("rank") / F.col("out_deg")).alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            teleport = (1.0 - damping) + damping * dangling
+            new_ranks = trust.join(contribs, "id", "left").select(
+                "id",
+                (F.lit(teleport) * F.col("tv")
+                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("rank"),
+            )
+            new_ranks.write.mode("overwrite").parquet(f"{root}/iter={it}")
+            new_ranks = spark.read.parquet(f"{root}/iter={it}")
+            if tol is not None:
+                delta = (
+                    new_ranks.select("id", F.col("rank").alias("__new"))
+                    .join(ranks.select("id", F.col("rank").alias("__old")),
+                          "id")
+                    .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    _drop_stale(f"{root}/iter={it - 1}")
+                    break
+            else:
+                ranks = new_ranks
+        finally:
+            with_deg.unpersist()
+        _drop_stale(f"{root}/iter={it - 1}")
+    return ranks

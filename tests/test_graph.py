@@ -224,3 +224,34 @@ def test_opic_total_mass_conserved(spark):
     assert abs(sum(r.importance for r in rows) - 1.0) < 1e-12
     # after k iterations every node banked k rounds of history
     assert abs(sum(r.history for r in rows) - 3.0) < 1e-12
+
+
+def test_trustrank_starves_spam_farm_pagerank_inflates(spark):
+    from dotnetspider_spark.operators.graph import pagerank, trustrank
+
+    # good cluster g0<->g1, g0->g2; spam farm s0..s3 densely interlinked
+    # with NO in-links from the good side
+    edges = spark.createDataFrame(
+        [("g0", "g1"), ("g1", "g0"), ("g0", "g2"), ("g2", "g0")]
+        + [(f"s{i}", f"s{j}") for i in range(4) for j in range(4) if i != j],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("g0",)], "id string")
+    tr = {r["id"]: r["rank"] for r in trustrank(edges, seeds, n_iter=8).collect()}
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=8).collect()}
+    # plain pagerank gives the farm substantial mass; trustrank ~zero
+    assert sum(v for k, v in pr.items() if k.startswith("s")) > 0.3
+    assert sum(v for k, v in tr.items() if k.startswith("s")) < 1e-9
+    # trust mass conserved (teleport recycles all dangling/decay mass)
+    assert abs(sum(tr.values()) - 1.0) < 1e-6
+    assert tr["g0"] > tr["g1"] > 0
+
+
+def test_trustrank_requires_seed_in_graph(spark):
+    import pytest
+
+    from dotnetspider_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        trustrank(edges, spark.createDataFrame([("zz",)], "id string"))

@@ -265,3 +265,48 @@ def test_adaptive_backoff_tiers_and_min_observations(spark):
     assert (out["hot"].multiplier, out["hot"].cooldown) == (4, False)
     assert (out["dead"].multiplier, out["dead"].cooldown) == (8, True)
     assert (out["sparse"].multiplier, out["sparse"].cooldown) == (1, False)
+
+
+def test_select_fetch_batch_ip_matches_naive_windows(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.operators.frontier import select_fetch_batch_ip
+
+    rng = random.Random(7)
+    rows = [
+        (f"h{rng.randrange(12)}", f"http://u/{i}", 0, i) for i in range(400)
+    ]
+    fr = spark.createDataFrame(
+        rows, "host string, url string, priority int, seq long"
+    )
+    # 12 hosts over 3 ips; h11 intentionally unresolved (falls back to
+    # its own bucket, politeness never loosens on DNS lag)
+    host_ip = spark.createDataFrame(
+        [(f"h{i}", f"ip{i % 3}") for i in range(11)], "host string, ip string"
+    )
+    got = {
+        (r["host"], r["seq"], r["host_rank"], r["ip"], r["ip_rank"])
+        for r in select_fetch_batch_ip(
+            fr, host_ip, per_host_limit=2, per_ip_limit=3, dfs=False
+        ).collect()
+    }
+    wh = Window.partitionBy("host").orderBy(F.col("seq").asc())
+    naive_h = fr.withColumn("host_rank", F.row_number().over(wh)).filter(
+        F.col("host_rank") <= 2
+    )
+    naive_h = naive_h.join(host_ip, "host", "left").withColumn(
+        "ip", F.coalesce("ip", "host")
+    )
+    wi = Window.partitionBy("ip").orderBy(F.col("seq").asc())
+    naive = naive_h.withColumn("ip_rank", F.row_number().over(wi)).filter(
+        F.col("ip_rank") <= 3
+    )
+    want = {
+        (r["host"], r["seq"], r["host_rank"], r["ip"], r["ip_rank"])
+        for r in naive.collect()
+    }
+    assert got == want
+    assert any(h == "h11" and ip == "h11" for h, _, _, ip, _ in got)
