@@ -1326,6 +1326,50 @@ def q_ip_politeness_topk(spark, sf_dir):
     )
 
 
+
+def q_focused_priority_batch(spark, sf_dir):
+    # focused-crawl COMPOSITION (Chakrabarti et al. WWW'99): anchor-text
+    # topic relevance (retrieval.focused_scores, topic = {api, docs})
+    # becomes the frontier priority, and the politeness batch is drawn
+    # with priority_first=True — the focused-crawler loop. The oracle
+    # replays the score agg + the (priority desc, seq asc) window.
+    from dotnetspider_spark.operators.frontier import select_fetch_batch
+    from dotnetspider_spark.operators.retrieval import focused_scores
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = F.array(
+        F.lit("home"), F.lit("docs"), F.lit("api"), F.lit("click here"),
+        F.lit("read more"), F.lit(""), F.lit("download"),
+    )
+    links = d.select(
+        (F.col("doc_id") % 40).alias("dn"),
+        F.element_at(vocab, (F.col("doc_id") % 7).cast("int") + 1).alias(
+            "anchor"
+        ),
+    ).select(
+        F.concat(F.lit("page"), F.col("dn").cast("string")).alias("dst"),
+        "anchor",
+    )
+    sc = focused_scores(links, ["api", "docs"])
+    dn = F.regexp_extract("dst", "page(\\d+)", 1).cast("long")
+    fr = sc.select(
+        "dst",
+        F.concat(F.lit("h"), F.pmod(dn, F.lit(5)).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("http://x.example/"), F.col("dst")).alias("url"),
+        F.col("focus_score").cast("int").alias("priority"),
+        dn.alias("seq"),
+    )
+    out = select_fetch_batch(
+        fr, dfs=False, per_host_limit=3, priority_first=True
+    )
+    return out.select(
+        "dst", "host", F.col("priority").cast("bigint").alias("focus_score"),
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3280,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_2iter": q_pagerank_2iter,
         "trustrank_2iter": q_trustrank_2iter,
         "ip_politeness_topk": q_ip_politeness_topk,
+        "focused_priority_batch": q_focused_priority_batch,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4407,6 +4452,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM hs)
             SELECT host, ip, o_orderkey, host_rank, ip_rank
             FROM i WHERE ip_rank <= 3
+        """,
+        "focused_priority_batch": """
+            WITH sc AS (
+                SELECT doc_id % 40 AS dn,
+                       CAST(count(*) FILTER (WHERE doc_id % 7 IN (1, 2))
+                            AS BIGINT) AS focus_score
+                FROM documents GROUP BY doc_id % 40),
+            fr AS (
+                SELECT 'page' || CAST(dn AS VARCHAR) AS dst,
+                       'h' || CAST(dn % 5 AS VARCHAR) AS host,
+                       focus_score, dn AS seq
+                FROM sc),
+            r AS (
+                SELECT dst, host, focus_score,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY focus_score DESC, seq ASC) AS host_rank
+                FROM fr)
+            SELECT dst, host, focus_score, host_rank
+            FROM r WHERE host_rank <= 3
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -290,3 +290,38 @@ def rrf_fuse(
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col(id_col).asc()
     ).limit(top)
+
+
+def focused_scores(
+    links: DataFrame,
+    topic_terms: list[str],
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Focused-crawl relevance from anchor text (Chakrabarti, van den
+    Berg & Dom, WWW 1999): a crawl targeting a topic ranks candidate
+    URLs by how their in-link anchor text matches the topic terms —
+    the strongest pre-fetch relevance signal available (the page body
+    is not fetched yet).
+
+    Per link: |anchor-token-set ∩ topic| (JVM array_intersect on a
+    plan-literal topic array). Per candidate dst: SUM over in-links —
+    many weakly-relevant anchors beat one strong one, the paper's
+    linear accumulation. One dst-keyed partial agg (map-side combine),
+    no other shuffle; feed the score into
+    ``select_fetch_batch(priority_first=True)`` as the priority.
+    """
+    topic = F.array(*[F.lit(t.lower()) for t in topic_terms])
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(anchor_col), F.lit(""))),
+                    r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    hit = F.size(F.array_intersect(toks, topic))
+    return (
+        links.select(F.col(dst_col).alias("dst"), hit.alias("__hit"))
+        .groupBy("dst")
+        .agg(F.sum("__hit").cast("long").alias("focus_score"))
+    )

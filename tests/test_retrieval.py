@@ -181,3 +181,24 @@ def test_hard_negatives_empty_positives_equals_topk(spark):
         for r in hard_negatives(df, ["spark"], positive_ids=[], k=3).collect()
     ]
     assert a == b
+
+
+def test_focused_scores_tokenization_and_accumulation(spark):
+    from dotnetspider_spark.operators.retrieval import focused_scores
+
+    links = spark.createDataFrame(
+        [
+            ("p1", "API docs"),        # 2 hits (case-folded, both terms)
+            ("p1", "read the DOCS"),   # 1 hit
+            ("p1", None),              # null anchor: 0
+            ("p2", "click here"),      # 0
+            ("p2", ""),                # empty: 0
+            ("p3", "docs docs docs"),  # duplicate tokens count once
+        ],
+        "dst string, anchor string",
+    )
+    got = {
+        r["dst"]: r["focus_score"]
+        for r in focused_scores(links, ["api", "docs"]).collect()
+    }
+    assert got == {"p1": 3, "p2": 0, "p3": 1}
