@@ -655,3 +655,74 @@ def test_clip_score_is_map_only_no_exchange(spark):
     plan = _plan(clip_score(pairs))
     assert "Exchange" not in plan
     assert plan.count("MapInPandas (") == 1  # one stage (tree line)
+
+
+def test_linear_head_score_is_jvm_map_only(spark):
+    """The frozen linear head must stay a pure map-side JVM expression:
+    no Exchange (10^10-row scan is bandwidth-bound only) and no Python
+    worker (ArrowEvalPython/BatchEvalPython) — the whole point of the
+    plan-literal weight form."""
+    import re
+
+    from dotnetspider_spark.operators.ann import linear_head_score
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(8)]).alias("embedding"),
+    )
+    plan = _plan(linear_head_score(df, [0.1] * 8, bias=0.5))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+    assert "Python" not in plan, plan
+
+
+def test_hash_split_is_map_only(spark):
+    """Split membership is a pure function of the id — any Exchange in
+    this plan means someone turned a map into a shuffle."""
+    import re
+
+    from dotnetspider_spark.operators.curation import hash_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = _plan(hash_split(df, "doc_id"))
+    assert not re.search(r"\(\d+\) Exchange", plan), plan
+    assert "Python" not in plan, plan
+
+
+def test_focused_scores_single_partial_agg(spark):
+    """Anchor relevance: exactly one exchange (the dst-keyed agg) with a
+    map-side partial HashAggregate before it — the linear-accumulation
+    form must not sort or window."""
+    import re
+
+    from dotnetspider_spark.operators.retrieval import focused_scores
+
+    links = spark.range(200).select(
+        F.concat(F.lit("p"), (F.col("id") % 10).cast("string")).alias("dst"),
+        F.lit("api docs click").alias("anchor"),
+    )
+    plan = _plan(focused_scores(links, ["api", "docs"]))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "Sort" not in plan and "Window" not in plan, plan
+
+
+def test_ip_batch_windows_stay_salted(spark):
+    """select_fetch_batch_ip: every Window partition key must include a
+    salt or a bounded survivor set — the plan must contain the four
+    two-level windows (host,salt / host / ip,salt / ip) and no window
+    over the RAW frontier keyed by ip alone before the host cut."""
+    from dotnetspider_spark.operators.frontier import select_fetch_batch_ip
+
+    fr = spark.range(500).select(
+        F.concat(F.lit("h"), (F.col("id") % 20).cast("string")).alias("host"),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias("url"),
+        F.lit(0).alias("priority"),
+        F.col("id").alias("seq"),
+    )
+    host_ip = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("ip"), (F.col("id") % 3).cast("string")).alias("ip"),
+    )
+    plan = _plan(
+        select_fetch_batch_ip(fr, host_ip, per_host_limit=2, per_ip_limit=3)
+    )
+    assert plan.count("Window") >= 4, plan
