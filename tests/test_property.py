@@ -285,3 +285,30 @@ def test_fused_parse_agrees_with_htmlparser_on_soup(html):
 
     got = list(_canonical_links(pd.Series([html]), pd.Series([base]))[0])
     assert got == ref_one(html, base), (html,)
+
+
+# --- policy parse vs fused parse on raw soup ---------------------------
+
+@given(st.text(alphabet=st.sampled_from(_SOUP_ALPHABET), max_size=120))
+@example('<a href="/x;">y</a><a href=/x>z</a>')
+@example('<a title="<!--" href="/keep">k</a>')
+@settings(max_examples=200, deadline=None)
+def test_policy_children_subset_of_fused_on_soup(html):
+    """Link-policy parse vs fused crawl parse on arbitrary soup: with
+    no rel/meta directives GENERATED (the alphabet cannot spell
+    'nofollow' as an attribute pair, but can produce every parser edge
+    the fused fuzz explores), the policy path must emit exactly the
+    fused path's canonical bytes — a mismatch is a frontier-identity
+    split between crawls run with and without honor_link_policy."""
+    import pandas as pd
+
+    from dotnetspider_spark.crawler.parse import _canonical_links
+    from dotnetspider_spark.functions.linkpolicy import _policy_rows
+
+    base = "http://h1.example/a/b/c.html?x=1"
+    fused = list(_canonical_links(pd.Series([html]), pd.Series([base]))[0])
+    pol = _policy_rows(pd.Series([html]), pd.Series([base]))
+    if not pol["nofollow"][0]:
+        assert list(pol["children"][0]) == fused, (html,)
+    else:  # meta-robots nofollow spelled by chance: children must empty
+        assert list(pol["children"][0]) == [], (html,)
