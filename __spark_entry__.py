@@ -1370,6 +1370,34 @@ def q_focused_priority_batch(spark, sf_dir):
     )
 
 
+
+def q_vit_token_budget(spark, sf_dir):
+    # ViT token-cost planning (images.vit_token_costs): per-image patch
+    # tokens from (w, h) metadata only — the bytes column never rides
+    # the plan — rolled up per resolution tier: images kept as-is vs
+    # needing a resize pass under a 1024-token budget, and the total
+    # token bill per tier. Oracle replays the ceil arithmetic.
+    from dotnetspider_spark.operators.images import vit_token_costs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("image_id"),
+        (64 + (F.col("doc_id") * 7) % 1985).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 13) % 1985).cast("int").alias("h"),
+    )
+    t = vit_token_costs(pairs, patch=14, max_tokens=1024)
+    tier = F.when(F.greatest("w", "h") < 512, "s") \
+        .when(F.greatest("w", "h") < 1024, "m").otherwise("l")
+    return (
+        t.groupBy(tier.alias("tier"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum(F.col("tokens")).cast("bigint").alias("total_tokens"),
+            F.count_if(F.col("fits")).cast("bigint").alias("n_fit"),
+        )
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3325,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_2iter": q_trustrank_2iter,
         "ip_politeness_topk": q_ip_politeness_topk,
         "focused_priority_batch": q_focused_priority_batch,
+        "vit_token_budget": q_vit_token_budget,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4471,6 +4500,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM fr)
             SELECT dst, host, focus_score, host_rank
             FROM r WHERE host_rank <= 3
+        """,
+        "vit_token_budget": """
+            WITH p AS (
+                SELECT doc_id,
+                       64 + (doc_id * 7) % 1985 AS w,
+                       64 + (doc_id * 13) % 1985 AS h
+                FROM documents),
+            t AS (
+                SELECT CASE WHEN greatest(w, h) < 512 THEN 's'
+                            WHEN greatest(w, h) < 1024 THEN 'm'
+                            ELSE 'l' END AS tier,
+                       CAST(ceil(w / 14.0) * ceil(h / 14.0) + 1 AS BIGINT)
+                           AS tokens
+                FROM p)
+            SELECT tier,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                   CAST(count(*) FILTER (WHERE tokens <= 1024) AS BIGINT)
+                       AS n_fit
+            FROM t GROUP BY tier
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -513,3 +513,30 @@ def cross_modal_dedup(
 
     edges = img_edges.unionByName(cap_edges)
     return dedup_keep_canonical(pairs, edges, id_col=id_col)
+
+
+def vit_token_costs(
+    pairs: DataFrame,
+    patch: int = 14,
+    max_tokens: int | None = None,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Vision-transformer token cost per image — the planning number an
+    image-training pipeline budgets by (Dosovitskiy et al., ICLR 2021:
+    an image becomes ceil(w/p)*ceil(h/p) patch tokens + 1 [CLS]).
+
+    Adds ``tokens`` (long) and, when ``max_tokens`` is set, ``fits``
+    (image usable without a resize pass). Pure JVM integer arithmetic
+    on the metadata columns — the 10^10-row cost plan never touches
+    ``bytes``, so with parquet column pruning the scan reads two int32
+    columns. Feed into ``aspect_bucket_batches`` for bucketed batching
+    or aggregate per resolution tier for epoch cost estimates.
+    """
+    tokens = (
+        F.ceil(F.col(w_col) / patch) * F.ceil(F.col(h_col) / patch) + 1
+    ).cast("long")
+    out = pairs.withColumn("tokens", tokens)
+    if max_tokens is not None:
+        out = out.withColumn("fits", F.col("tokens") <= max_tokens)
+    return out

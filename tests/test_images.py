@@ -327,3 +327,33 @@ def test_cross_modal_dedup_caption_only_and_phash_only(spark):
     )
     # 11 falls to 10 via normalized caption; 21 falls to 20 via phash
     assert kept == [10, 20, 30]
+
+
+def test_vit_token_costs_arithmetic_and_pruning(spark):
+    from dotnetspider_spark.operators.images import vit_token_costs
+
+    pairs = spark.createDataFrame(
+        [(1, 224, 224), (2, 225, 224), (3, 14, 14), (4, 1024, 1024)],
+        "image_id long, w int, h int",
+    )
+    got = {
+        r["image_id"]: (r["tokens"], r["fits"])
+        for r in vit_token_costs(pairs, patch=14, max_tokens=1024).collect()
+    }
+    # 224/14=16 -> 16*16+1; 225 -> ceil=17
+    assert got[1] == (257, True)
+    assert got[2] == (17 * 16 + 1, True)
+    assert got[3] == (2, True)
+    assert got[4] == (74 * 74 + 1, False)
+    # cost plan must never touch a bytes column if present
+    with_bytes = pairs.withColumn("bytes", F.lit(b"x"))
+    plan_df = vit_token_costs(with_bytes, patch=14).select(
+        "image_id", "tokens"
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain("formatted")
+    assert "bytes" not in buf.getvalue().split("Output")[-1][:400]
