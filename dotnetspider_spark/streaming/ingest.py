@@ -75,28 +75,94 @@ def stream_seeds_into_frontier(
     """
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark_b = batch_df.sparkSession
-        fresh = seeds_to_frontier(batch_df)
-        try:
-            seen = spark_b.read.parquet(seen_path).select("identity")
-        except AnalysisException:  # first batch: no seen table yet.
-            # ONLY path-not-found: a transient FS/permission error must
-            # fail the (replayable) batch, not silently disable dedup
-            seen = None
-        fresh = dedup_push(fresh, seen) if seen is not None else fresh
-        # one materialization for both writes — the lineage includes the
-        # anti-join against the full seen table, the batch's dominant cost
-        fresh = fresh.persist()
-        try:
-            _commit_batch(fresh, frontier_path, batch_id)
-            _commit_batch(fresh.select("identity"), seen_path, batch_id)
-        finally:
-            fresh.unpersist()
+        _ingest_seed_batch(batch_df, batch_id, frontier_path, seen_path)
 
     return (
         stream_seeds(spark, seed_dir)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ingest_seed_batch(
+    batch_df: DataFrame, batch_id: int, frontier_path: str, seen_path: str
+) -> None:
+    """Shared micro-batch body for every seed-shaped stream: normalize
+    -> identity -> anti-join the accumulated ``seen`` table -> append
+    survivors to both snapshot tables, exactly-once via the batch-keyed
+    staged rename."""
+    from pyspark.errors import AnalysisException
+
+    spark_b = batch_df.sparkSession
+    fresh = seeds_to_frontier(batch_df)
+    try:
+        seen = spark_b.read.parquet(seen_path).select("identity")
+    except AnalysisException:  # first batch: no seen table yet.
+        # ONLY path-not-found: a transient FS/permission error must
+        # fail the (replayable) batch, not silently disable dedup
+        seen = None
+    fresh = dedup_push(fresh, seen) if seen is not None else fresh
+    # one materialization for both writes — the lineage includes the
+    # anti-join against the full seen table, the batch's dominant cost
+    fresh = fresh.persist()
+    try:
+        _commit_batch(fresh, frontier_path, batch_id)
+        _commit_batch(fresh.select("identity"), seen_path, batch_id)
+    finally:
+        fresh.unpersist()
+
+
+FEED_STREAM_SCHEMA = "host string, feed_xml string"
+
+
+def stream_feeds(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """File-source stream of fetched feed documents (one file = one
+    feed-poll drop)."""
+    return (
+        spark.readStream.schema(FEED_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+
+
+def stream_feeds_into_frontier(
+    spark: SparkSession,
+    feed_dir: str,
+    frontier_path: str,
+    seen_path: str,
+    checkpoint_dir: str,
+):
+    """Continuous feed-poll ingestion: RSS/Atom documents land in
+    ``feed_dir``; each micro-batch parses them (sources/feeds.py),
+    turns entries into seed rows — ``seq`` = published epoch so FRESHER
+    entries poll first under the default DFS order — and pushes them
+    through the same exactly-once dedup path as seed reload. A URL
+    announced by two feeds (or already crawled) is dropped exactly like
+    a re-``Push``."""
+    from dotnetspider_spark.sources.feeds import parse_feeds
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        entries = parse_feeds(batch_df, keep_cols=("host",))
+        seeds = entries.select(
+            "url",
+            F.lit("GET").alias("method"),
+            F.lit(None).cast("string").alias("referer"),
+            F.lit(None).cast("string").alias("origin"),
+            F.lit(None).cast("string").alias("content"),
+            F.lit(None).cast("map<string,string>").alias("headers"),
+            F.lit(0).alias("priority"),
+            F.lit(1).alias("depth"),
+            F.lit(0).alias("retried"),
+            F.coalesce(F.col("published"), F.lit(0)).cast("long").alias(
+                "seq"
+            ),
+        )
+        _ingest_seed_batch(seeds, batch_id, frontier_path, seen_path)
+
+    return (
+        stream_feeds(spark, feed_dir)
         .writeStream.foreachBatch(ingest)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

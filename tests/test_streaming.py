@@ -370,3 +370,50 @@ def test_stream_request_dedup_drops_within_horizon(spark, tmp_path):
         ("b.example", "2024-01-01T00:01:00"),
         ("c.example", "2024-01-01T00:03:00"),
     ]
+
+
+def test_stream_feeds_dedup_and_freshness_seq(spark, tmp_path):
+    from dotnetspider_spark.streaming.ingest import stream_feeds_into_frontier
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><link>http://a.example/p1</link>"
+        "<pubDate>Wed, 01 Jan 2020 00:00:10 GMT</pubDate></item>"
+        "<item><link>http://a.example/p2</link>"
+        "<pubDate>Wed, 01 Jan 2020 00:00:05 GMT</pubDate></item>"
+        "</channel></rss>"
+    )
+    # second poll re-announces p2 and adds p3 with an unparseable date
+    rss2 = (
+        '<rss version="2.0"><channel>'
+        "<item><link>http://a.example/p2</link></item>"
+        "<item><link>http://a.example/p3</link>"
+        "<pubDate>garbage</pubDate></item>"
+        "</channel></rss>"
+    )
+    spark.createDataFrame([("a.example", rss)], "host string, feed_xml string") \
+        .coalesce(1).write.parquet(str(feed_dir / "f1"))
+    spark.createDataFrame([("a.example", rss2)], "host string, feed_xml string") \
+        .coalesce(1).write.parquet(str(feed_dir / "f2"))
+
+    q = stream_feeds_into_frontier(
+        spark,
+        f"{feed_dir}/*",
+        str(tmp_path / "frontier"),
+        str(tmp_path / "seen"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    fr = spark.read.parquet(str(tmp_path / "frontier"))
+    rows = {r["url"]: r["seq"] for r in fr.collect()}
+    # p2 re-announced -> exactly once; bad date -> seq 0, never dropped
+    assert set(rows) == {
+        "http://a.example/p1", "http://a.example/p2", "http://a.example/p3",
+    }
+    assert rows["http://a.example/p3"] == 0
+    # published epochs become seq: fresher entry polls first under DFS
+    assert rows["http://a.example/p1"] > rows["http://a.example/p2"] > 0
+    assert spark.read.parquet(str(tmp_path / "seen")).count() == 3
