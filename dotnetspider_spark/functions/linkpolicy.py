@@ -150,12 +150,13 @@ def x_robots_directives(header_value):
         F.split(F.lower(F.coalesce(header_value, F.lit(""))), ","),
         lambda t: F.trim(t),
     )
-    # keep unscoped tokens and our-agent-scoped payloads
+    # keep unscoped tokens and our-agent-scoped payloads; the scoped
+    # form tolerates arbitrary whitespace around ':' (real headers vary)
     def _tok(name):
-        return (
-            F.array_contains(toks, name)
-            | F.array_contains(toks, "none")
-            | F.array_contains(toks, f"dotnetspider: {name}")
+        return F.exists(
+            toks,
+            lambda t: t.isin(name, "none")
+            | t.rlike(f"^dotnetspider\\s*:\\s*({name}|none)$"),
         )
 
     return F.struct(

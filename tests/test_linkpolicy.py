@@ -155,3 +155,30 @@ def test_crawl_honor_link_policy_delta(spark):
         "http://s.example/seed", "http://s.example/a", "http://s.example/c",
         "http://s.example/e",
     }
+
+
+def test_x_robots_scoped_whitespace_variants(spark):
+    df = spark.createDataFrame(
+        [
+            ("p1", "dotnetspider:noindex"),
+            ("p2", "DOTNETSPIDER  :  nofollow"),
+            ("p3", "dotnetspider : none"),
+            ("p4", "otherbot:noindex"),
+        ],
+        "url string, xr string",
+    )
+    from dotnetspider_spark.functions.linkpolicy import x_robots_directives
+    from pyspark.sql import functions as F
+
+    got = {
+        r["url"]: (r["d"]["noindex"], r["d"]["nofollow"])
+        for r in df.select(
+            "url", x_robots_directives(F.col("xr")).alias("d")
+        ).collect()
+    }
+    assert got == {
+        "p1": (True, False),
+        "p2": (False, True),
+        "p3": (True, True),
+        "p4": (False, False),
+    }
