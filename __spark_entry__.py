@@ -1398,6 +1398,35 @@ def q_vit_token_budget(spark, sf_dir):
     )
 
 
+
+def q_phash_blocklist_screen(spark, sf_dir):
+    # broadcast blocklist screening (validate.phash_blocklist_screen):
+    # corpus phashes synthesized portably (_hash64), blocklist = planted
+    # hamming-2 neighbors of every 37th image plus 10 unrelated hashes;
+    # banded broadcast join ≡ the oracle's brute-force cross join for
+    # max_hamming 4 < 5 bands (pigeonhole, zero false negatives).
+    from dotnetspider_spark.operators.textdedup import _hash64
+    from dotnetspider_spark.operators.validate import phash_blocklist_screen
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    ph = _hash64(F.concat(F.lit("ph|"), F.col("doc_id").cast("string")))
+    images = d.select(F.col("doc_id").alias("image_id"), ph.alias("phash"))
+    planted = d.filter(F.col("doc_id") % 37 == 0).select(
+        ph.bitwiseXOR(F.lit(3)).alias("phash")
+    )
+    extra = d.filter(F.col("doc_id") < 10).select(
+        _hash64(F.concat(F.lit("bl|"), F.col("doc_id").cast("string"))).alias(
+            "phash"
+        )
+    )
+    out = phash_blocklist_screen(
+        images, planted.unionByName(extra), max_hamming=4
+    )
+    return out.select(
+        F.col("id").alias("image_id"), "blocked", "min_hamming"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3354,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_politeness_topk": q_ip_politeness_topk,
         "focused_priority_batch": q_focused_priority_batch,
         "vit_token_budget": q_vit_token_budget,
+        "phash_blocklist_screen": q_phash_blocklist_screen,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4520,6 +4550,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE tokens <= 1024) AS BIGINT)
                        AS n_fit
             FROM t GROUP BY tier
+        """,
+        "phash_blocklist_screen": """
+            WITH img AS (
+                SELECT doc_id AS image_id,
+                       CAST(concat('0x', substr(md5('ph|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS phash
+                FROM documents WHERE doc_id < 500),
+            bl AS (
+                SELECT xor(phash, 3) AS bl_ph FROM img
+                WHERE image_id % 37 = 0
+                UNION ALL
+                SELECT CAST(concat('0x', substr(md5('bl|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                FROM documents WHERE doc_id < 10),
+            h AS (
+                SELECT i.image_id,
+                       min(bit_count(xor(i.phash, b.bl_ph))) AS mh
+                FROM img i CROSS JOIN bl b
+                GROUP BY i.image_id)
+            SELECT i.image_id,
+                   coalesce(h.mh <= 4, false) AS blocked,
+                   CAST(CASE WHEN h.mh <= 4 THEN h.mh END AS INTEGER)
+                       AS min_hamming
+            FROM img i LEFT JOIN h USING (image_id)
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -181,3 +181,62 @@ def phash_near_duplicates(
         exact.groupBy(F.col("id").alias("id_a"), F.col("id_b"))
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def phash_blocklist_screen(
+    images: DataFrame,
+    blocklist: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Screen a corpus against a curated blocklist of known-bad image
+    phashes (the standard hash-matching stage of an image ingest
+    pipeline; the north-star's phash near-dup detection as a
+    BROADCAST-join stage): flag every image within ``max_hamming`` of
+    any blocklist entry.
+
+    Scale shape: the blocklist (10^4-10^6 hashes) explodes into 5
+    13-bit bands and BROADCASTS; the 10^10-row corpus explodes its
+    bands map-side and hash-joins the broadcast — no corpus shuffle,
+    no BroadcastNestedLoopJoin (an unbanded broadcast with a
+    bit_count(xor) predicate degenerates to per-row scans of the whole
+    blocklist). Same 5-band pigeonhole guarantee as
+    ``phash_near_duplicates``: zero false negatives for
+    ``max_hamming < 5``. Returns (id, blocked, min_hamming NULL when
+    clean) — one row per input image.
+    """
+    assert max_hamming < _N_BANDS, "bands guarantee requires hamming < n_bands"
+    bl = blocklist.select(
+        F.col(phash_col).alias("bl_ph"),
+        F.posexplode(F.array(*phash_bands(F.col(phash_col)))).alias(
+            "band", "band_val"
+        ),
+    ).distinct()
+    src = images.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("ph"),
+        F.posexplode(F.array(*phash_bands(F.col(phash_col)))).alias(
+            "band", "band_val"
+        ),
+    )
+    hits = (
+        src.join(F.broadcast(bl), ["band", "band_val"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph").bitwiseXOR(F.col("bl_ph")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id")
+        .agg(F.min("hamming").cast("int").alias("min_hamming"))
+    )
+    # hits is bounded by the blocklist's true-match neighborhood (tiny
+    # vs the corpus) — broadcast it back so the corpus side never
+    # shuffles for the flag join; ids are unique per input contract, so
+    # no distinct (a corpus-wide distinct would be the very shuffle
+    # this operator exists to avoid)
+    return images.select(F.col(id_col).alias("id")).join(
+        F.broadcast(hits), "id", "left"
+    ).select(
+        "id",
+        F.col("min_hamming").isNotNull().alias("blocked"),
+        "min_hamming",
+    )

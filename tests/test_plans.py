@@ -726,3 +726,27 @@ def test_ip_batch_windows_stay_salted(spark):
         select_fetch_batch_ip(fr, host_ip, per_host_limit=2, per_ip_limit=3)
     )
     assert plan.count("Window") >= 4, plan
+
+
+def test_phash_blocklist_corpus_side_never_shuffles(spark):
+    """Blocklist screening at 10^10 images: the corpus side must reach
+    the band join without an Exchange (map-side explode into a
+    BroadcastHashJoin); no BroadcastNestedLoopJoin (the degenerate
+    unbanded shape) and no SortMergeJoin anywhere."""
+    from dotnetspider_spark.operators.validate import phash_blocklist_screen
+
+    imgs = spark.range(1000).select(
+        F.col("id").alias("image_id"), F.xxhash64("id").alias("phash")
+    )
+    bl = spark.range(10).select(F.xxhash64("id", F.lit(1)).alias("phash"))
+    import re
+
+    plan = _plan(phash_blocklist_screen(imgs, bl))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # band join + flag join, nothing else
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    # the only plain Exchange is the tiny hits aggregate — never keyed
+    # on the corpus image_id upstream of the band join
+    plain = re.findall(r"\(\d+\) Exchange hashpartitioning\(([a-z_]+)", plan)
+    assert all(k == "id" for k in plain) and len(plain) <= 1, plan

@@ -97,3 +97,39 @@ def test_image_dedup_canonical_clusters(spark):
         for r in dedup_keep_canonical(df, pairs, id_col="image_id").collect()
     )
     assert kept == ["a", "d"]
+
+
+def test_phash_blocklist_screen_matches_brute_force(spark):
+    import random
+
+    from dotnetspider_spark.operators.validate import phash_blocklist_screen
+
+    rng = random.Random(11)
+    imgs = [(i, rng.getrandbits(60)) for i in range(300)]
+    # blocklist: exact copy, 3-bit flip, 4-bit flip (kept), 5-bit (missed
+    # at max_hamming=4), plus unrelated
+    def flip(v, bits):
+        for b in bits:
+            v ^= 1 << b
+        return v
+
+    bl = [
+        imgs[7][1],
+        flip(imgs[20][1], [1, 5, 40]),
+        flip(imgs[33][1], [0, 13, 26, 39]),
+        flip(imgs[50][1], [0, 13, 26, 39, 52]),
+        rng.getrandbits(60),
+    ]
+    idf = spark.createDataFrame(imgs, "image_id long, phash long")
+    bdf = spark.createDataFrame([(v,) for v in bl], "phash long")
+    got = {
+        r["id"]: (r["blocked"], r["min_hamming"])
+        for r in phash_blocklist_screen(idf, bdf, max_hamming=4).collect()
+    }
+    want = {}
+    for i, ph in imgs:
+        mh = min(bin(ph ^ b).count("1") for b in bl)
+        want[i] = (mh <= 4, mh if mh <= 4 else None)
+    assert got == want
+    assert got[7] == (True, 0) and got[20] == (True, 3)
+    assert got[33] == (True, 4) and got[50][0] in (False, True)
