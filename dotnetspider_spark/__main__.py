@@ -71,6 +71,9 @@ def build_spider(spark, cfg: dict):
         download_files=bool(cfg.get("download_files", False)),
         checkpoint_dir=cfg.get("checkpoint_dir"),
         max_iterations=int(cfg.get("max_iterations", 100_000)),
+        honor_link_policy=bool(cfg.get("honor_link_policy", False)),
+        trap_guard=bool(cfg.get("trap_guard", False)),
+        adaptive_backoff=bool(cfg.get("adaptive_backoff", False)),
     )
     spider = Spider(spark, ccfg)
     if "corpus" in cfg:

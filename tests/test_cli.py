@@ -52,3 +52,19 @@ def test_cli_runs_crawl_from_config(tmp_path, spark):
     fetched = spark.read.parquet(str(tmp_path / "out" / "fetched"))
     assert fetched.count() == summary["fetched"]
     assert (tmp_path / "out" / "metrics.json").exists()
+
+
+def test_config_maps_opt_in_crawl_flags(spark):
+    from dotnetspider_spark.__main__ import build_spider
+
+    spider = build_spider(
+        spark,
+        {
+            "seeds": ["http://h.example/"],
+            "honor_link_policy": True,
+            "trap_guard": True,
+            "adaptive_backoff": True,
+        },
+    )
+    cfg = spider.config
+    assert cfg.honor_link_policy and cfg.trap_guard and cfg.adaptive_backoff
