@@ -1427,6 +1427,30 @@ def q_phash_blocklist_screen(spark, sf_dir):
     )
 
 
+
+def q_pairs_pack_budget(spark, sf_dir):
+    # multimodal context packing (curation.pack_items over image patch
+    # tokens + caption whitespace tokens — the MMC4/Flamingo interleaved
+    # preprocessing step): per-pair cost = ViT tokens (14px patches on
+    # deterministic w,h) + caption tokens (text), packed into 2048-token
+    # contexts across 8 shards. Oracle replays cost + running sum.
+    from dotnetspider_spark.operators.curation import pack_items
+    from dotnetspider_spark.operators.images import vit_token_costs
+    from dotnetspider_spark.operators.textdedup import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("item_id"),
+        (64 + (F.col("doc_id") * 7) % 1985).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 13) % 1985).cast("int").alias("h"),
+        F.col("text"),
+    )
+    costed = vit_token_costs(pairs, patch=14).withColumn(
+        "cost", F.col("tokens") + F.size(tokens(F.col("text")))
+    )
+    return pack_items(costed, "item_id", "cost", window=2048, n_shards=8)
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3384,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_priority_batch": q_focused_priority_batch,
         "vit_token_budget": q_vit_token_budget,
         "phash_blocklist_screen": q_phash_blocklist_screen,
+        "pairs_pack_budget": q_pairs_pack_budget,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4575,6 +4600,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h.mh <= 4 THEN h.mh END AS INTEGER)
                        AS min_hamming
             FROM img i LEFT JOIN h USING (image_id)
+        """,
+        "pairs_pack_budget": """
+            WITH b AS (
+                SELECT doc_id AS item_id, CAST(doc_id % 8 AS INT) AS shard,
+                       CAST(ceil((64 + (doc_id * 7) % 1985) / 14.0)
+                            * ceil((64 + (doc_id * 13) % 1985) / 14.0) + 1
+                            + len(list_filter(
+                                  string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS cost
+                FROM documents),
+            o AS (
+                SELECT item_id, shard, cost,
+                       CAST(COALESCE(SUM(cost) OVER (
+                           PARTITION BY shard ORDER BY item_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS "offset"
+                FROM b)
+            SELECT item_id, shard, cost, "offset",
+                   CAST(floor("offset" / 2048.0) AS BIGINT) AS seq_index
+            FROM o
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

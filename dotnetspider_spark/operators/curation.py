@@ -892,3 +892,44 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return docs.withColumn("split", expr)
+
+
+def pack_items(
+    items: DataFrame,
+    id_col: str = "item_id",
+    cost_col: str = "cost",
+    window: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Generalized contiguous packing over an arbitrary per-item token
+    cost — the multimodal companion to ``pack_sequences``: an
+    interleaved image-text corpus packs items whose cost is patch
+    tokens + caption tokens (MMC4 / Flamingo-style context building),
+    not whitespace counts.
+
+    Same scale shape as ``pack_sequences``: shard first (id %
+    n_shards), one within-shard running-sum window, no global sort.
+    Emits (id, shard, cost, offset, seq_index). The cost column is
+    computed upstream (e.g. ``images.vit_token_costs`` tokens + a
+    caption token count), so one packer serves every modality mix.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    base = items.select(
+        F.col(id_col), shard.alias("shard"),
+        F.col(cost_col).cast("long").alias("cost"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "cost",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(window)).cast("long").alias("seq_index"),
+    )

@@ -518,3 +518,22 @@ def test_linear_head_score_matches_numpy(spark):
     }
     for v, i in vecs:
         assert abs(got[i] - (float(np.dot(v, w)) + 0.1)) < 1e-9
+
+
+def test_pack_items_matches_sequential_reference(spark):
+    from dotnetspider_spark.operators.curation import pack_items
+
+    rows = [(i, 10 + (i * 3) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, "item_id long, cost int")
+    got = {
+        r["item_id"]: (r["shard"], r["offset"], r["seq_index"])
+        for r in pack_items(df, "item_id", "cost", window=64,
+                            n_shards=4).collect()
+    }
+    # sequential per-shard reference
+    shards = {}
+    for i, c in rows:
+        sh = i % 4
+        off = shards.get(sh, 0)
+        assert got[i] == (sh, off, off // 64)
+        shards[sh] = off + c
