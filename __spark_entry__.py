@@ -1451,6 +1451,70 @@ def q_pairs_pack_budget(spark, sf_dir):
     return pack_items(costed, "item_id", "cost", window=2048, n_shards=8)
 
 
+
+def q_recrawl_priority_batch(spark, sf_dir):
+    # incremental-crawl COMPOSITION: snapshot diff (frontier.crawl_delta)
+    # -> per-host change rate -> change-hungry priority -> politeness
+    # batch (priority_first) — the Cho & Garcia-Molina change-driven
+    # recrawl loop end to end. Snapshots synthesized from documents
+    # (every 4th digest changes, every 9th url vanishes, every 11th is
+    # new); the oracle replays diff, rate, and window.
+    from dotnetspider_spark.operators.frontier import (
+        crawl_delta,
+        select_fetch_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    sid = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://h"), (F.col("doc_id") % 6).cast("string"),
+                   F.lit(".example/p"), sid)
+    old = d.filter(F.col("doc_id") % 11 != 0).select(
+        url.alias("url"), F.md5(F.concat(F.lit("v1|"), sid)).alias("digest")
+    )
+    new = d.filter(F.col("doc_id") % 9 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.concat(
+                F.when(F.col("doc_id") % 4 == 0, F.lit("v2|")).otherwise(
+                    F.lit("v1|")
+                ),
+                sid,
+            )
+        ).alias("digest"),
+    )
+    delta = crawl_delta(old, new)
+    host = F.regexp_extract("url", r"http://([^/]+)/", 1)
+    rate = (
+        delta.filter(F.col("status").isin("changed", "unchanged"))
+        .groupBy(host.alias("host"))
+        .agg(
+            F.round(
+                F.count_if(F.col("status") == "changed")
+                / F.count("*"), 6
+            ).alias("change_rate")
+        )
+    )
+    fr = (
+        delta.filter(F.col("status").isin("changed", "unchanged"))
+        .select("url", host.alias("host"))
+        .join(rate, "host")
+        .select(
+            "url", "host",
+            (F.col("change_rate") * 1000000).cast("int").alias("priority"),
+            F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias(
+                "seq"
+            ),
+        )
+    )
+    out = select_fetch_batch(
+        fr, dfs=False, per_host_limit=3, priority_first=True
+    )
+    return out.select(
+        "url", "host", F.col("priority").cast("bigint").alias("priority"),
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3409,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vit_token_budget": q_vit_token_budget,
         "phash_blocklist_screen": q_phash_blocklist_screen,
         "pairs_pack_budget": q_pairs_pack_budget,
+        "recrawl_priority_batch": q_recrawl_priority_batch,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4620,6 +4685,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT item_id, shard, cost, "offset",
                    CAST(floor("offset" / 2048.0) AS BIGINT) AS seq_index
             FROM o
+        """,
+        "recrawl_priority_batch": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            o AS (
+                SELECT 'http://h' || CAST(doc_id % 6 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                       doc_id, md5('v1|' || CAST(doc_id AS VARCHAR)) AS dg
+                FROM d WHERE doc_id % 11 <> 0),
+            n AS (
+                SELECT 'http://h' || CAST(doc_id % 6 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                       doc_id,
+                       md5(CASE WHEN doc_id % 4 = 0 THEN 'v2|'
+                                ELSE 'v1|' END
+                           || CAST(doc_id AS VARCHAR)) AS dg
+                FROM d WHERE doc_id % 9 <> 0),
+            pres AS (
+                SELECT n.url, n.doc_id,
+                       CASE WHEN o.dg <> n.dg THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       'h' || CAST(n.doc_id % 6 AS VARCHAR) || '.example'
+                           AS host
+                FROM o JOIN n USING (url, doc_id)),
+            rate AS (
+                SELECT host,
+                       round(CAST(count(*) FILTER (WHERE status = 'changed')
+                                  AS DOUBLE) / count(*), 6) AS change_rate
+                FROM pres GROUP BY host),
+            fr AS (
+                SELECT b.url, b.host,
+                       CAST(r.change_rate * 1000000 AS INTEGER) AS priority,
+                       b.doc_id AS seq
+                FROM pres b JOIN rate r USING (host)),
+            w AS (
+                SELECT url, host, priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY priority DESC, seq ASC) AS host_rank
+                FROM fr)
+            SELECT url, host, CAST(priority AS BIGINT) AS priority, host_rank
+            FROM w WHERE host_rank <= 3
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (
