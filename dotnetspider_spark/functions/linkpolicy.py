@@ -140,24 +140,27 @@ def x_robots_directives(header_value):
     """JVM-side ``X-Robots-Tag`` token split: (noindex, nofollow) bools.
 
     ``header_value`` is the raw header string (possibly comma-joined
-    across repeated headers, per RFC 9110 §5.3). Agent-scoped forms
-    ("googlebot: noindex") apply to that agent only — a conservative
-    crawler honors unscoped tokens; scoped tokens for OTHER agents are
-    ignored by dropping any token containing ':' whose prefix is not
-    our agent name.
+    across repeated headers, per RFC 9110 §5.3). Agent scope covers the
+    WHOLE header value (Google's REP docs: "googlebot: noindex,
+    nofollow" scopes BOTH tokens to googlebot — the scope is a value
+    prefix, not per-token), so a leading "agent:" for a foreign agent
+    ignores every token, and our own agent prefix is stripped before
+    token matching. A leading "unavailable_after:" (a directive that
+    itself contains ':') is NOT an agent scope.
     """
-    toks = F.transform(
-        F.split(F.lower(F.coalesce(header_value, F.lit(""))), ","),
-        lambda t: F.trim(t),
-    )
-    # keep unscoped tokens and our-agent-scoped payloads; the scoped
-    # form tolerates arbitrary whitespace around ':' (real headers vary)
+    val = F.trim(F.lower(F.coalesce(header_value, F.lit(""))))
+    # value-prefix agent scope: "name :" where name is not a known
+    # ':'-carrying directive
+    agent = F.regexp_extract(val, r"^([a-z0-9_.-]+)\s*:", 1)
+    scoped = (agent != "") & (agent != "unavailable_after")
+    foreign = scoped & (agent != "dotnetspider")
+    body = F.when(
+        scoped, F.regexp_replace(val, r"^[a-z0-9_.-]+\s*:\s*", "")
+    ).otherwise(val)
+    toks = F.transform(F.split(body, ","), lambda t: F.trim(t))
+
     def _tok(name):
-        return F.exists(
-            toks,
-            lambda t: t.isin(name, "none")
-            | t.rlike(f"^dotnetspider\\s*:\\s*({name}|none)$"),
-        )
+        return ~foreign & F.exists(toks, lambda t: t.isin(name, "none"))
 
     return F.struct(
         _tok("noindex").alias("noindex"), _tok("nofollow").alias("nofollow")

@@ -704,4 +704,16 @@ def linear_head_score(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return df.withColumn(out_col, dot + F.lit(float(bias)))
+    # zip_with null-pads on length mismatch and the fold propagates the
+    # null — a wrong-checkpoint weight vector would silently NULL every
+    # score (and a >0 screen would drop the whole corpus). Fail loudly.
+    guarded = F.when(
+        F.size(F.col(vec_col)) == len(weights), dot + F.lit(float(bias))
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"linear_head_score: embedding dim != {len(weights)} weights"
+            )
+        )
+    )
+    return df.withColumn(out_col, guarded)

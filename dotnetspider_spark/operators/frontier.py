@@ -442,14 +442,19 @@ def select_fetch_batch_ip(
     )
     if per_ip_limit is None:
         return j
+    # seq is unique per HOST, not per IP: co-hosted vhosts can tie, and
+    # row_number over a partial order is nondeterministic (and breaks
+    # the salted-prefilter ≡ direct-window equivalence, which assumes a
+    # total order) — extend to a total order with (host, url)
+    ip_order = [*order, F.col("host").asc(), F.col("url").asc()]
     salt = F.pmod(F.xxhash64(F.col("host")), F.lit(salt_buckets))
-    w_salt = Window.partitionBy(F.col("ip"), salt).orderBy(*order)
+    w_salt = Window.partitionBy(F.col("ip"), salt).orderBy(*ip_order)
     pre = (
         j.withColumn("__irn", F.row_number().over(w_salt))
         .filter(F.col("__irn") <= per_ip_limit)
         .drop("__irn")
     )
-    w_ip = Window.partitionBy("ip").orderBy(*order)
+    w_ip = Window.partitionBy("ip").orderBy(*ip_order)
     return (
         pre.withColumn("ip_rank", F.row_number().over(w_ip))
         .filter(F.col("ip_rank") <= per_ip_limit)

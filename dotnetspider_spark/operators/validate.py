@@ -206,7 +206,13 @@ def phash_blocklist_screen(
     ``max_hamming < 5``. Returns (id, blocked, min_hamming NULL when
     clean) — one row per input image.
     """
-    assert max_hamming < _N_BANDS, "bands guarantee requires hamming < n_bands"
+    if max_hamming >= _N_BANDS:  # a bare assert vanishes under -O and
+        # would silently void the zero-false-negative guarantee of a
+        # SAFETY screen
+        raise ValueError(
+            f"phash_blocklist_screen: max_hamming {max_hamming} needs "
+            f"hamming < {_N_BANDS} bands for the pigeonhole guarantee"
+        )
     bl = blocklist.select(
         F.col(phash_col).alias("bl_ph"),
         F.posexplode(F.array(*phash_bands(F.col(phash_col)))).alias(

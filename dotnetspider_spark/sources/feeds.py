@@ -48,9 +48,17 @@ def _parse_date(s: str | None) -> int | None:
         return None
     s = s.strip()
     try:  # RFC 822 (RSS pubDate)
+        from datetime import timezone
         from email.utils import parsedate_to_datetime
 
-        return int(parsedate_to_datetime(s).timestamp())
+        dt = parsedate_to_datetime(s)
+        if dt.tzinfo is None:
+            # RFC 2822 '-0000' / zoneless dates come back naive;
+            # .timestamp() on a naive datetime uses the WORKER's local
+            # zone — pin UTC so epochs are machine-independent (they
+            # become frontier seq numbers)
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
     except Exception:
         pass
     try:  # ISO 8601 (Atom updated/published)
@@ -82,13 +90,17 @@ def _parse_feed(xml: str | None) -> list[dict]:
             link = title = pub = guid = None
             for c in item:
                 n = _local(c.tag)
-                if n == "link":
+                # first NON-EMPTY value wins: a later item-level
+                # <atom:link href=.../> (feedburner/WordPress style,
+                # namespace-blind local name 'link', empty text) must
+                # not reset an already-found RSS <link>
+                if n == "link" and link is None:
                     link = (c.text or "").strip() or None
-                elif n == "title":
+                elif n == "title" and title is None:
                     title = (c.text or "").strip() or None
-                elif n == "pubdate":
+                elif n == "pubdate" and pub is None:
                     pub = c.text
-                elif n == "guid":
+                elif n == "guid" and guid is None:
                     guid = (c.text or "").strip() or None
             if link:
                 out.append(

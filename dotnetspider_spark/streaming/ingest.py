@@ -144,7 +144,14 @@ def stream_feeds_into_frontier(
     from dotnetspider_spark.sources.feeds import parse_feeds
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        entries = parse_feeds(batch_df, keep_cols=("host",))
+        from dotnetspider_spark.functions.urlops import is_fetchable
+
+        # wild feeds carry relative paths (Atom xml:base) and non-http
+        # schemes (mailto:) in <link> — gate exactly like the crawl
+        # discovery path so garbage never pollutes frontier/seen
+        entries = parse_feeds(batch_df, keep_cols=("host",)).filter(
+            is_fetchable(F.col("url"))
+        )
         seeds = entries.select(
             "url",
             F.lit("GET").alias("method"),

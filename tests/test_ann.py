@@ -240,3 +240,15 @@ def test_pair_cosine_screen_drops_vector_columns(spark):
     )
     out = pair_cosine_screen(df, "img", "txt")
     assert out.columns == ["pair_id", "meta", "cos", "keep"]
+
+
+def test_linear_head_score_raises_on_dim_mismatch(spark):
+    import pytest
+
+    from dotnetspider_spark.operators.ann import linear_head_score
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        linear_head_score(df, [0.1, 0.2]).collect()

@@ -80,3 +80,27 @@ def test_parse_feeds_dataframe_explode(spark):
         ("h.example", "http://h.example/1", 0),
         ("h.example", "http://h.example/2", 1),
     ]
+
+
+def test_rss_item_level_atom_link_does_not_clobber():
+    xml = (
+        '<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">'
+        "<channel><item>"
+        "<link>http://a.example/p1</link>"
+        '<atom:link rel="standout" href="http://a.example/feed"/>'
+        "</item></channel></rss>"
+    )
+    (e,) = _parse_feed(xml)
+    assert e["url"] == "http://a.example/p1"
+
+
+def test_naive_rfc822_dates_pin_utc():
+    xml = (
+        '<rss version="2.0"><channel><item>'
+        "<link>http://a.example/1</link>"
+        "<pubDate>Wed, 01 Jan 2020 00:00:05 -0000</pubDate>"
+        "</item></channel></rss>"
+    )
+    (e,) = _parse_feed(xml)
+    # '-0000' parses naive; must be pinned to UTC, not worker-local tz
+    assert e["published"] == 1577836805

@@ -182,3 +182,31 @@ def test_x_robots_scoped_whitespace_variants(spark):
         "p3": (True, True),
         "p4": (False, False),
     }
+
+
+def test_x_robots_value_prefix_scope_covers_all_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.functions.linkpolicy import x_robots_directives
+
+    df = spark.createDataFrame(
+        [
+            # scope is a VALUE prefix: both tokens are googlebot's
+            ("p1", "googlebot: noindex, nofollow"),
+            ("p2", "dotnetspider: noindex, nofollow"),
+            # ':'-carrying DIRECTIVE is not an agent scope
+            ("p3", "unavailable_after: 25 Jun 2030 15:00:00 GMT, noindex"),
+        ],
+        "url string, xr string",
+    )
+    got = {
+        r["url"]: (r["d"]["noindex"], r["d"]["nofollow"])
+        for r in df.select(
+            "url", x_robots_directives(F.col("xr")).alias("d")
+        ).collect()
+    }
+    assert got == {
+        "p1": (False, False),
+        "p2": (True, True),
+        "p3": (True, False),
+    }

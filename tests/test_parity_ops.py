@@ -310,3 +310,31 @@ def test_select_fetch_batch_ip_matches_naive_windows(spark):
     }
     assert got == want
     assert any(h == "h11" and ip == "h11" for h, _, _, ip, _ in got)
+
+
+def test_select_fetch_batch_ip_deterministic_on_cross_host_seq_ties(spark):
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.operators.frontier import select_fetch_batch_ip
+
+    # h1 and h2 share ip0 and EVERY seq collides across them
+    rows = [(f"h{j}", f"http://h{j}/u{i}", 0, i) for j in (1, 2)
+            for i in range(6)]
+    fr = spark.createDataFrame(
+        rows, "host string, url string, priority int, seq long"
+    )
+    host_ip = spark.createDataFrame(
+        [("h1", "ip0"), ("h2", "ip0")], "host string, ip string"
+    )
+    picks = [
+        sorted(
+            (r["host"], r["seq"], r["ip_rank"])
+            for r in select_fetch_batch_ip(
+                fr, host_ip, per_host_limit=4, per_ip_limit=3, dfs=False
+            ).collect()
+        )
+        for _ in range(3)
+    ]
+    assert picks[0] == picks[1] == picks[2]
+    # total order (seq asc, host asc): seq 0 h1, seq 0 h2, seq 1 h1
+    assert picks[0] == [("h1", 0, 1), ("h1", 1, 3), ("h2", 0, 2)]

@@ -417,3 +417,26 @@ def test_stream_feeds_dedup_and_freshness_seq(spark, tmp_path):
     # published epochs become seq: fresher entry polls first under DFS
     assert rows["http://a.example/p1"] > rows["http://a.example/p2"] > 0
     assert spark.read.parquet(str(tmp_path / "seen")).count() == 3
+
+
+def test_stream_feeds_gates_unfetchable_entries(spark, tmp_path):
+    from dotnetspider_spark.streaming.ingest import stream_feeds_into_frontier
+
+    feed_dir = tmp_path / "feeds"
+    feed_dir.mkdir()
+    rss = (
+        '<rss version="2.0"><channel>'
+        "<item><link>http://a.example/ok</link></item>"
+        "<item><link>mailto:ed@a.example</link></item>"
+        "<item><link>/relative/path</link></item>"
+        "</channel></rss>"
+    )
+    spark.createDataFrame([("a.example", rss)], "host string, feed_xml string") \
+        .coalesce(1).write.parquet(str(feed_dir / "f1"))
+    q = stream_feeds_into_frontier(
+        spark, f"{feed_dir}/*", str(tmp_path / "fr"),
+        str(tmp_path / "seen"), str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    urls = [r["url"] for r in spark.read.parquet(str(tmp_path / "fr")).collect()]
+    assert urls == ["http://a.example/ok"]

@@ -133,3 +133,14 @@ def test_phash_blocklist_screen_matches_brute_force(spark):
     assert got == want
     assert got[7] == (True, 0) and got[20] == (True, 3)
     assert got[33] == (True, 4) and got[50][0] in (False, True)
+
+
+def test_phash_blocklist_rejects_uncovered_hamming(spark):
+    import pytest
+
+    from dotnetspider_spark.operators.validate import phash_blocklist_screen
+
+    idf = spark.createDataFrame([(1, 5)], "image_id long, phash long")
+    bdf = spark.createDataFrame([(5,)], "phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_blocklist_screen(idf, bdf, max_hamming=6)
