@@ -310,3 +310,31 @@ def test_entity_extraction_uses_post_redirect_html(spark):
     items = res.items["cap"].collect()
     assert len(items) == 1, "redirected page extracted nothing"
     assert items[0].caption  # the TARGET page's caption, not the stub's
+
+
+def test_add_feeds_seeds_crawl_with_freshness_order(spark, corpus):
+    """Spider.add_feeds: feed entries seed the crawl (fetchability-
+    gated) and composable with add_seeds."""
+    rss = (
+        '<rss version="2.0"><channel>'
+        f"<item><link>{page_url(2, CFG)}</link>"
+        "<pubDate>Wed, 01 Jan 2020 00:01:00 GMT</pubDate></item>"
+        "<item><link>mailto:x@y.example</link></item>"
+        f"<item><link>{page_url(3, CFG)}</link>"
+        "<pubDate>Wed, 01 Jan 2020 00:00:00 GMT</pubDate></item>"
+        "</channel></rss>"
+    )
+    feeds = spark.createDataFrame(
+        [("h", rss)], "host string, feed_xml string"
+    )
+    res = (
+        Spider(spark)
+        .add_feeds(feeds)
+        .add_seeds([page_url(1, CFG)])
+        .set_corpus(corpus)
+        .depth(1)
+        .run()
+    )
+    urls = {r.url for r in res.crawl.fetched.select("url").collect()}
+    assert {page_url(1, CFG), page_url(2, CFG), page_url(3, CFG)} <= urls
+    assert not any(u.startswith("mailto:") for u in urls)
