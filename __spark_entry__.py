@@ -1515,6 +1515,40 @@ def q_recrawl_priority_batch(spark, sf_dir):
     )
 
 
+
+def q_warc_revisit_records(spark, sf_dir):
+    # WARC revisit classification (archive.revisit_records — the IIPC
+    # identical-payload-digest profile Common Crawl/IA write instead of
+    # re-storing unchanged bodies): 3 captures per URL; the digest
+    # changes at the 3rd capture for every 3rd url, so those become new
+    # 'response' records while true re-captures become 'revisit' rows
+    # referencing the original timestamp, with saved_bytes accounting.
+    from dotnetspider_spark.operators.archive import revisit_records
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    caps = d.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    ).select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string")).alias(
+            "url"
+        ),
+        (F.col("doc_id") * 100 + F.col("j")).cast("long").alias("ts"),
+        F.md5(
+            F.concat(
+                F.when(
+                    (F.col("doc_id") % 3 == 0) & (F.col("j") == 2),
+                    F.lit("v2|"),
+                ).otherwise(F.lit("v1|")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("digest"),
+        (1000 + F.col("doc_id")).cast("long").alias("size"),
+    )
+    return revisit_records(caps, size_col="size")
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3474,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_blocklist_screen": q_phash_blocklist_screen,
         "pairs_pack_budget": q_pairs_pack_budget,
         "recrawl_priority_batch": q_recrawl_priority_batch,
+        "warc_revisit_records": q_warc_revisit_records,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4725,6 +4760,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM fr)
             SELECT url, host, CAST(priority AS BIGINT) AS priority, host_rank
             FROM w WHERE host_rank <= 3
+        """,
+        "warc_revisit_records": """
+            WITH caps AS (
+                SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                           || '.example/p' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       CAST(doc_id * 100 + j AS BIGINT) AS ts,
+                       md5(CASE WHEN doc_id % 3 = 0 AND j = 2 THEN 'v2|'
+                                ELSE 'v1|' END
+                           || CAST(doc_id AS VARCHAR)) AS digest,
+                       CAST(1000 + doc_id AS BIGINT) AS sz
+                FROM documents, (SELECT unnest([0, 1, 2]) AS j)
+                WHERE doc_id < 300),
+            f AS (
+                SELECT url, ts, sz,
+                       min(ts) OVER (PARTITION BY url, digest) AS first_ts
+                FROM caps)
+            SELECT url, ts,
+                   CASE WHEN ts = first_ts THEN 'response'
+                        ELSE 'revisit' END AS kind,
+                   CASE WHEN ts <> first_ts THEN first_ts END AS ref_ts,
+                   CAST(CASE WHEN ts <> first_ts THEN sz ELSE 0 END
+                        AS BIGINT) AS saved_bytes
+            FROM f
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

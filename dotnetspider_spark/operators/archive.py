@@ -27,7 +27,7 @@ makes each operator oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCHEME = r"^[a-z][a-z0-9+.-]*://"
@@ -191,3 +191,49 @@ def mirror_hosts(
             (F.col("n_shared") >= min_shared) & (containment >= threshold)
         ).alias("mirror"),
     )
+
+
+def revisit_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    size_col: str | None = None,
+) -> DataFrame:
+    """WARC ``revisit`` classification (ISO 28500 / IIPC
+    identical-payload-digest profile — what Common Crawl and the
+    Internet Archive write instead of re-storing an unchanged body):
+    the FIRST capture of each (url, digest) is a full ``response``
+    record; every later capture with the same digest becomes a
+    ``revisit`` referencing the original's timestamp.
+
+    Shape: one window keyed (url, digest) ordered by ts — captures of
+    one URL land in one partition group (bounded by that URL's capture
+    count, thousands at worst, never corpus-scale). When ``size_col``
+    is given, ``saved_bytes`` reports what the revisit record avoids
+    re-storing. Emits (url, ts, kind, ref_ts[, saved_bytes]).
+    """
+    w = Window.partitionBy(url_col, digest_col).orderBy(
+        F.col(ts_col).asc()
+    )
+    first_ts = F.first(ts_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = captures.withColumn("__first_ts", first_ts).select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.when(F.col(ts_col) == F.col("__first_ts"), "response")
+        .otherwise("revisit")
+        .alias("kind"),
+        F.when(F.col(ts_col) != F.col("__first_ts"), F.col("__first_ts"))
+        .alias("ref_ts"),
+        *([F.col(size_col)] if size_col else []),
+    )
+    if size_col:
+        out = out.withColumn(
+            "saved_bytes",
+            F.when(F.col("kind") == "revisit", F.col(size_col))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).drop(size_col)
+    return out

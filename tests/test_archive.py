@@ -144,3 +144,27 @@ def test_mirror_hosts_singleton_fps_never_pair(spark):
         "host string, fingerprint string",
     )
     assert mirror_hosts(df).count() == 0
+
+
+def test_revisit_records_reference_first_capture(spark):
+    from dotnetspider_spark.operators.archive import revisit_records
+
+    caps = spark.createDataFrame(
+        [
+            ("u", 10, "d1", 100),
+            ("u", 20, "d1", 100),   # revisit of ts=10
+            ("u", 30, "d2", 120),   # content changed: new response
+            ("u", 40, "d1", 100),   # back to d1: revisit of ts=10
+            ("v", 5, "d1", 50),     # same digest, other url: response
+        ],
+        "url string, ts long, digest string, size long",
+    )
+    got = {
+        (r["url"], r["ts"]): (r["kind"], r["ref_ts"], r["saved_bytes"])
+        for r in revisit_records(caps, size_col="size").collect()
+    }
+    assert got[("u", 10)] == ("response", None, 0)
+    assert got[("u", 20)] == ("revisit", 10, 100)
+    assert got[("u", 30)] == ("response", None, 0)
+    assert got[("u", 40)] == ("revisit", 10, 100)
+    assert got[("v", 5)] == ("response", None, 0)
