@@ -1549,6 +1549,52 @@ def q_warc_revisit_records(spark, sf_dir):
     return revisit_records(caps, size_col="size")
 
 
+
+def q_aspect_resize_plan(spark, sf_dir):
+    # scale-then-center-crop planning (images.aspect_resize_plan, the
+    # SDXL-style post-bucket preprocessing): deterministic (w, h) and a
+    # 3-bucket rotation; the oracle replays the identical IEEE double
+    # expression (greatest of ratios, round, centered floor crop) so a
+    # single ULP or rounding-rule divergence fails the hash.
+    from dotnetspider_spark.operators.images import aspect_resize_plan
+
+    d = _t(spark, sf_dir, "documents")
+    assigned = d.select(
+        F.col("doc_id").alias("image_id"),
+        (64 + (F.col("doc_id") * 7) % 1985).cast("int").alias("w"),
+        (64 + (F.col("doc_id") * 13) % 1985).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 3 == 0, 512)
+        .when(F.col("doc_id") % 3 == 1, 640)
+        .otherwise(384)
+        .cast("int")
+        .alias("bucket_w"),
+        F.when(F.col("doc_id") % 3 == 0, 512)
+        .when(F.col("doc_id") % 3 == 1, 384)
+        .otherwise(640)
+        .cast("int")
+        .alias("bucket_h"),
+    )
+    return aspect_resize_plan(assigned)
+
+
+def q_contrastive_batches(spark, sf_dir):
+    # same-source-free contrastive batch assignment (images.
+    # contrastive_batches): batch = salted-hash rank within host, so a
+    # batch never holds two same-host items (CLIP-style in-batch
+    # negatives must not be near-duplicates from one site). Oracle
+    # replays the portable-hash window.
+    from dotnetspider_spark.operators.images import contrastive_batches
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("image_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "host"
+        ),
+    )
+    return contrastive_batches(pairs)
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3509,6 +3555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_pack_budget": q_pairs_pack_budget,
         "recrawl_priority_batch": q_recrawl_priority_batch,
         "warc_revisit_records": q_warc_revisit_records,
+        "aspect_resize_plan": q_aspect_resize_plan,
+        "contrastive_batches": q_contrastive_batches,
         "docs_stratified_sample": q_docs_stratified_sample,
         "docs_lm_score": q_docs_lm_score,
         "url_blocklist_filter": q_url_blocklist_filter,
@@ -4784,6 +4832,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ts <> first_ts THEN sz ELSE 0 END
                         AS BIGINT) AS saved_bytes
             FROM f
+        """,
+        "aspect_resize_plan": """
+            WITH a AS (
+                SELECT doc_id AS image_id,
+                       CAST(64 + (doc_id * 7) % 1985 AS INTEGER) AS w,
+                       CAST(64 + (doc_id * 13) % 1985 AS INTEGER) AS h,
+                       CAST(CASE doc_id % 3 WHEN 0 THEN 512 WHEN 1 THEN 640
+                            ELSE 384 END AS INTEGER) AS bucket_w,
+                       CAST(CASE doc_id % 3 WHEN 0 THEN 512 WHEN 1 THEN 384
+                            ELSE 640 END AS INTEGER) AS bucket_h
+                FROM documents),
+            r AS (
+                SELECT *,
+                       greatest(CAST(bucket_w AS DOUBLE) / w,
+                                CAST(bucket_h AS DOUBLE) / h) AS scale
+                FROM a),
+            z AS (
+                SELECT image_id, w, h, bucket_w, bucket_h,
+                       greatest(CAST(round(w * scale) AS INTEGER),
+                                bucket_w) AS resize_w,
+                       greatest(CAST(round(h * scale) AS INTEGER),
+                                bucket_h) AS resize_h
+                FROM r)
+            SELECT image_id, w, h, bucket_w, bucket_h,
+                   CAST(resize_w AS INTEGER) AS resize_w,
+                   CAST(resize_h AS INTEGER) AS resize_h,
+                   CAST(floor((resize_w - bucket_w) / 2.0) AS INTEGER)
+                       AS crop_x,
+                   CAST(floor((resize_h - bucket_h) / 2.0) AS INTEGER)
+                       AS crop_y
+            FROM z
+        """,
+        "contrastive_batches": """
+            WITH p AS (
+                SELECT doc_id AS image_id,
+                       'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                       CAST(concat('0x', substr(md5('cb|'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           AS hv
+                FROM documents)
+            SELECT image_id, host,
+                   CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY hv ASC, image_id ASC) - 1 AS BIGINT)
+                       AS batch
+            FROM p
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -540,3 +540,74 @@ def vit_token_costs(
     if max_tokens is not None:
         out = out.withColumn("fits", F.col("tokens") <= max_tokens)
     return out
+
+
+def aspect_resize_plan(
+    assigned: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    bw_col: str = "bucket_w",
+    bh_col: str = "bucket_h",
+) -> DataFrame:
+    """Deterministic scale-then-center-crop plan for aspect-bucketed
+    training (the SDXL-style preprocessing step after bucket
+    assignment): scale by max(bucket_w/w, bucket_h/h) so the shorter
+    relative side fills the bucket, round the resized dims, then crop
+    the centered bucket window.
+
+    Pure JVM arithmetic on metadata — the actual resample runs in the
+    (sandbox-stubbed) codec stage; THIS is the part that must be
+    reproducible across engines, because crop offsets change pixels
+    and therefore every downstream phash/PSNR check. Emits
+    (resize_w, resize_h, crop_x, crop_y) alongside the input columns.
+    """
+    scale = F.greatest(
+        F.col(bw_col) / F.col(w_col), F.col(bh_col) / F.col(h_col)
+    )
+    rw = F.round(F.col(w_col) * scale).cast("int")
+    rh = F.round(F.col(h_col) * scale).cast("int")
+    return (
+        assigned.withColumn("resize_w", F.greatest(rw, F.col(bw_col)))
+        .withColumn("resize_h", F.greatest(rh, F.col(bh_col)))
+        .withColumn(
+            "crop_x",
+            F.floor((F.col("resize_w") - F.col(bw_col)) / 2).cast("int"),
+        )
+        .withColumn(
+            "crop_y",
+            F.floor((F.col("resize_h") - F.col(bh_col)) / 2).cast("int"),
+        )
+    )
+
+
+def contrastive_batches(
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    host_col: str = "host",
+    seed: str = "cb",
+) -> DataFrame:
+    """Same-source-free batch assignment for contrastive training:
+    in-batch negatives from the SAME site are often near-duplicates or
+    stylistically correlated (CLIP-style training treats every other
+    item in the batch as a negative, so same-host items poison the
+    loss). Assign batch = the item's deterministic rank WITHIN its
+    host — batch b then holds at most one item per host by
+    construction.
+
+    One host-keyed window whose partitions are single-host row sets
+    (bounded by domain_quota upstream at the design point); rank order
+    is a portable salted hash so batches are stable across runs and
+    engines. Batches near max(per-host count) get sparse — feed
+    through ``domain_quota`` first to bound the tail.
+    """
+    from .textdedup import _hash64
+
+    h = _hash64(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(host_col).orderBy(h.asc(), F.col(id_col).asc())
+    return pairs.select(
+        F.col(id_col),
+        F.col(host_col),
+        (F.row_number().over(w) - 1).cast("long").alias("batch"),
+    )

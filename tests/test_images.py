@@ -357,3 +357,42 @@ def test_vit_token_costs_arithmetic_and_pruning(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain("formatted")
     assert "bytes" not in buf.getvalue().split("Output")[-1][:400]
+
+
+def test_aspect_resize_plan_covers_bucket_and_centers(spark):
+    from dotnetspider_spark.operators.images import aspect_resize_plan
+
+    rows = [(1, 1024, 512, 512, 512), (2, 300, 900, 512, 512),
+            (3, 512, 512, 512, 512)]
+    df = spark.createDataFrame(
+        rows, "image_id long, w int, h int, bucket_w int, bucket_h int"
+    )
+    got = {r["image_id"]: r for r in aspect_resize_plan(df).collect()}
+    for _id, w, h, bw, bh in rows:
+        r = got[_id]
+        # resized always covers the bucket window
+        assert r["resize_w"] >= bw and r["resize_h"] >= bh
+        # crop window fits and is centered
+        assert 0 <= r["crop_x"] <= r["resize_w"] - bw
+        assert abs((r["resize_w"] - bw) - 2 * r["crop_x"]) <= 1
+    assert (got[1]["resize_w"], got[1]["resize_h"]) == (1024, 512)
+    assert got[3]["crop_x"] == 0 and got[3]["crop_y"] == 0
+
+
+def test_contrastive_batches_never_repeat_host_in_batch(spark):
+    from dotnetspider_spark.operators.images import contrastive_batches
+
+    pairs = spark.createDataFrame(
+        [(i, f"h{i % 4}") for i in range(40)], "image_id long, host string"
+    )
+    rows = contrastive_batches(pairs).collect()
+    seen = set()
+    for r in rows:
+        key = (r["batch"], r["host"])
+        assert key not in seen, "same host twice in one batch"
+        seen.add(key)
+    # deterministic across invocations
+    again = contrastive_batches(pairs).collect()
+    assert {(r["image_id"], r["batch"]) for r in rows} == {
+        (r["image_id"], r["batch"]) for r in again
+    }
