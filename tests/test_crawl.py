@@ -864,3 +864,29 @@ def test_invalid_urls_degrade_instead_of_aborting(spark):
     assert verdicts["http://h.example/fine"] is True
     assert verdicts["http://h.example/a b"] is True
     assert verdicts["http://h.example/100%"] is True
+
+
+def test_all_optin_defenses_compose(spark, small_corpus):
+    """honor_link_policy + trap_guard + adaptive_backoff together: the
+    three opt-in defenses run in the SAME iteration pipeline (policy
+    swaps the parse UDF, the guard filters discovered children, the
+    backoff rewrites budgets) — this pins that their composition
+    executes end-to-end and converges, and that the result is a subset
+    of the policy-only crawl (the guard and backoff only ever REMOVE
+    or DELAY work, never invent it)."""
+    seeds = gen_seeds(spark, SMALL, k=5)
+    combined = crawl(
+        spark, small_corpus, seeds,
+        CrawlConfig(max_depth=3, honor_link_policy=True, trap_guard=True,
+                    adaptive_backoff=True, max_iterations=30),
+        robots=gen_robots(spark, SMALL),
+    )
+    policy_only = crawl(
+        spark, small_corpus, gen_seeds(spark, SMALL, k=5),
+        CrawlConfig(max_depth=3, honor_link_policy=True, max_iterations=30),
+        robots=gen_robots(spark, SMALL),
+    )
+    got = {r["url"] for r in combined.fetched.select("url").collect()}
+    ref = {r["url"] for r in policy_only.fetched.select("url").collect()}
+    assert got, "combined crawl fetched nothing"
+    assert got <= ref

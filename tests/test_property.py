@@ -312,3 +312,82 @@ def test_policy_children_subset_of_fused_on_soup(html):
         assert list(pol["children"][0]) == fused, (html,)
     else:  # meta-robots nofollow spelled by chance: children must empty
         assert list(pol["children"][0]) == [], (html,)
+
+
+# --- feed parser total-robustness on arbitrary XML-ish soup ------------
+
+_XML_ALPHABET = list('<>/"= abcdefghijklmnopqrstuvwxyz:;&#!-.0123456789\n\t')
+
+
+@given(st.text(alphabet=st.sampled_from(_XML_ALPHABET), max_size=200))
+@example("<rss><channel><item><link>x</link>")
+@example("<feed><entry><link href=")
+@example("<?xml version='1.0'?><rss>&broken;</rss>")
+@settings(max_examples=300, deadline=None)
+def test_feed_parse_never_throws_and_rows_are_well_formed(xml):
+    """A wild feed must never crash the ingest stage: any input yields
+    a (possibly empty) list of dicts whose url is a non-empty string
+    and whose published is int or None."""
+    from dotnetspider_spark.sources.feeds import _parse_feed
+
+    for e in _parse_feed(xml):
+        assert e["url"] and isinstance(e["url"], str)
+        assert e["published"] is None or isinstance(e["published"], int)
+        assert e["kind"] in ("rss", "atom")
+
+
+# --- X-Robots-Tag scope semantics vs a python reference ----------------
+
+_HDR_ALPHABET = list("abcdefgot:,;  nofilwdexvups_-01")
+
+
+def _py_xrobots(value: str) -> tuple[bool, bool]:
+    """Reference: leading 'agent:' scopes the WHOLE value (Google REP
+    docs); unavailable_after is a directive, not an agent."""
+    import re
+
+    v = (value or "").strip().lower()
+    m = re.match(r"^([a-z0-9_.-]+)\s*:", v)
+    if m and m.group(1) != "unavailable_after":
+        if m.group(1) != "dotnetspider":
+            return False, False
+        v = re.sub(r"^[a-z0-9_.-]+\s*:\s*", "", v)
+    toks = {t.strip() for t in v.split(",")}
+    noindex = "noindex" in toks or "none" in toks
+    nofollow = "nofollow" in toks or "none" in toks
+    return noindex, nofollow
+
+
+def test_x_robots_agrees_with_python_reference(spark):
+    """JVM expression vs the python reference over generated headers —
+    evaluated in ONE DataFrame pass (a per-example collect would spin
+    hundreds of Spark jobs)."""
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.functions.linkpolicy import x_robots_directives
+
+    rng = __import__("random").Random(3)
+    vals = [
+        "googlebot: noindex, nofollow",
+        "dotnetspider:none",
+        "DOTNETSPIDER : noindex ,nofollow",
+        "unavailable_after: 1 jan 2031, noindex",
+        "noindex,nofollow",
+        "none",
+        "",
+        "otherbot:none",
+        "nofollow, googlebot: noindex",  # scope must lead the value
+    ] + [
+        "".join(rng.choice(_HDR_ALPHABET) for _ in range(rng.randrange(40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v string")
+    got = {
+        r["i"]: (r["d"]["noindex"], r["d"]["nofollow"])
+        for r in df.select(
+            "i", x_robots_directives(F.col("v")).alias("d")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == _py_xrobots(v), (v,)
