@@ -3613,14 +3613,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "aesthetic_screen": q_aesthetic_screen,
         "docs_epoch_shuffle": q_docs_epoch_shuffle,
+        "ann_ivf_fixed_probe": q_ann_ivf_fixed_probe,
+        "phash_banded_pairs": q_phash_banded_pairs,
+        "image_dedup_keep": q_image_dedup_keep,
         # rows-only (non-SQL-expressible: pandas-UDF codecs / crawl ops)
         "crawl_schedule_iteration": q_crawl_schedule_iteration,
         "payload_validate": q_payload_validate,
         "image_features": q_image_features,
         "phash_neardup": q_phash_neardup,
-        "ann_ivf_fixed_probe": q_ann_ivf_fixed_probe,
-        "phash_banded_pairs": q_phash_banded_pairs,
-        "image_dedup_keep": q_image_dedup_keep,
         "image_dedup_canonical": q_image_dedup_canonical,
         "image_quality_screen": q_image_quality_screen,
         "image_augment": q_image_augment,

@@ -62,3 +62,29 @@ def test_query_matches_oracle(spark, duck, name):
     assert sc == dc
     assert len(sr) == len(dr)
     assert sr == dr
+
+
+def test_registry_and_oracle_alignment():
+    """Driver-contract invariants that rotation mistakes silently break:
+    every oracle key names a registered query, the driver's checked
+    window (first 50) is fully oracle-backed, no duplicate keys, and
+    rows-only entries form a strictly contiguous tail."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    o = em.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    names = list(q)
+    assert len(names) == len(set(names))
+    missing = [n for n in names[:50] if n not in o]
+    assert not missing, missing
+    flags = [n in o for n in names]
+    first_rows_only = flags.index(False)
+    stragglers = [
+        n for n, f in zip(names[first_rows_only:], flags[first_rows_only:])
+        if f
+    ]
+    assert not stragglers, (
+        "oracle-backed entry after the rows-only tail begins: "
+        + str(stragglers)
+    )
