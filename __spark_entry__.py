@@ -2479,13 +2479,18 @@ def q_image_funnel(spark, sf_dir):
             base
         ),
     )
+    # each stage frame is COUNTED twice (rows_out of one stage row,
+    # rows_in of the next) and feeds the next stage's lineage — without
+    # persist every count replays the Python image-encode generator and
+    # the clip decode of all payloads (~4x redundant codec work)
+    pairs = pairs.persist()
     screened = image_caption_screen(
         pairs.select("image_id", "w", "h", "fmt", "caption")
     )
     s1 = pairs.join(
         screened.filter(F.col("keep")).select("image_id"), "image_id", "semi"
-    )
-    s2 = clip_score(s1, threshold=0.5).filter(F.col("keep"))
+    ).persist()
+    s2 = clip_score(s1, threshold=0.5).filter(F.col("keep")).persist()
     s3 = cross_modal_dedup(s2.select("image_id", "phash", "caption"))
 
     def cnt(df):

@@ -613,6 +613,19 @@ def crawl(
     import tempfile
 
     cfg = cfg or CrawlConfig()
+    if cfg.adaptive_backoff and (
+        cfg.global_limit is not None
+        or (cfg.per_host_limit is None and host_delays is None)
+    ):
+        # in these modes no budget column exists for the multiplier to
+        # shrink — backoff would silently be inert while still paying
+        # the per-iteration log read + aggregate; failing loudly beats
+        # a 100%-throttling host being polled at full rate unwarned
+        raise ValueError(
+            "adaptive_backoff needs a per-host budget to act on: set "
+            "per_host_limit (or pass host_delays) and do not combine "
+            "with global_limit"
+        )
     root = cfg.checkpoint_dir or tempfile.mkdtemp(prefix="spark-crawl-state-")
     ckpt = Checkpointer(spark, root)
     bloom_params = None
@@ -756,7 +769,12 @@ def crawl(
             # observation log is fetched (2xx/media) UNION errors —
             # both persisted per iteration with host + status
             logs = [
-                spark.read.parquet(p).select("host", "status")
+                # robots-denied rows log status NULL and were never
+                # SENT — counting them dilutes the throttle rate and
+                # can suppress a deserved cooldown
+                spark.read.parquet(p)
+                .select("host", "status")
+                .filter(F.col("status").isNotNull())
                 for p in (
                     f"{root}/fetched/iter={it - 1}",
                     f"{root}/errors/iter={it - 1}",
@@ -1026,8 +1044,13 @@ def crawl(
             ]
             n_trap_hosts = len(flagged_hosts)
             if flagged_hosts:
+                # NULL-safe: `~NULL.isin(...)` is NULL under 3VL and a
+                # bare filter would silently drop unparseable-host
+                # children (the try_parse_url degradation path) any
+                # iteration the guard fires
                 children = children.filter(
-                    ~F.col("host").isin(flagged_hosts)
+                    F.col("host").isNull()
+                    | ~F.col("host").isin(flagged_hosts)
                 )
 
         # --- 8. dedup-push into next frontier ------------------------

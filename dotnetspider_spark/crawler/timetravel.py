@@ -177,9 +177,14 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
             "errors_paths",
             "downloads_paths",
         ):
-            referenced.update(os.path.normpath(p) for p in m.get(key) or [])
+            # realpath, not normpath: manifests may record the root as
+            # written at CRAWL time ("./ckpt") while expire is called
+            # with an absolute or symlinked spelling — a string compare
+            # would find nothing referenced and delete state the kept
+            # snapshots still need
+            referenced.update(os.path.realpath(p) for p in m.get(key) or [])
         if m.get("seen_table_path"):
-            referenced.add(os.path.normpath(m["seen_table_path"]))
+            referenced.add(os.path.realpath(m["seen_table_path"]))
 
     deleted_dirs: list[str] = []
     for sub in _STATE_SUBDIRS:
@@ -187,8 +192,8 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
         if not os.path.isdir(base):
             continue
         for child in sorted(os.listdir(base)):
-            path = os.path.normpath(f"{base}/{child}")
-            if path not in referenced:
+            path = f"{base}/{child}"
+            if os.path.realpath(path) not in referenced:
                 shutil.rmtree(path, ignore_errors=True)
                 deleted_dirs.append(path)
 

@@ -393,6 +393,7 @@ def pq_train(
     iterations: int = 8,
     seed: int = 42,
     n_sample: int = 65536,
+    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Train an m-subspace, k-centroid product quantizer on a
     deterministic sample (the published faiss practice: PQ codebooks
@@ -406,8 +407,13 @@ def pq_train(
 
     Returns ``codebook[s][j][w]`` (m x k x d/m floats — config-sized;
     broadcast into the encode/search UDFs)."""
-    base = embeddings.select(F.col(vec_col).alias("v")).withColumn(
-        "__h", F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))
+    # hash the REAL id, never monotonically_increasing_id: the physical
+    # row id changes with partition layout, which would make the sample
+    # (hence codebook, hence every PQ code) depend on file splits —
+    # breaking the module's reproducible-across-partitionings contract
+    base = embeddings.select(
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
     )
     rows = base.orderBy("__h").limit(n_sample).select("v").collect()
     X = _mat(pd.Series([r.v for r in rows]))

@@ -48,7 +48,20 @@ def format_warc_record(
     """One WARC/1.0 ``response`` record with an embedded HTTP/1.1
     response (pure function — shared by the test-fixture builder and
     the :mod:`..sinks.warc` writer so written archives are readable by
-    :func:`split_warc_records` byte-for-byte)."""
+    :func:`split_warc_records` byte-for-byte).
+
+    Header values are interpolated into CRLF-delimited framing, so a
+    CR/LF (or a stray control char) inside ``url``/``date``/
+    ``content_type`` would forge extra header lines and corrupt every
+    record after it — crawl-discovered links are CRLF-free by
+    construction, but this is a public sink API: fail loudly."""
+    for name, val in (("url", url), ("date", date),
+                      ("content_type", content_type)):
+        if val is not None and ("\r" in val or "\n" in val):
+            raise ValueError(
+                f"format_warc_record: CR/LF in {name} would corrupt "
+                f"record framing: {val!r}"
+            )
     http = (
         f"HTTP/1.1 {status} X\r\n"
         f"Content-Type: {content_type}\r\n"

@@ -168,3 +168,19 @@ def test_revisit_records_reference_first_capture(spark):
     assert got[("u", 30)] == ("response", None, 0)
     assert got[("u", 40)] == ("revisit", 10, 100)
     assert got[("v", 5)] == ("response", None, 0)
+
+
+def test_format_warc_record_rejects_crlf_header_injection():
+    import pytest
+
+    from dotnetspider_spark.sources.warc import format_warc_record
+
+    with pytest.raises(ValueError, match="framing"):
+        format_warc_record(
+            "http://h/x\r\nWARC-Type: forged", "2020-01-01T00:00:00Z",
+            200, "text/html", b"x",
+        )
+    # clean record still round-trips
+    assert format_warc_record(
+        "http://h/x", "2020-01-01T00:00:00Z", 200, "text/html", b"x"
+    ).startswith(b"WARC/1.0")

@@ -890,3 +890,16 @@ def test_all_optin_defenses_compose(spark, small_corpus):
     ref = {r["url"] for r in policy_only.fetched.select("url").collect()}
     assert got, "combined crawl fetched nothing"
     assert got <= ref
+
+
+def test_adaptive_backoff_rejects_inert_modes(spark):
+    with pytest.raises(ValueError, match="budget"):
+        crawl(
+            spark, None, gen_seeds(spark, TINY, k=1),
+            CrawlConfig(adaptive_backoff=True, global_limit=1),
+        )
+    with pytest.raises(ValueError, match="budget"):
+        crawl(
+            spark, None, gen_seeds(spark, TINY, k=1),
+            CrawlConfig(adaptive_backoff=True, per_host_limit=None),
+        )

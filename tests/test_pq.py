@@ -258,3 +258,12 @@ def test_ivfpq_adc_matches_numpy_replay(spark):
             (r for r in got if r.q_vec_id == qr.vec_id), key=lambda r: r.rn
         )]
         assert want == mine
+
+
+def test_pq_train_sample_invariant_to_partitioning(spark, emb):
+    from dotnetspider_spark.operators.ann import pq_train
+
+    cb1 = pq_train(emb.repartition(2), m=4, k=8, iterations=4, n_sample=300)
+    cb2 = pq_train(emb.repartition(7, "vec_id"), m=4, k=8, iterations=4,
+                   n_sample=300)
+    assert cb1 == cb2

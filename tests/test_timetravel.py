@@ -125,3 +125,30 @@ def test_expire_keeps_newest_readable_and_drops_old(
 def test_expire_rejects_keep_zero(tmp_path):
     with pytest.raises(ValueError):
         expire_snapshots(str(tmp_path), keep_last=0)
+
+
+def test_expire_with_different_root_spelling_keeps_state(
+    spark, corpus, tmp_path_factory
+):
+    """Manifests record paths as spelled at CRAWL time; expiring via a
+    relative spelling of the same root must not delete state the kept
+    snapshot references (regression: normpath string-compare treated
+    every referenced dir as unreferenced)."""
+    import os
+
+    ck = str(tmp_path_factory.mktemp("tt_spell"))
+    res = _run(spark, corpus, ck)
+    snaps = list_snapshots(ck)
+    before = _ids(seen_as_of(spark, ck, snaps[-1]))
+
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(ck))
+    try:
+        rel = os.path.basename(ck)
+        expire_snapshots(rel, keep_last=1)
+    finally:
+        os.chdir(cwd)
+    # kept snapshot fully readable through the ORIGINAL absolute root
+    assert _ids(seen_as_of(spark, ck, snaps[-1])) == before == _ids(res.seen)
+    f = fetched_as_of(spark, ck, snaps[-1])
+    assert f is not None and f.count() > 0
