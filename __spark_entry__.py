@@ -1595,6 +1595,42 @@ def q_contrastive_batches(spark, sf_dir):
     return contrastive_batches(pairs)
 
 
+
+def q_priority_aging_batch(spark, sf_dir):
+    # starvation-guarded priority polling (frontier.aged_priority + the
+    # priority-first batch): rows synthesized with priority doc_id%4
+    # and enqueue iteration doc_id%25; at current_iter=24 waiting rows
+    # gain floor(age/4) capped at 5, and the politeness batch ranks on
+    # the aged value — a permanently-starved low-priority row now
+    # surfaces. Oracle replays the arithmetic + window.
+    from dotnetspider_spark.operators.frontier import (
+        aged_priority,
+        select_fetch_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fr = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 6).cast("string")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 4).cast("int").alias("priority"),
+        (F.col("doc_id") % 25).cast("int").alias("enqueued_iter"),
+        F.col("doc_id").alias("seq"),
+    )
+    aged = aged_priority(fr, current_iter=24, aging_every=4, max_boost=5)
+    batch = select_fetch_batch(
+        aged.withColumn("priority", F.col("eff_priority")),
+        dfs=False, per_host_limit=3, priority_first=True,
+    )
+    return batch.select(
+        "url", "host", F.col("eff_priority").cast("bigint").alias(
+            "eff_priority"
+        ),
+        F.col("host_rank").cast("bigint").alias("host_rank"),
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3560,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairs_pack_budget": q_pairs_pack_budget,
         "recrawl_priority_batch": q_recrawl_priority_batch,
         "warc_revisit_records": q_warc_revisit_records,
+        "priority_aging_batch": q_priority_aging_batch,
         "aspect_resize_plan": q_aspect_resize_plan,
         "contrastive_batches": q_contrastive_batches,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -4882,6 +4919,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY hv ASC, image_id ASC) - 1 AS BIGINT)
                        AS batch
             FROM p
+        """,
+        "priority_aging_batch": """
+            WITH fr AS (
+                SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                       'h' || CAST(doc_id % 6 AS VARCHAR) AS host,
+                       CAST(doc_id % 4
+                            + least(greatest(
+                                  CAST(floor((24 - doc_id % 25) / 4.0)
+                                       AS INTEGER), 0), 5)
+                            AS BIGINT) AS eff_priority,
+                       doc_id AS seq
+                FROM documents),
+            r AS (
+                SELECT url, host, eff_priority,
+                       row_number() OVER (PARTITION BY host
+                           ORDER BY eff_priority DESC, seq ASC) AS host_rank
+                FROM fr)
+            SELECT url, host, eff_priority, host_rank
+            FROM r WHERE host_rank <= 3
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -459,3 +459,38 @@ def select_fetch_batch_ip(
         pre.withColumn("ip_rank", F.row_number().over(w_ip))
         .filter(F.col("ip_rank") <= per_ip_limit)
     )
+
+
+def aged_priority(
+    frontier: DataFrame,
+    current_iter: int,
+    enqueued_col: str = "enqueued_iter",
+    priority_col: str = "priority",
+    aging_every: int = 4,
+    max_boost: int = 100,
+) -> DataFrame:
+    """Starvation guard for priority-first polling: under a pure
+    ``priority desc`` order a steady stream of high-priority
+    discoveries can park low-priority URLs forever (the classic aging
+    fix from OS schedulers, applied to crawl frontiers): effective
+    priority grows by 1 every ``aging_every`` iterations a row has
+    waited, capped at ``max_boost`` so ancient junk cannot outrank
+    genuinely hot work by unbounded amounts.
+
+    Pure map-side integer arithmetic (whole-stage codegen; no shuffle,
+    no state): age derives from the row's enqueue iteration, which the
+    engine already carries. Feed the ``eff_priority`` column into
+    ``select_fetch_batch(priority_first=True)`` in place of priority.
+    """
+    if aging_every <= 0:
+        raise ValueError("aging_every must be positive")
+    boost = F.least(
+        F.floor(
+            (F.lit(current_iter) - F.col(enqueued_col)) / aging_every
+        ).cast("int"),
+        F.lit(max_boost),
+    )
+    return frontier.withColumn(
+        "eff_priority",
+        (F.col(priority_col) + F.greatest(boost, F.lit(0))).cast("int"),
+    )

@@ -338,3 +338,43 @@ def test_select_fetch_batch_ip_deterministic_on_cross_host_seq_ties(spark):
     assert picks[0] == picks[1] == picks[2]
     # total order (seq asc, host asc): seq 0 h1, seq 0 h2, seq 1 h1
     assert picks[0] == [("h1", 0, 1), ("h1", 1, 3), ("h2", 0, 2)]
+
+
+def test_aged_priority_surfaces_starved_rows(spark):
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.operators.frontier import (
+        aged_priority,
+        select_fetch_batch,
+    )
+
+    # one old low-priority row vs a stream of fresh high-priority rows
+    rows = [("h", "http://h/old", 0, 0, 0)] + [
+        ("h", f"http://h/new{i}", 3, 40, 100 + i) for i in range(5)
+    ]
+    fr = spark.createDataFrame(
+        rows,
+        "host string, url string, priority int, enqueued_iter int, seq long",
+    )
+    # without aging the old row never makes a top-3 batch
+    plain = select_fetch_batch(
+        fr, dfs=False, per_host_limit=3, priority_first=True
+    )
+    assert "http://h/old" not in {r["url"] for r in plain.collect()}
+    # with aging (40 iterations waited, boost 10) it outranks priority 3
+    aged = aged_priority(fr, current_iter=40, aging_every=4, max_boost=100)
+    batch = select_fetch_batch(
+        aged.withColumn("priority", F.col("eff_priority")),
+        dfs=False, per_host_limit=3, priority_first=True,
+    )
+    assert "http://h/old" in {r["url"] for r in batch.collect()}
+    # future-enqueued rows (resume clock skew) never get a negative boost
+    got = {
+        r["url"]: r["eff_priority"]
+        for r in aged_priority(fr, current_iter=10).collect()
+    }
+    assert got["http://h/new0"] == 3
+    import pytest
+
+    with pytest.raises(ValueError):
+        aged_priority(fr, current_iter=1, aging_every=0)
