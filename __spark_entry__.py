@@ -1631,6 +1631,49 @@ def q_priority_aging_batch(spark, sf_dir):
     )
 
 
+
+def q_sitemap_closure(spark, sf_dir):
+    # nested sitemapindex expansion (sitemap.expand_sitemaps): per host
+    # a root index points at two child urlsets (one shared with the
+    # NEXT host to exercise the visited gate across seeds); leaves are
+    # the closure of both rounds. Oracle states the leaf set from the
+    # same arithmetic — the XML parse + iterative join sit between.
+    from dotnetspider_spark.sources.sitemap import expand_sitemaps
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    hid = (F.col("doc_id") % 8).cast("string")
+    sid = F.col("doc_id").cast("string")
+    root_url = F.concat(F.lit("http://s"), hid, F.lit(".example/root"), sid,
+                        F.lit(".xml"))
+    setA = F.concat(F.lit("http://s"), hid, F.lit(".example/a"), sid,
+                    F.lit(".xml"))
+    setB = F.concat(F.lit("http://s"), hid, F.lit(".example/b"),
+                    ((F.col("doc_id") + 1) % 120).cast("string"),
+                    F.lit(".xml"))
+    idx = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"), setA,
+        F.lit("</loc></sitemap><sitemap><loc>"), setB,
+        F.lit("</loc></sitemap></sitemapindex>"),
+    )
+    usetA = F.concat(
+        F.lit("<urlset><url><loc>http://s"), hid, F.lit(".example/pa"),
+        sid, F.lit("</loc></url></urlset>"),
+    )
+    usetB = F.concat(
+        F.lit("<urlset><url><loc>http://s"), hid, F.lit(".example/pb"),
+        ((F.col("doc_id") + 1) % 120).cast("string"),
+        F.lit("</loc></url></urlset>"),
+    )
+    corpus = (
+        d.select(root_url.alias("url"), idx.alias("sitemap_xml"))
+        .unionByName(d.select(setA.alias("url"), usetA.alias("sitemap_xml")))
+        .unionByName(d.select(setB.alias("url"), usetB.alias("sitemap_xml")))
+    )
+    seeds = d.select(root_url.alias("url"))
+    leaves = expand_sitemaps(corpus, seeds, max_rounds=3)
+    return leaves.select("host", "url").distinct()
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3597,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority_batch": q_recrawl_priority_batch,
         "warc_revisit_records": q_warc_revisit_records,
         "priority_aging_batch": q_priority_aging_batch,
+        "sitemap_closure": q_sitemap_closure,
         "aspect_resize_plan": q_aspect_resize_plan,
         "contrastive_batches": q_contrastive_batches,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -4938,6 +4982,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM fr)
             SELECT url, host, eff_priority, host_rank
             FROM r WHERE host_rank <= 3
+        """,
+        "sitemap_closure": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+            leaves AS (
+                SELECT 's' || CAST(doc_id % 8 AS VARCHAR) || '.example'
+                           AS host,
+                       'http://s' || CAST(doc_id % 8 AS VARCHAR)
+                           || '.example/pa' || CAST(doc_id AS VARCHAR)
+                           AS url
+                FROM d
+                UNION
+                SELECT 's' || CAST(doc_id % 8 AS VARCHAR) || '.example',
+                       'http://s' || CAST(doc_id % 8 AS VARCHAR)
+                           || '.example/pb'
+                           || CAST((doc_id + 1) % 120 AS VARCHAR)
+                FROM d)
+            SELECT DISTINCT host, url FROM leaves
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -84,3 +84,71 @@ def parse_sitemaps(
         )
         .filter(F.col("url").isNotNull())
     )
+
+
+def expand_sitemaps(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 5,
+    url_col: str = "url",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Recursive ``<sitemapindex>`` expansion to leaf page URLs.
+
+    sitemaps.org caps one file at 50k entries, so large sites nest
+    indexes (index -> sub-indexes -> urlsets); discovery must walk the
+    closure. Each round: pending sitemap URLs join the fetched-corpus
+    table (url, sitemap_xml), parse, leaves accumulate, child sitemaps
+    not yet visited become the next round. Cycles (a sub-index linking
+    back to its parent — seen in the wild) terminate via the visited
+    anti-join, and ``max_rounds`` bounds pathological chains.
+
+    Scale shape: the SITEMAP frontier is tiny relative to pages (a
+    10^10-URL estate is ~200k sitemap files at the 50k cap), so the
+    per-round join keys on a small pending set; visited stays a
+    DataFrame (anti-join, never a driver-side set) and each round's
+    frames are persisted so the loop does not recompute prior rounds
+    through growing lineage. One count() action per round decides
+    termination. ``corpus`` stands in for the fetch stage here exactly
+    like CorpusFetcher does for pages — production feeds the same
+    politeness-budgeted fetch batch this module never performs itself.
+    """
+    spark = corpus.sparkSession
+    pending = seeds.select(F.col(url_col).alias("url")).distinct().persist()
+    visited = pending
+    leaves = None
+    for _ in range(max_rounds):
+        if pending.isEmpty():
+            break
+        docs = pending.join(
+            corpus.select(F.col(url_col).alias("url"), F.col(xml_col)),
+            "url",
+        ).select(
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+            F.col(xml_col),
+        )
+        parsed = parse_sitemaps(docs, "host", xml_col).persist()
+        round_leaves = parsed.filter(F.col("kind") == "url").select(
+            "host", "url", "lastmod", "priority"
+        )
+        leaves = (
+            round_leaves if leaves is None
+            else leaves.unionByName(round_leaves)
+        )
+        children = (
+            parsed.filter(F.col("kind") == "sitemap")
+            .select("url")
+            .distinct()
+        )
+        pending = children.join(visited, "url", "left_anti").persist()
+        visited = visited.unionByName(pending)
+    if leaves is None:
+        return parse_sitemaps(
+            corpus.limit(0).select(
+                F.col(url_col).alias("host"), F.col(xml_col)
+            ),
+            "host", xml_col,
+        ).filter(F.col("kind") == "url").select(
+            "host", "url", "lastmod", "priority"
+        )
+    return leaves

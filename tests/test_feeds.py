@@ -104,3 +104,52 @@ def test_naive_rfc822_dates_pin_utc():
     (e,) = _parse_feed(xml)
     # '-0000' parses naive; must be pinned to UTC, not worker-local tz
     assert e["published"] == 1577836805
+
+
+def _urlset(host, urls):
+    body = "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+    return f'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">{body}</urlset>'
+
+
+def _index(host, subs):
+    body = "".join(f"<sitemap><loc>{s}</loc></sitemap>" for s in subs)
+    return f"<sitemapindex>{body}</sitemapindex>"
+
+
+def test_expand_sitemaps_walks_nested_indexes_and_cycles(spark):
+    from dotnetspider_spark.sources.sitemap import expand_sitemaps
+
+    root = "http://s.example/sitemap.xml"
+    sub1 = "http://s.example/maps/a.xml"
+    sub2 = "http://s.example/maps/b.xml"
+    corpus = spark.createDataFrame(
+        [
+            (root, _index("s.example", [sub1, sub2])),
+            # sub1 is itself an index AND cycles back to root
+            (sub1, _index("s.example", [sub2, root])),
+            (sub2, _urlset("s.example", [
+                "http://s.example/p1", "http://s.example/p2",
+            ])),
+        ],
+        "url string, sitemap_xml string",
+    )
+    seeds = spark.createDataFrame([(root,)], "url string")
+    leaves = expand_sitemaps(corpus, seeds, max_rounds=6)
+    urls = sorted(r["url"] for r in leaves.collect())
+    # sub2 reachable via two paths -> its urlset parses once per fetch
+    # of sub2 (visited-gated), so leaves appear exactly once
+    assert urls == ["http://s.example/p1", "http://s.example/p2"]
+
+
+def test_expand_sitemaps_respects_max_rounds(spark):
+    from dotnetspider_spark.sources.sitemap import expand_sitemaps
+
+    # chain of 4 indexes then a urlset; max_rounds=2 never reaches it
+    chain = [f"http://c.example/m{i}.xml" for i in range(5)]
+    rows = [
+        (chain[i], _index("c.example", [chain[i + 1]])) for i in range(4)
+    ] + [(chain[4], _urlset("c.example", ["http://c.example/leaf"]))]
+    corpus = spark.createDataFrame(rows, "url string, sitemap_xml string")
+    seeds = spark.createDataFrame([(chain[0],)], "url string")
+    assert expand_sitemaps(corpus, seeds, max_rounds=2).count() == 0
+    assert expand_sitemaps(corpus, seeds, max_rounds=6).count() == 1
