@@ -181,10 +181,21 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
             # written at CRAWL time ("./ckpt") while expire is called
             # with an absolute or symlinked spelling — a string compare
             # would find nothing referenced and delete state the kept
-            # snapshots still need
-            referenced.update(os.path.realpath(p) for p in m.get(key) or [])
+            # snapshots still need. realpath alone cannot anchor a
+            # RELATIVE manifest path recorded under a different cwd, so
+            # the (state-subdir, child) suffix rides along as a second
+            # key — under-deleting is the safe direction here.
+            for p in m.get(key) or []:
+                referenced.add(os.path.realpath(p))
+                parts = os.path.normpath(p).split(os.sep)
+                if len(parts) >= 2:
+                    referenced.add((parts[-2], parts[-1]))
         if m.get("seen_table_path"):
-            referenced.add(os.path.realpath(m["seen_table_path"]))
+            p = m["seen_table_path"]
+            referenced.add(os.path.realpath(p))
+            parts = os.path.normpath(p).split(os.sep)
+            if len(parts) >= 2:
+                referenced.add((parts[-2], parts[-1]))
 
     deleted_dirs: list[str] = []
     for sub in _STATE_SUBDIRS:
@@ -193,7 +204,10 @@ def expire_snapshots(root: str, keep_last: int = 2) -> dict:
             continue
         for child in sorted(os.listdir(base)):
             path = f"{base}/{child}"
-            if os.path.realpath(path) not in referenced:
+            if (
+                os.path.realpath(path) not in referenced
+                and (sub.split(os.sep)[-1], child) not in referenced
+            ):
                 shutil.rmtree(path, ignore_errors=True)
                 deleted_dirs.append(path)
 

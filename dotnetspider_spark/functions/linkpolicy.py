@@ -140,30 +140,55 @@ def x_robots_directives(header_value):
     """JVM-side ``X-Robots-Tag`` token split: (noindex, nofollow) bools.
 
     ``header_value`` is the raw header string (possibly comma-joined
-    across repeated headers, per RFC 9110 §5.3). Agent scope covers the
-    WHOLE header value (Google's REP docs: "googlebot: noindex,
-    nofollow" scopes BOTH tokens to googlebot — the scope is a value
-    prefix, not per-token), so a leading "agent:" for a foreign agent
-    ignores every token, and our own agent prefix is stripped before
-    token matching. A leading "unavailable_after:" (a directive that
-    itself contains ':') is NOT an agent scope.
+    across repeated headers, per RFC 9110 §5.3). Google's REP docs:
+    an ``agent:`` prefix opens a scope covering every SUBSEQUENT
+    directive until another agent prefix appears — so
+    "googlebot: noindex, nofollow" scopes both tokens to googlebot,
+    while "googlebot: noindex, dotnetspider: nofollow" (two joined
+    headers) scopes one directive to each agent. Directives that
+    themselves carry ':' (``unavailable_after``, ``max-snippet``,
+    ``max-image-preview``, ``max-video-preview``) never open a scope.
+    Implemented as one JVM ``aggregate`` fold over the token array —
+    a running (scope, noindex, nofollow) state machine, no Python.
     """
-    val = F.trim(F.lower(F.coalesce(header_value, F.lit(""))))
-    # value-prefix agent scope: "name :" where name is not a known
-    # ':'-carrying directive
-    agent = F.regexp_extract(val, r"^([a-z0-9_.-]+)\s*:", 1)
-    scoped = (agent != "") & (agent != "unavailable_after")
-    foreign = scoped & (agent != "dotnetspider")
-    body = F.when(
-        scoped, F.regexp_replace(val, r"^[a-z0-9_.-]+\s*:\s*", "")
-    ).otherwise(val)
-    toks = F.transform(F.split(body, ","), lambda t: F.trim(t))
+    toks = F.transform(
+        F.split(F.lower(F.coalesce(header_value, F.lit(""))), ","),
+        lambda t: F.trim(t),
+    )
+    colon_directives = (
+        "unavailable_after", "max-snippet", "max-image-preview",
+        "max-video-preview",
+    )
 
-    def _tok(name):
-        return ~foreign & F.exists(toks, lambda t: t.isin(name, "none"))
+    def step(acc, t):
+        agent = F.regexp_extract(t, r"^([a-z0-9_.-]+)\s*:", 1)
+        opens = (agent != "") & ~agent.isin(*colon_directives)
+        scope = F.when(opens, agent).otherwise(acc["scope"])
+        payload = F.when(
+            opens, F.trim(F.regexp_replace(t, r"^[a-z0-9_.-]+\s*:\s*", ""))
+        ).otherwise(t)
+        applies = scope.isin("", "dotnetspider")
+        return F.struct(
+            scope.alias("scope"),
+            (acc["noindex"]
+             | (applies & payload.isin("noindex", "none"))).alias("noindex"),
+            (acc["nofollow"]
+             | (applies & payload.isin("nofollow", "none"))).alias(
+                 "nofollow"
+            ),
+        )
 
+    acc = F.aggregate(
+        toks,
+        F.struct(
+            F.lit("").alias("scope"),
+            F.lit(False).alias("noindex"),
+            F.lit(False).alias("nofollow"),
+        ),
+        step,
+    )
     return F.struct(
-        _tok("noindex").alias("noindex"), _tok("nofollow").alias("nofollow")
+        acc["noindex"].alias("noindex"), acc["nofollow"].alias("nofollow")
     )
 
 

@@ -713,13 +713,17 @@ def linear_head_score(
     # zip_with null-pads on length mismatch and the fold propagates the
     # null — a wrong-checkpoint weight vector would silently NULL every
     # score (and a >0 screen would drop the whole corpus). Fail loudly.
-    guarded = F.when(
-        F.size(F.col(vec_col)) == len(weights), dot + F.lit(float(bias))
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"linear_head_score: embedding dim != {len(weights)} weights"
+    # NULL embeddings (e.g. a left join against the vector table) keep
+    # a NULL score — only a PRESENT vector of the wrong length aborts
+    guarded = F.when(F.col(vec_col).isNull(), F.lit(None).cast("double")) \
+        .when(
+            F.size(F.col(vec_col)) == len(weights), dot + F.lit(float(bias))
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"linear_head_score: embedding dim != {len(weights)}"
+                    " weights"
+                )
             )
         )
-    )
     return df.withColumn(out_col, guarded)

@@ -213,21 +213,29 @@ def revisit_records(
     is given, ``saved_bytes`` reports what the revisit record avoids
     re-storing. Emits (url, ts, kind, ref_ts[, saved_bytes]).
     """
+    # row_number, not a ts-equality test: two captures sharing the
+    # group's minimum timestamp (second-resolution WARC dates, merged
+    # crawls) must still yield exactly ONE response record — a
+    # ts == min(ts) comparison emits both as responses and silently
+    # loses the storage saving
     w = Window.partitionBy(url_col, digest_col).orderBy(
-        F.col(ts_col).asc()
+        F.col(ts_col).asc(), *([F.col(size_col).asc()] if size_col else [])
     )
-    first_ts = F.first(ts_col).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = captures.withColumn("__first_ts", first_ts).select(
-        F.col(url_col).alias("url"),
-        F.col(ts_col).alias("ts"),
-        F.when(F.col(ts_col) == F.col("__first_ts"), "response")
-        .otherwise("revisit")
-        .alias("kind"),
-        F.when(F.col(ts_col) != F.col("__first_ts"), F.col("__first_ts"))
-        .alias("ref_ts"),
-        *([F.col(size_col)] if size_col else []),
+    rn = F.row_number().over(w)
+    first_ts = F.min(ts_col).over(Window.partitionBy(url_col, digest_col))
+    out = (
+        captures.withColumn("__rn", rn)
+        .withColumn("__first_ts", first_ts)
+        .select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).alias("ts"),
+            F.when(F.col("__rn") == 1, "response")
+            .otherwise("revisit")
+            .alias("kind"),
+            F.when(F.col("__rn") > 1, F.col("__first_ts")).alias("ref_ts"),
+            *([F.col(size_col)] if size_col else []),
+            F.col("__rn"),
+        )
     )
     if size_col:
         out = out.withColumn(
@@ -236,4 +244,4 @@ def revisit_records(
             .otherwise(F.lit(0))
             .cast("long"),
         ).drop(size_col)
-    return out
+    return out.drop("__rn")

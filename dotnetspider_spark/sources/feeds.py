@@ -99,7 +99,9 @@ def _parse_feed(xml: str | None) -> list[dict]:
                 elif n == "title" and title is None:
                     title = (c.text or "").strip() or None
                 elif n == "pubdate" and pub is None:
-                    pub = c.text
+                    # same non-empty rule: a whitespace-only pubDate
+                    # must not block a later real one
+                    pub = (c.text or "").strip() or None
                 elif n == "guid" and guid is None:
                     guid = (c.text or "").strip() or None
             if link:

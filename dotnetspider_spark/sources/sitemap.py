@@ -22,6 +22,8 @@ keeps the operator oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -113,13 +115,31 @@ def expand_sitemaps(
     like CorpusFetcher does for pages — production feeds the same
     politeness-budgeted fetch batch this module never performs itself.
     """
+    import tempfile
+
     spark = corpus.sparkSession
-    pending = seeds.select(F.col(url_col).alias("url")).distinct().persist()
-    visited = pending
-    leaves = None
+    root = tempfile.mkdtemp(prefix="spark-sitemap-closure-")
+    empty_leaves = parse_sitemaps(
+        corpus.limit(0).select(F.col(url_col).alias("host"), F.col(xml_col)),
+        "host", xml_col,
+    ).filter(F.col("kind") == "url").select(
+        "host", "url", "lastmod", "priority"
+    )
+    # state parquet-round-trips per round (the pagerank/CC convention):
+    # lineage stays one round deep and nothing is left persisted in
+    # executor storage after the function returns
+    seeds.select(F.col(url_col).alias("url")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{root}/pending")
+    spark.read.parquet(f"{root}/pending").write.mode("overwrite").parquet(
+        f"{root}/visited"
+    )
+    empty_leaves.write.mode("overwrite").parquet(f"{root}/leaves")
     for _ in range(max_rounds):
+        pending = spark.read.parquet(f"{root}/pending")
         if pending.isEmpty():
             break
+        visited = spark.read.parquet(f"{root}/visited")
         docs = pending.join(
             corpus.select(F.col(url_col).alias("url"), F.col(xml_col)),
             "url",
@@ -127,28 +147,26 @@ def expand_sitemaps(
             F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
             F.col(xml_col),
         )
-        parsed = parse_sitemaps(docs, "host", xml_col).persist()
-        round_leaves = parsed.filter(F.col("kind") == "url").select(
+        parsed = parse_sitemaps(docs, "host", xml_col)
+        parsed.write.mode("overwrite").parquet(f"{root}/parsed")
+        parsed = spark.read.parquet(f"{root}/parsed")
+        parsed.filter(F.col("kind") == "url").select(
             "host", "url", "lastmod", "priority"
-        )
-        leaves = (
-            round_leaves if leaves is None
-            else leaves.unionByName(round_leaves)
-        )
+        ).write.mode("append").parquet(f"{root}/leaves")
         children = (
             parsed.filter(F.col("kind") == "sitemap")
             .select("url")
             .distinct()
         )
-        pending = children.join(visited, "url", "left_anti").persist()
-        visited = visited.unionByName(pending)
-    if leaves is None:
-        return parse_sitemaps(
-            corpus.limit(0).select(
-                F.col(url_col).alias("host"), F.col(xml_col)
-            ),
-            "host", xml_col,
-        ).filter(F.col("kind") == "url").select(
-            "host", "url", "lastmod", "priority"
-        )
-    return leaves
+        nxt = children.join(visited, "url", "left_anti")
+        nxt.write.mode("overwrite").parquet(f"{root}/pending_next")
+        spark.read.parquet(f"{root}/pending_next").write.mode(
+            "append"
+        ).parquet(f"{root}/visited")
+        # swap pending_next -> pending (a directory rename is atomic on
+        # the local FS; production would use table snapshots)
+        import shutil
+
+        shutil.rmtree(f"{root}/pending")
+        os.rename(f"{root}/pending_next", f"{root}/pending")
+    return spark.read.parquet(f"{root}/leaves")

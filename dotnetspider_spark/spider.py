@@ -78,7 +78,13 @@ class Spider:
         return self
 
     def add_seed_df(self, df: DataFrame) -> "Spider":
-        self._seed_df = df
+        # union, never overwrite: add_feeds() also lands here, and
+        # chain order must not silently discard a seed source
+        self._seed_df = (
+            df
+            if self._seed_df is None
+            else self._seed_df.unionByName(df, allowMissingColumns=True)
+        )
         return self
 
     def add_feeds(self, feeds: DataFrame) -> "Spider":
@@ -110,8 +116,9 @@ class Spider:
             ),
         )
         self._seed_df = (
-            seeds if self._seed_df is None
-            else self._seed_df.unionByName(seeds)
+            seeds
+            if self._seed_df is None
+            else self._seed_df.unionByName(seeds, allowMissingColumns=True)
         )
         return self
 

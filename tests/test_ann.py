@@ -252,3 +252,16 @@ def test_linear_head_score_raises_on_dim_mismatch(spark):
     )
     with pytest.raises(Exception, match="dim"):
         linear_head_score(df, [0.1, 0.2]).collect()
+
+
+def test_linear_head_score_null_embedding_yields_null(spark):
+    from dotnetspider_spark.operators.ann import linear_head_score
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["head_score"]
+        for r in linear_head_score(df, [1.0, 1.0]).collect()
+    }
+    assert abs(got[1] - 3.0) < 1e-9 and got[2] is None

@@ -184,3 +184,16 @@ def test_format_warc_record_rejects_crlf_header_injection():
     assert format_warc_record(
         "http://h/x", "2020-01-01T00:00:00Z", 200, "text/html", b"x"
     ).startswith(b"WARC/1.0")
+
+
+def test_revisit_records_tie_on_min_timestamp_single_response(spark):
+    from dotnetspider_spark.operators.archive import revisit_records
+
+    caps = spark.createDataFrame(
+        [("u", 10, "d1", 100), ("u", 10, "d1", 100), ("u", 20, "d1", 100)],
+        "url string, ts long, digest string, size long",
+    )
+    rows = revisit_records(caps, size_col="size").collect()
+    kinds = sorted(r["kind"] for r in rows)
+    assert kinds == ["response", "revisit", "revisit"]
+    assert sum(r["saved_bytes"] for r in rows) == 200

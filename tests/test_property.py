@@ -342,19 +342,29 @@ _HDR_ALPHABET = list("abcdefgot:,;  nofilwdexvups_-01")
 
 
 def _py_xrobots(value: str) -> tuple[bool, bool]:
-    """Reference: leading 'agent:' scopes the WHOLE value (Google REP
-    docs); unavailable_after is a directive, not an agent."""
+    """Reference: an 'agent:' token opens a scope covering subsequent
+    directives until the next agent token (Google REP semantics for
+    comma-joined repeated headers); ':'-carrying DIRECTIVES never open
+    a scope."""
     import re
 
-    v = (value or "").strip().lower()
-    m = re.match(r"^([a-z0-9_.-]+)\s*:", v)
-    if m and m.group(1) != "unavailable_after":
-        if m.group(1) != "dotnetspider":
-            return False, False
-        v = re.sub(r"^[a-z0-9_.-]+\s*:\s*", "", v)
-    toks = {t.strip() for t in v.split(",")}
-    noindex = "noindex" in toks or "none" in toks
-    nofollow = "nofollow" in toks or "none" in toks
+    colon_dirs = {
+        "unavailable_after", "max-snippet", "max-image-preview",
+        "max-video-preview",
+    }
+    scope = ""
+    noindex = nofollow = False
+    for t in (value or "").lower().split(","):
+        t = t.strip()
+        m = re.match(r"^([a-z0-9_.-]+)\s*:", t)
+        if m and m.group(1) not in colon_dirs:
+            scope = m.group(1)
+            t = re.sub(r"^[a-z0-9_.-]+\s*:\s*", "", t).strip()
+        if scope in ("", "dotnetspider"):
+            if t in ("noindex", "none"):
+                noindex = True
+            if t in ("nofollow", "none"):
+                nofollow = True
     return noindex, nofollow
 
 
@@ -376,7 +386,10 @@ def test_x_robots_agrees_with_python_reference(spark):
         "none",
         "",
         "otherbot:none",
-        "nofollow, googlebot: noindex",  # scope must lead the value
+        "nofollow, googlebot: noindex",  # unscoped first token honored
+        "googlebot: noindex, dotnetspider: nofollow",  # per-scope split
+        "max-image-preview:large, noindex",  # ':' directive, not agent
+        "googlebot: noindex, nofollow",  # scope covers later tokens
     ] + [
         "".join(rng.choice(_HDR_ALPHABET) for _ in range(rng.randrange(40)))
         for _ in range(200)

@@ -338,3 +338,19 @@ def test_add_feeds_seeds_crawl_with_freshness_order(spark, corpus):
     urls = {r.url for r in res.crawl.fetched.select("url").collect()}
     assert {page_url(1, CFG), page_url(2, CFG), page_url(3, CFG)} <= urls
     assert not any(u.startswith("mailto:") for u in urls)
+
+
+def test_add_seed_df_after_add_feeds_keeps_both(spark, corpus):
+    rss = (
+        f'<rss version="2.0"><channel><item><link>{page_url(2, CFG)}'
+        "</link></item></channel></rss>"
+    )
+    feeds = spark.createDataFrame([("h", rss)], "host string, feed_xml string")
+    seed_df = spark.createDataFrame([(page_url(0, CFG), 0)],
+                                    "url string, seq long")
+    res = (
+        Spider(spark).add_feeds(feeds).add_seed_df(seed_df)
+        .set_corpus(corpus).depth(1).run()
+    )
+    urls = {r.url for r in res.crawl.fetched.select("url").collect()}
+    assert {page_url(0, CFG), page_url(2, CFG)} <= urls
