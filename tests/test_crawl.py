@@ -903,3 +903,36 @@ def test_adaptive_backoff_rejects_inert_modes(spark):
             spark, None, gen_seeds(spark, TINY, k=1),
             CrawlConfig(adaptive_backoff=True, per_host_limit=None),
         )
+
+
+def test_empty_seed_frame_converges_immediately(spark, tiny_corpus):
+    from dotnetspider_spark.testing.datagen import SEED_SCHEMA
+
+    seeds = spark.createDataFrame([], SEED_SCHEMA)
+    res = crawl(spark, tiny_corpus, seeds, CrawlConfig(max_iterations=3))
+    assert res.fetched.count() == 0
+    assert res.seen.count() == 0
+
+
+def test_resume_preserves_link_policy_semantics(spark, small_corpus,
+                                                tmp_path_factory):
+    """Kill-and-resume with honor_link_policy on: the resumed crawl
+    must reach the same final state as an uninterrupted policy crawl
+    (the policy-swapped parse UDF and the checkpoint path compose)."""
+    ck = str(tmp_path_factory.mktemp("pol_resume"))
+    kw = dict(max_depth=3, honor_link_policy=True)
+    seeds = gen_seeds(spark, SMALL, k=5)
+    crawl(spark, small_corpus, seeds,
+          CrawlConfig(max_iterations=2, checkpoint_dir=ck, **kw),
+          robots=gen_robots(spark, SMALL))
+    resumed = crawl(spark, small_corpus, gen_seeds(spark, SMALL, k=5),
+                    CrawlConfig(checkpoint_dir=ck, **kw),
+                    robots=gen_robots(spark, SMALL), resume=True)
+    straight = crawl(spark, small_corpus, gen_seeds(spark, SMALL, k=5),
+                     CrawlConfig(**kw), robots=gen_robots(spark, SMALL))
+    assert {r["url"] for r in resumed.fetched.select("url").collect()} == {
+        r["url"] for r in straight.fetched.select("url").collect()
+    }
+    assert {r["identity"] for r in resumed.seen.collect()} == {
+        r["identity"] for r in straight.seen.collect()
+    }
