@@ -197,3 +197,53 @@ def test_revisit_records_tie_on_min_timestamp_single_response(spark):
     kinds = sorted(r["kind"] for r in rows)
     assert kinds == ["response", "revisit", "revisit"]
     assert sum(r["saved_bytes"] for r in rows) == 200
+
+
+def test_archive_replay_extraction_matches_live_pages(spark, tmp_path):
+    """Model re-extraction from an archived crawl (the recrawl-free
+    schema-change workflow: fix the entity model, replay the WARC
+    estate) must yield byte-identical rows to extracting from the live
+    pages — the whole write_warc/read_warc container plus the decode
+    sits between the two paths."""
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.extraction.model import EntityModel, Field, extract
+    from dotnetspider_spark.sinks.warc import write_warc
+    from dotnetspider_spark.sources.warc import read_warc
+
+    pages = spark.range(40).select(
+        F.concat(F.lit("http://a.example/p/"), F.col("id")).alias("url"),
+        F.lit("2020-01-01T00:00:00Z").alias("warc_date"),
+        F.lit(200).alias("http_status"),
+        F.lit("text/html; charset=utf-8").alias("http_content_type"),
+        F.encode(
+            F.concat(
+                F.lit('<html><body><h1 class="t">Item '), F.col("id"),
+                F.lit('</h1><p class="cap">cap '), F.col("id"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("body"),
+    )
+    write_warc(pages, str(tmp_path / "w"), n_shards=3)
+    replayed = read_warc(spark, str(tmp_path / "w") + "/*.warc.gz").select(
+        "url", F.decode("body", "utf-8").alias("html")
+    )
+    live = pages.select("url", F.decode("body", "utf-8").alias("html"))
+    model = EntityModel(
+        name="item",
+        fields=(
+            Field("title", "xpath", "//h1[@class='t']/text()"),
+            Field("caption", "css", "p.cap"),
+            Field("page", "regex", r"/p/(\d+)", dtype="bigint", source="url"),
+        ),
+    )
+    got = {
+        (r["page"], r["title"], r["caption"])
+        for r in extract(model, replayed).collect()
+    }
+    want = {
+        (r["page"], r["title"], r["caption"])
+        for r in extract(model, live).collect()
+    }
+    assert got == want and len(got) == 40
