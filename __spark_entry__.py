@@ -1674,6 +1674,43 @@ def q_sitemap_closure(spark, sf_dir):
     return leaves.select("host", "url").distinct()
 
 
+
+def q_robots_refetch_due(spark, sf_dir):
+    # RFC 9309 §2.4 robots-cache expiry (frontier.robots_refetch_due):
+    # a synthetic append-only robots fetch log (1-3 fetches per host,
+    # ages spread around the 24 h TTL) -> per-host last fetch, age and
+    # due flag. Oracle replays the max + arithmetic.
+    from dotnetspider_spark.operators.frontier import robots_refetch_due
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    now = 1700000000
+    log = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        (F.lit(now) - (F.col("doc_id") % 50) * 3600).cast("long").alias(
+            "fetched_at"
+        ),
+    )
+    return robots_refetch_due(log, now_epoch=now)
+
+
+def q_crawl_budget_allocation(spark, sf_dir):
+    # global crawl-budget split (frontier.crawl_budget_allocation):
+    # weight = reputation x change_rate from doc arithmetic; budget_i =
+    # max(1, floor(B * w_i / SUM w)) with the sum a single broadcast
+    # scalar. Oracle replays the weighted split exactly.
+    from dotnetspider_spark.operators.frontier import crawl_budget_allocation
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    stats = d.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string")).alias("host"),
+        ((F.col("doc_id") % 10) / 10.0).alias("reputation"),
+        ((F.col("doc_id") % 4) / 4.0).alias("change_rate"),
+    )
+    return crawl_budget_allocation(stats, total_budget=10000)
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3641,6 +3678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit_records": q_warc_revisit_records,
         "priority_aging_batch": q_priority_aging_batch,
         "sitemap_closure": q_sitemap_closure,
+        "robots_refetch_due": q_robots_refetch_due,
+        "crawl_budget_allocation": q_crawl_budget_allocation,
         "aspect_resize_plan": q_aspect_resize_plan,
         "contrastive_batches": q_contrastive_batches,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -4999,6 +5038,31 @@ def oracle_sql() -> dict[str, str]:
                            || CAST((doc_id + 1) % 120 AS VARCHAR)
                 FROM d)
             SELECT DISTINCT host, url FROM leaves
+        """,
+        "robots_refetch_due": """
+            WITH log AS (
+                SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+                       CAST(1700000000 - (doc_id % 50) * 3600 AS BIGINT)
+                           AS fetched_at
+                FROM documents WHERE doc_id < 300)
+            SELECT host,
+                   CAST(max(fetched_at) AS BIGINT) AS last_fetch,
+                   CAST(1700000000 - max(fetched_at) AS BIGINT) AS age_s,
+                   (1700000000 - max(fetched_at) >= 86400) AS due
+            FROM log GROUP BY host
+        """,
+        "crawl_budget_allocation": """
+            WITH st AS (
+                SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+                       (doc_id % 10) / 10.0 * ((doc_id % 4) / 4.0) AS w
+                FROM documents WHERE doc_id < 40),
+            tw AS (SELECT sum(w) AS t FROM st)
+            SELECT host,
+                   CAST(greatest(
+                       floor(10000 * w / CASE WHEN t > 0 THEN t
+                                              ELSE 1.0 END),
+                       1) AS INTEGER) AS budget
+            FROM st, tw
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

@@ -494,3 +494,73 @@ def aged_priority(
         "eff_priority",
         (F.col(priority_col) + F.greatest(boost, F.lit(0))).cast("int"),
     )
+
+
+def robots_refetch_due(
+    fetch_log: DataFrame,
+    now_epoch: int,
+    ttl_s: int = 24 * 3600,
+    host_col: str = "host",
+    ts_col: str = "fetched_at",
+) -> DataFrame:
+    """Which hosts' robots.txt must be refetched before their next
+    batch: RFC 9309 §2.4 allows caching the rules for up to 24 hours
+    (longer only when the file is unreachable), so a long-running crawl
+    cannot keep using the snapshot it fetched on day one.
+
+    Input: the robots fetch log (host, fetched_at epoch seconds —
+    append-only, multiple rows per host across refetches). One
+    host-keyed max() partial agg; emits (host, last_fetch, age_s, due).
+    Hosts absent from the log entirely are due by definition — anti-
+    join the active host list against this table's ``due = false``
+    rows to get the full refetch set.
+    """
+    return (
+        fetch_log.groupBy(F.col(host_col).alias("host"))
+        .agg(F.max(F.col(ts_col)).cast("long").alias("last_fetch"))
+        .withColumn(
+            "age_s", (F.lit(now_epoch) - F.col("last_fetch")).cast("long")
+        )
+        .withColumn("due", F.col("age_s") >= ttl_s)
+    )
+
+
+def crawl_budget_allocation(
+    host_stats: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    weight_cols: tuple = ("reputation", "change_rate"),
+    min_per_host: int = 1,
+) -> DataFrame:
+    """Split a global per-iteration fetch budget across hosts by
+    quality x freshness weight (the crawl-budget allocation search
+    engines describe publicly: high-reputation, frequently-changing
+    sites earn more fetches; junk farms starve to the floor).
+
+    weight = product of ``weight_cols`` (composable: host_reputation's
+    quality prior x crawl_delta's change rate); budget_i =
+    max(min_per_host, floor(total * w_i / SUM w)). The SUM is ONE
+    scalar aggregate broadcast back (same shape as the PageRank
+    dangling mass) — no window over all hosts, no driver loop; feed
+    the result into ``select_fetch_batch(budget_col=...)``.
+    """
+    w = F.lit(1.0)
+    for c in weight_cols:
+        w = w * F.coalesce(F.col(c).cast("double"), F.lit(0.0))
+    weighted = host_stats.select(F.col(host_col).alias("host"), w.alias("__w"))
+    total_w = weighted.agg(F.sum("__w").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(total_w))
+        .select(
+            "host",
+            F.greatest(
+                F.floor(
+                    F.lit(total_budget) * F.col("__w")
+                    / F.when(F.col("tw") > 0, F.col("tw")).otherwise(
+                        F.lit(1.0)
+                    )
+                ).cast("int"),
+                F.lit(min_per_host),
+            ).alias("budget"),
+        )
+    )

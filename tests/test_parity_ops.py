@@ -378,3 +378,43 @@ def test_aged_priority_surfaces_starved_rows(spark):
 
     with pytest.raises(ValueError):
         aged_priority(fr, current_iter=1, aging_every=0)
+
+
+def test_crawl_budget_allocation_shapes_and_floor(spark):
+    from dotnetspider_spark.operators.frontier import crawl_budget_allocation
+
+    stats = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", 0.5, 1.0), ("junk", 0.0, 1.0)],
+        "host string, reputation double, change_rate double",
+    )
+    got = {
+        r["host"]: r["budget"]
+        for r in crawl_budget_allocation(stats, total_budget=300).collect()
+    }
+    # 300 * (1/1.5, 0.5/1.5, 0) floored, junk held at the floor of 1
+    assert got == {"a": 200, "b": 100, "junk": 1}
+    # all-zero weights degrade to the floor everywhere, never divide by 0
+    zeros = stats.withColumn("reputation", stats.reputation * 0)
+    got0 = {
+        r["host"]: r["budget"]
+        for r in crawl_budget_allocation(zeros, total_budget=300).collect()
+    }
+    assert got0 == {"a": 1, "b": 1, "junk": 1}
+
+
+def test_robots_refetch_due_ttl_boundary(spark):
+    from dotnetspider_spark.operators.frontier import robots_refetch_due
+
+    now = 1_000_000
+    log = spark.createDataFrame(
+        [("h1", now - 86400), ("h1", now - 10),   # refetched recently
+         ("h2", now - 86400), ("h3", now - 86401)],
+        "host string, fetched_at long",
+    )
+    got = {
+        r["host"]: (r["age_s"], r["due"])
+        for r in robots_refetch_due(log, now_epoch=now).collect()
+    }
+    assert got["h1"] == (10, False)      # max() wins over the stale row
+    assert got["h2"] == (86400, True)    # exactly TTL -> due
+    assert got["h3"] == (86401, True)
