@@ -1711,6 +1711,38 @@ def q_crawl_budget_allocation(spark, sf_dir):
     return crawl_budget_allocation(stats, total_budget=10000)
 
 
+
+def q_page_expiry_screen(spark, sf_dir):
+    # unavailable_after expiry (linkpolicy.x_robots_unavailable_after +
+    # page_expiry_gate — the REP directive whose date payload the scope
+    # parser deliberately does not treat as an agent): headers carry
+    # "noindex, unavailable_after: <RFC-822 date>" built FROM an epoch
+    # (doc arithmetic) and parsed back JVM-side; the gate keeps rows
+    # with no directive (NULL) or a future expiry. now = the fixture
+    # midpoint so half the dated rows drop.
+    from dotnetspider_spark.functions.linkpolicy import (
+        page_expiry_gate,
+        x_robots_unavailable_after,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    e = F.lit(1800000000) + F.col("doc_id") * 3600
+    hdr = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit("noindex, unavailable_after: "),
+            F.date_format(F.timestamp_seconds(e),
+                          "dd MMM yyyy HH:mm:ss 'GMT'"),
+        ),
+    ).otherwise(F.lit("noindex"))
+    rows = d.select(
+        "doc_id",
+        x_robots_unavailable_after(hdr).alias("expires_at"),
+    )
+    now = 1800000000 + 150 * 3600
+    return page_expiry_gate(rows, now_epoch=now)
+
+
 def q_curation_pipeline(spark, sf_dir):
     # END-TO-END curation flagship: normalize -> exact dedup (keep min
     # id per md5 of normalized text) -> MinHash-band near-dup clustering
@@ -3680,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_closure": q_sitemap_closure,
         "robots_refetch_due": q_robots_refetch_due,
         "crawl_budget_allocation": q_crawl_budget_allocation,
+        "page_expiry_screen": q_page_expiry_screen,
         "aspect_resize_plan": q_aspect_resize_plan,
         "contrastive_batches": q_contrastive_batches,
         "docs_stratified_sample": q_docs_stratified_sample,
@@ -5063,6 +5096,17 @@ def oracle_sql() -> dict[str, str]:
                                               ELSE 1.0 END),
                        1) AS INTEGER) AS budget
             FROM st, tw
+        """,
+        "page_expiry_screen": """
+            WITH r AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN CAST(1800000000 + doc_id * 3600 AS BIGINT)
+                       END AS expires_at
+                FROM documents WHERE doc_id < 300)
+            SELECT doc_id, expires_at FROM r
+            WHERE expires_at IS NULL
+               OR expires_at > 1800000000 + 150 * 3600
         """,
         "curation_pipeline": """
             WITH RECURSIVE d0 AS (

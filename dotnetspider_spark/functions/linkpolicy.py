@@ -228,3 +228,40 @@ def page_policy_table(
         )
         .drop("__pol")
     )
+
+
+def x_robots_unavailable_after(header_value, fmt: str = "dd MMM yyyy HH:mm:ss zzz"):
+    """Epoch seconds of an ``unavailable_after: <date>`` directive
+    (Google REP: the page should stop being served from the index
+    after this time — a training-data pipeline drops it from refresh
+    crawls and curation past expiry). NULL when absent or unparseable.
+
+    JVM-side: token scan for the directive payload + ``to_timestamp``
+    with the header's date format (Google documents RFC 850 and other
+    common date shapes; pass ``fmt`` to match the estate's servers).
+    """
+    toks = F.transform(
+        F.split(F.lower(F.coalesce(header_value, F.lit(""))), ","),
+        lambda t: F.trim(t),
+    )
+    payload = F.array_max(
+        F.transform(
+            F.filter(toks, lambda t: t.startswith("unavailable_after")),
+            lambda t: F.trim(
+                F.regexp_replace(t, r"^unavailable_after\s*:\s*", "")
+            ),
+        )
+    )
+    # try_to_timestamp: a malformed date is a NULL expiry (fail-open —
+    # an unparseable hint must not abort the scan under ANSI mode)
+    return F.unix_timestamp(F.try_to_timestamp(payload, F.lit(fmt))).cast(
+        "long"
+    )
+
+
+def page_expiry_gate(df, now_epoch: int, expiry_col: str = "expires_at"):
+    """Drop rows whose ``unavailable_after`` expiry has passed; rows
+    with no expiry are kept (NULL-safe). Map-only."""
+    return df.filter(
+        F.col(expiry_col).isNull() | (F.col(expiry_col) > F.lit(now_epoch))
+    )

@@ -210,3 +210,34 @@ def test_x_robots_value_prefix_scope_covers_all_tokens(spark):
         "p2": (True, True),
         "p3": (True, False),
     }
+
+
+def test_unavailable_after_parse_and_gate(spark):
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.functions.linkpolicy import (
+        page_expiry_gate,
+        x_robots_unavailable_after,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "noindex, unavailable_after: 01 Jan 2031 00:00:00 GMT"),
+            (2, "unavailable_after: 01 Jan 2020 00:00:00 GMT"),
+            (3, "noindex"),
+            (4, "unavailable_after: not a date"),
+        ],
+        "id long, xr string",
+    )
+    rows = df.select(
+        "id", x_robots_unavailable_after(F.col("xr")).alias("expires_at")
+    )
+    got = {r["id"]: r["expires_at"] for r in rows.collect()}
+    assert got[1] == 1924992000       # 2031-01-01 UTC
+    assert got[2] == 1577836800       # 2020-01-01 UTC
+    assert got[3] is None and got[4] is None
+    kept = {r["id"] for r in page_expiry_gate(rows, now_epoch=1700000000)
+            .collect()}
+    # expired (2) drops; no-directive and unparseable stay (fail-open:
+    # expiry is a hint, absence must not censor the corpus)
+    assert kept == {1, 3, 4}
