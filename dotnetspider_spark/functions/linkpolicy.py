@@ -236,22 +236,25 @@ def x_robots_unavailable_after(header_value, fmt: str = "dd MMM yyyy HH:mm:ss zz
     after this time — a training-data pipeline drops it from refresh
     crawls and curation past expiry). NULL when absent or unparseable.
 
-    JVM-side: token scan for the directive payload + ``to_timestamp``
-    with the header's date format (Google documents RFC 850 and other
+    JVM-side: one regexp over the RAW header + ``to_timestamp`` with
+    the header's date format (Google documents RFC 850 and other
     common date shapes; pass ``fmt`` to match the estate's servers).
+    The date payload may itself contain a comma (the "Friday," /
+    "Fri," weekday prefix of RFC 850 / RFC 1123 dates), so the header
+    must NOT be split on ',' before extraction — the capture admits an
+    optional alphabetic-weekday prefix and then runs to the next
+    directive separator. The weekday is redundant for parsing (and
+    Spark 3+ rejects week-text patterns like ``EEEE``), so it is
+    stripped before ``to_timestamp``: pass a weekday-FREE ``fmt``
+    (default covers RFC 1123; ``dd-MMM-yyyy HH:mm:ss zzz`` for
+    RFC 850).
     """
-    toks = F.transform(
-        F.split(F.lower(F.coalesce(header_value, F.lit(""))), ","),
-        lambda t: F.trim(t),
+    raw = F.lower(F.coalesce(header_value, F.lit("")))
+    payload = F.regexp_extract(
+        raw, r"unavailable_after\s*:\s*((?:[a-z]+\s*,\s*)?[^,]+)", 1
     )
-    payload = F.array_max(
-        F.transform(
-            F.filter(toks, lambda t: t.startswith("unavailable_after")),
-            lambda t: F.trim(
-                F.regexp_replace(t, r"^unavailable_after\s*:\s*", "")
-            ),
-        )
-    )
+    payload = F.regexp_replace(F.trim(payload), r"^[a-z]+\s*,\s*", "")
+    payload = F.when(payload != "", payload)
     # try_to_timestamp: a malformed date is a NULL expiry (fail-open —
     # an unparseable hint must not abort the scan under ANSI mode)
     return F.unix_timestamp(F.try_to_timestamp(payload, F.lit(fmt))).cast(

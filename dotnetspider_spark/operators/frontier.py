@@ -437,9 +437,13 @@ def select_fetch_batch_ip(
         frontier, dfs, per_host_limit, None, salt_buckets, priority_first
     )
     ip_col = F.coalesce(F.col("ip"), F.col("host"))
-    j = batch.join(host_ip.select("host", "ip"), "host", "left").withColumn(
-        "ip", ip_col
-    )
+    # the resolver cache may hold several rows per host (multi-A-record
+    # hosts, stale + fresh entries); joining it raw would duplicate
+    # every surviving frontier row for such hosts and silently exceed
+    # the per-host limit. Collapse to a deterministic one-row-per-host
+    # mapping (min ip) — a tiny-table agg, AQE still broadcasts it.
+    one_ip = host_ip.groupBy("host").agg(F.min("ip").alias("ip"))
+    j = batch.join(one_ip, "host", "left").withColumn("ip", ip_col)
     if per_ip_limit is None:
         return j
     # seq is unique per HOST, not per IP: co-hosted vhosts can tie, and

@@ -241,3 +241,48 @@ def test_unavailable_after_parse_and_gate(spark):
     # expired (2) drops; no-directive and unparseable stay (fail-open:
     # expiry is a hint, absence must not censor the corpus)
     assert kept == {1, 3, 4}
+
+
+def test_unavailable_after_comma_dates(spark):
+    # RFC 850 / RFC 1123 dates carry a "Friday," / "Fri," weekday
+    # prefix — the comma is INSIDE the date payload, so any split of
+    # the header on ',' before extraction truncates the date at the
+    # weekday and the expiry silently never applies (ADVICE r4).
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.functions.linkpolicy import (
+        x_robots_unavailable_after,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # RFC 850, trailing directive after the date
+            (1, "unavailable_after: Friday, 01-Jan-2031 00:00:00 GMT, "
+                "noindex"),
+            # RFC 850, date is the last token
+            (2, "noarchive, unavailable_after: Friday, 01-Jan-2031 "
+                "00:00:00 GMT"),
+        ],
+        "id long, xr string",
+    )
+    got = {
+        r["id"]: r["expires_at"]
+        for r in df.select(
+            "id",
+            x_robots_unavailable_after(
+                F.col("xr"), fmt="dd-MMM-yyyy HH:mm:ss zzz"
+            ).alias("expires_at"),
+        ).collect()
+    }
+    assert got[1] == 1924992000 and got[2] == 1924992000
+
+    df2 = spark.createDataFrame(
+        [(3, "unavailable_after: Fri, 01 Jan 2031 00:00:00 GMT, nofollow")],
+        "id long, xr string",
+    )
+    got2 = df2.select(
+        x_robots_unavailable_after(
+            F.col("xr"), fmt="dd MMM yyyy HH:mm:ss zzz"
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert got2 == 1924992000

@@ -418,3 +418,28 @@ def test_robots_refetch_due_ttl_boundary(spark):
     assert got["h1"] == (10, False)      # max() wins over the stale row
     assert got["h2"] == (86400, True)    # exactly TTL -> due
     assert got["h3"] == (86401, True)
+
+
+def test_select_fetch_batch_ip_dedups_resolver_cache(spark):
+    # A resolver cache with several rows per host (multi-A-record or
+    # stale+fresh entries) must NOT duplicate frontier rows through the
+    # join — the per-host limit would silently be exceeded (ADVICE r4).
+    from pyspark.sql import functions as F
+
+    from dotnetspider_spark.operators.frontier import select_fetch_batch_ip
+
+    fr = spark.createDataFrame(
+        [("h1", f"http://h1/u{i}", 0, i) for i in range(5)],
+        "host string, url string, priority int, seq long",
+    )
+    host_ip = spark.createDataFrame(
+        [("h1", "ip2"), ("h1", "ip0"), ("h1", "ip1")],
+        "host string, ip string",
+    )
+    out = select_fetch_batch_ip(
+        fr, host_ip, per_host_limit=3, per_ip_limit=10, dfs=False
+    ).collect()
+    urls = sorted(r["url"] for r in out)
+    assert urls == ["http://h1/u0", "http://h1/u1", "http://h1/u2"]
+    # deterministic mapping: min(ip) per host
+    assert {r["ip"] for r in out} == {"ip0"}
