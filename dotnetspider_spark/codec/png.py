@@ -8,13 +8,14 @@ zlib; decode handles all five standard filter types so any conforming
 3)`` arrays and is called from pandas UDFs on whole Arrow batches — there
 is no per-row Python at the Spark API level.
 
-JPEG decode is NOT implemented (no codec library in the sandbox). Lossy
-rows in the synthetic corpus use :func:`encode_fakejpeg` — a clearly
-marked deterministic stand-in container (magic ``FJPG``) that stores
-quantized pixels, losing low bits exactly like a high-quality JPEG would
-(PSNR vs the original lands in the 40-55 dB band). Real JPEG bytes raise
-``NotImplementedError`` so the gap is loud, per the driver instruction to
-stub missing media libs while keeping the Spark plumbing real.
+Real baseline JPEG is handled by the sibling pure-Python ITU T.81 codec
+(``codec/jpeg.py``) — ``decode_image`` dispatches on the JPEG SOI magic.
+Lossy rows in the synthetic corpus may also use :func:`encode_fakejpeg`
+— a clearly marked deterministic stand-in container (magic ``FJPG``)
+that stores quantized pixels, losing low bits exactly like a
+high-quality JPEG would (PSNR in the 40-55 dB band) at a fraction of
+the pure-Python DCT cost; it remains the fast path for bulk corpus
+generation, while correctness fixtures exercise the real codec.
 """
 
 from __future__ import annotations
@@ -133,7 +134,9 @@ def encode_fakejpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Dispatch by format tag. Real JPEG is a stub (NotImplementedError)."""
+    """Dispatch by format tag: PNG, real baseline JPEG (codec/jpeg.py,
+    pure-Python ITU T.81), or the FJPG deterministic stand-in container
+    kept for fast synthetic-corpus generation."""
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
@@ -141,11 +144,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
             w, h, _q = struct.unpack(">HHB", data[4:9])
             raw = np.frombuffer(zlib.decompress(data[9:]), np.uint8)
             return raw.reshape(h, w, 3)
-        # real JPEG needs a codec library absent from this container
-        raise NotImplementedError(
-            "real JPEG decode requires an image library not present in the "
-            "sandbox; synthetic corpus uses the FJPG deterministic stand-in"
-        )
+        from dotnetspider_spark.codec.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -58,8 +58,10 @@ def test_fakejpeg_lossy_psnr_band():
     assert 40 <= psnr(img, d50) < psnr(img, d90)
 
 
-def test_real_jpeg_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_corrupt_real_jpeg_raises_valueerror():
+    # garbage after SOI is a corrupt stream, not a stub: fail-closed
+    # signal validate_payloads maps to valid=false
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"0" * 64, "jpeg")
 
 
@@ -79,3 +81,133 @@ def test_phash_fits_int64():
     for seed in range(20):
         v = phash64(_img(seed))
         assert -(1 << 63) <= v < (1 << 63)
+
+
+# ------------------------------------------------------- real JPEG codec
+
+
+def _smooth(shape=(40, 56, 3)):
+    """Gradient + flat patch: representative of photographic content
+    (pure noise is JPEG's worst case and not what a crawl fetches)."""
+    h, w, _ = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(xx * 255 // w), (yy * 255 // h), ((xx + yy) * 255 // (h + w))],
+        axis=2,
+    ).astype(np.uint8)
+    img[h // 4 : h // 2, w // 4 : w // 2] = [200, 40, 90]
+    return img
+
+
+def test_jpeg_roundtrip_psnr_bands():
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth()
+    d95 = decode_jpeg(encode_jpeg(img, 95))
+    d90 = decode_jpeg(encode_jpeg(img, 90))
+    d50 = decode_jpeg(encode_jpeg(img, 50))
+    assert psnr(img, d95) >= 45
+    assert psnr(img, d90) >= 40  # the north-rule lossy invariant band
+    assert psnr(img, d50) < psnr(img, d90) and psnr(img, d50) >= 28
+
+
+def test_jpeg_dispatch_via_decode_image():
+    from dotnetspider_spark.codec.jpeg import encode_jpeg
+
+    img = _smooth((24, 24, 3))
+    data = encode_jpeg(img, 92)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert psnr(img, decode_image(data, "jpeg")) >= 40
+
+
+def test_jpeg_subsample_and_odd_sizes():
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    for (h, w) in ((8, 8), (9, 13), (24, 24), (33, 47), (1, 1), (3, 100)):
+        im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in (False, True):
+            out = decode_jpeg(encode_jpeg(im, 90, subsample=sub))
+            assert out.shape == im.shape
+    img = _smooth((34, 42, 3))  # not multiples of 16
+    d420 = decode_jpeg(encode_jpeg(img, 95, subsample=True))
+    assert psnr(img, d420) >= 30  # chroma halved: looser but sane band
+
+
+def test_jpeg_restart_markers_decode_identically():
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth((40, 56, 3))
+    plain = decode_jpeg(encode_jpeg(img, 90))
+    with_rst = decode_jpeg(encode_jpeg(img, 90, restart_interval=3))
+    # restart markers change the container, not the quantized data
+    assert (plain == with_rst).all()
+
+
+def test_jpeg_progressive_rejected_loudly():
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(_smooth((16, 16, 3)), 90))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_truncated_stream_fails_closed():
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    data = encode_jpeg(_smooth((16, 16, 3)), 90)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:40])  # dies inside the header segments
+
+
+def test_jpeg_interop_with_jvm_imageio(spark):
+    """Cross-validate against javax.imageio — an independent codebase:
+    (a) the JVM decodes our encoder's output, agreeing with our decoder;
+    (b) our decoder parses a real-world JPEG the JVM encoder produced
+    (different Huffman layout, 4:2:0, its own APP segments)."""
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    jvm = spark._jvm
+    img = _smooth((16, 16, 3))
+
+    mine = encode_jpeg(img, 92)
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(mine))
+    bi = jvm.javax.imageio.ImageIO.read(bais)
+    assert bi is not None, "javax.imageio rejected our JPEG"
+    got = np.zeros((16, 16, 3), np.uint8)
+    for y in range(16):
+        for x in range(16):
+            rgb = bi.getRGB(x, y)
+            got[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+    ours = decode_jpeg(mine)
+    assert psnr(ours, got) >= 45  # two decoders of one stream agree
+    assert psnr(img, got) >= 40
+
+    # real-world encoder -> our decoder
+    bio = jvm.java.awt.image.BufferedImage(16, 16, 1)  # TYPE_INT_RGB
+    for y in range(16):
+        for x in range(16):
+            r, g, b = (int(v) for v in img[y, x])
+            bio.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+        "jpg"
+    ).next()
+    param = writer.getDefaultWriteParam()
+    param.setCompressionMode(2)  # MODE_EXPLICIT
+    param.setCompressionQuality(0.95)
+    writer.setOutput(ios)
+    writer.write(
+        None, jvm.javax.imageio.IIOImage(bio, None, None), param
+    )
+    writer.dispose()
+    ios.close()
+    jdata = bytes(baos.toByteArray())
+    dec = decode_jpeg(jdata)
+    assert dec.shape == img.shape
+    assert psnr(img, dec) >= 30  # their 4:2:0 quantization, our decode
