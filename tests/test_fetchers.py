@@ -1050,3 +1050,85 @@ def test_conditional_get_roundtrip_and_304(spark):
     )
     third = f.fetch(stale).collect()[0]
     assert third.status == 200 and third.html == "<html>v1</html>"
+
+
+# ---------------------------------------------- loopback integration
+
+
+def test_urllib3_transport_against_local_socket(spark):
+    """Round-4 verdict task 7: pin the REAL urllib3 call signature
+    end-to-end against a live socket — a stdlib http.server on
+    127.0.0.1 (no external network). Covers: 200 + headers (UA
+    default), manual redirect hop with target_url, gzip
+    Content-Encoding decode, 404 passthrough, and connection-refused
+    -> 599 transient mapping."""
+    import gzip
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from dotnetspider_spark.sources.fetchers import (
+        HttpFetcher,
+        Urllib3Transport,
+    )
+
+    seen_headers = {}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            seen_headers[self.path] = {k.lower(): v for k, v in self.headers.items()}
+            if self.path == "/ok":
+                body = b"<html>live</html>"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/redir":
+                self.send_response(302)
+                self.send_header("Location", "/ok")
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif self.path == "/gz":
+                body = gzip.compress(b"<html>zipped</html>")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        def log_message(self, *a):  # silent
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # a port nothing listens on: connection refused -> 599
+        dead = f"http://127.0.0.1:1{port % 9999}/x"
+        urls = [f"{base}/ok", f"{base}/redir", f"{base}/gz",
+                f"{base}/missing", dead]
+        f = HttpFetcher(Urllib3Transport(), n_partitions=1, timeout_s=5)
+        got = {r.url: r for r in f.fetch(_batch(spark, urls)).collect()}
+
+        ok = got[f"{base}/ok"]
+        assert ok.status == 200 and ok.html == "<html>live</html>"
+        assert ok.content_type.startswith("text/html")
+        r = got[f"{base}/redir"]
+        assert r.status == 200 and r.target_url == f"{base}/ok"
+        assert r.redirect_hops == [f"{base}/ok"]
+        gz = got[f"{base}/gz"]
+        assert gz.status == 200 and gz.html == "<html>zipped</html>"
+        assert got[f"{base}/missing"].status == 404
+        assert got[dead].status == 599  # transport error -> transient
+        # the reference's hardcoded Chrome UA went out on the wire
+        assert seen_headers["/ok"]["user-agent"] == Urllib3Transport.USER_AGENT
+    finally:
+        srv.shutdown()
+        srv.server_close()
