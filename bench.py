@@ -105,6 +105,37 @@ def bench_frontier_iteration(spark) -> tuple[float, int]:
     return dt, scheduled
 
 
+def bench_frontier_convergence(spark) -> list[dict]:
+    """Three chained crawl iterations (round-4 verdict task 4): children
+    of iteration i become iteration i+1's frontier, the seen set grows
+    with true request identities, and every iteration's wall INCLUDES
+    its parquet checkpoint writes + the next frontier's read-back — the
+    costs the single-iteration headline deliberately amortizes away.
+    Corpus anchors resolve to real corpus rows (resolvable_corpus), so
+    later iterations fetch genuinely new pages."""
+    import tempfile
+
+    from dotnetspider_spark.testing.benchjob import (
+        crawl_convergence,
+        resolvable_corpus,
+        store_bucketed_corpus,
+    )
+
+    n = FRONTIER_ROWS
+    parts = 64
+    store_bucketed_corpus(
+        spark,
+        resolvable_corpus(spark, n, parts),
+        parts,
+        tempfile.mkdtemp(prefix="bench-corpus-conv-"),
+        table="bench_corpus_conv",
+    )
+    return crawl_convergence(
+        spark, n, parts, tempfile.mkdtemp(prefix="bench-ckpt-"),
+        table="bench_corpus_conv", iters=3,
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from dotnetspider_spark.session import get_spark, sf_dir
@@ -146,6 +177,11 @@ def main() -> None:
     per_query["frontier_iteration"] = round(f_dt, 3)
     total += f_dt
 
+    conv = bench_frontier_convergence(spark)
+    conv_wall = round(sum(it["wall_s"] for it in conv), 3)
+    per_query["frontier_convergence_3iter"] = conv_wall
+    total += conv_wall
+
     out = {
         "metric": "headline_batch_plus_frontier_iteration_wall",
         "value": round(total, 3),
@@ -155,6 +191,7 @@ def main() -> None:
         "frontier_rows": FRONTIER_ROWS,
         "frontier_scheduled": f_scheduled,
         "frontier_urls_per_sec": round(FRONTIER_ROWS / f_dt, 1),
+        "convergence_iters": conv,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
     print(json.dumps(out))
