@@ -150,6 +150,72 @@ class IcebergTable:
         self._merge(batch, f"WHEN MATCHED THEN UPDATE SET {sets}")
 
 
+class TableCheckpointer:
+    """``Checkpointer``-interface twin (crawler/loop.py:495) that stores
+    the per-iteration manifests as ROWS of a keyed table instead of
+    ``_MANIFEST.json`` files — the backend comes from :func:`open_table`,
+    so on an Iceberg-equipped cluster each ``save_manifest`` is a native
+    ``MERGE INTO`` commit (snapshot history = Iceberg's own snapshot
+    list), while the sandbox leg runs on the atomic-swap parquet table
+    and is fully testable offline. The manifest payload layout is
+    byte-identical to the file-based Checkpointer's JSON, so
+    ``crawler/timetravel.py`` consumers can parse either source.
+    """
+
+    def __init__(self, spark: SparkSession, location: str,
+                 backend: str = "auto"):
+        self.spark = spark
+        self.table = open_table(spark, location, ["iter"], backend=backend)
+
+    def save_manifest(self, it: int, state: dict) -> None:
+        import json
+        import time
+
+        payload = json.dumps({"last_iter": it, "ts": time.time(), **state})
+        df = self.spark.createDataFrame(
+            [(it, payload)], "iter long, payload string"
+        )
+        # upsert: re-running an iteration after a crash overwrites its
+        # manifest row (same idempotence as os.replace on the JSON file)
+        self.table.upsert(df)
+
+    def load_manifest(self) -> dict | None:
+        import json
+
+        if not self.table.exists():
+            return None
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.table.read().orderBy(F.col("iter").desc()).limit(1).collect()
+        )
+        if not rows:
+            return None
+        try:
+            m = json.loads(rows[0]["payload"])
+            m["last_iter"]
+            return m
+        except (ValueError, KeyError):
+            return None
+
+    def last_iter(self) -> int | None:
+        m = self.load_manifest()
+        return None if m is None else m["last_iter"]
+
+    def manifest_for(self, it: int) -> dict | None:
+        """Versioned-manifest read (the ``manifests/iter=N.json`` analog
+        — every row is retained, so any checkpointed iteration is
+        reconstructable)."""
+        import json
+
+        if not self.table.exists():
+            return None
+        from pyspark.sql import functions as F
+
+        rows = self.table.read().filter(F.col("iter") == it).collect()
+        return json.loads(rows[0]["payload"]) if rows else None
+
+
 def open_table(
     spark: SparkSession,
     location: str,
