@@ -3660,11 +3660,13 @@ def q_crawl_order_parity(spark, sf_dir):
         spark, corpus, seeds,
         CrawlConfig(dfs=True, global_limit=1, per_host_limit=None),
     )
-    # 25-row result: a global window is fine HERE (driver-side report
-    # of an already-collected-scale crawl), not in the engine loop
-    w = Window.orderBy(F.col("iter").asc(), F.col("rank").asc())
-    return res.fetched.select(
-        (F.row_number().over(w) - 1).cast("bigint").alias("seq"), "url"
+    # seq without ANY window (the repo's own plan gate forbids global
+    # windows everywhere): global_limit=1 fetches exactly one row per
+    # iteration, so poll order IS iteration order — a scalar min-iter
+    # cross join rebases it to 0
+    min_iter = res.fetched.agg(F.min("iter").alias("__m"))
+    return res.fetched.crossJoin(min_iter).select(
+        (F.col("iter") - F.col("__m")).cast("bigint").alias("seq"), "url"
     )
 
 
