@@ -91,9 +91,9 @@ def host_delay_ms(host: str) -> int:
 
 
 def _image(i: int, cfg: CorpusConfig):
+    from dotnetspider_spark.codec.jpeg import encode_jpeg
     from dotnetspider_spark.codec.png import (
         decode_image,
-        encode_fakejpeg,
         encode_png,
         phash64,
     )
@@ -107,7 +107,10 @@ def _image(i: int, cfg: CorpusConfig):
         px = px.copy()
         px[0, 0] = (255 - px[0, 0]) % 256
     fmt = "jpeg" if i % 5 == 0 else "png"
-    data = encode_fakejpeg(px, 90) if fmt == "jpeg" else encode_png(px)
+    # lossy rows carry REAL baseline JPEG since round 5 (codec/jpeg.py)
+    # so every corpus-driven pipeline — crawl, validate, phash dedup —
+    # exercises the production decode path, not the FJPG stand-in
+    data = encode_jpeg(px, 92) if fmt == "jpeg" else encode_png(px)
     # phash is defined over the DECODED pixels (what a consumer sees), so
     # recomputing it from `bytes` always round-trips, lossy formats included
     return data, w, h, fmt, phash64(decode_image(data, fmt))
