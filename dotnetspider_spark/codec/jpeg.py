@@ -414,8 +414,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """
     try:
         return _decode_jpeg(data)
-    except (struct.error, IndexError) as e:
-        raise ValueError(f"corrupt JPEG stream: {e}") from None
+    except (struct.error, IndexError, KeyError) as e:
+        # KeyError covers corrupt header cross-references (e.g. a SOS
+        # component id that matches no SOF component) — every malformed
+        # stream must surface as ValueError or the validate UDFs' fail-
+        # closed catch misses it and the executor task dies instead
+        raise ValueError(f"corrupt JPEG stream: {e!r}") from None
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -513,6 +517,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     ]
     dec_tabs = []
     for cid, hc, vc, tq in comps:
+        if cid not in scan_sel:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
         td, ta = scan_sel[cid]
         dc = htables.get(td)
         ac = htables.get(0x10 | ta)

@@ -148,8 +148,9 @@ class Verifier:
         key = cols_lower.get("result", r.__fields__[0])
         return r[key]
 
-    def report(self) -> DataFrame:
-        """Evaluate every rule; one report row each, in add order."""
+    def _eval_rows(self) -> list[tuple]:
+        """Evaluate every rule once; one report tuple each, in add
+        order."""
         rows = []
         for rule in self._rules:
             try:
@@ -164,12 +165,21 @@ class Verifier:
                 (rule.name, rule.kind, rule.expression,
                  rule.expected_repr, actual_repr, passed)
             )
-        return self._spark.createDataFrame(rows, REPORT_SCHEMA)
+        return rows
 
-    def passed(self) -> bool:
+    def report(self) -> DataFrame:
+        """Evaluate every rule; one report row each, in add order."""
+        return self._spark.createDataFrame(self._eval_rows(), REPORT_SCHEMA)
+
+    def passed(self, report: DataFrame | None = None) -> bool:
         """True iff every rule passes (the reference's report-level
-        green; convenience for pipelines gating a publish step)."""
-        return all(r["passed"] for r in self.report().collect())
+        green; convenience for pipelines gating a publish step). Pass
+        an already-built ``report`` to reuse its evaluation — rules are
+        sink-table aggregates, so re-running them for the boolean would
+        double the scan cost of the common report-then-gate flow."""
+        if report is not None:
+            return all(r["passed"] for r in report.collect())
+        return all(passed for *_, passed in self._eval_rows())
 
 
 def to_html(report: DataFrame) -> str:
@@ -179,14 +189,22 @@ def to_html(report: DataFrame) -> str:
         "<table><tr><th>name</th><th>verification</th><th>expression</th>"
         "<th>expected</th><th>actual</th><th>result</th></tr>"
     )
+    import html as _html
+
     body = []
     for r in report.collect():
         color = "forestgreen" if r["passed"] else "orangered"
         verdict = "PASS" if r["passed"] else "FAILED"
+        # escape interpolated fields: '<value>' expressions, SQL '<'
+        # comparisons and error actuals would otherwise parse as tags
+        # and corrupt the table
+        name, kind, expr, exp, act = (
+            _html.escape(str(r[c]))
+            for c in ("name", "kind", "expression", "expected", "actual")
+        )
         body.append(
-            f"<tr><td>{r['name']}</td><td>{r['kind']}</td>"
-            f"<td>{r['expression']}</td><td>{r['expected']}</td>"
-            f"<td>{r['actual']}</td>"
+            f"<tr><td>{name}</td><td>{kind}</td>"
+            f"<td>{expr}</td><td>{exp}</td><td>{act}</td>"
             f'<td style="color:{color}"><strong>{verdict}</strong></td></tr>'
         )
     return head + "".join(body) + "</table>"

@@ -52,10 +52,19 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
 
     A catalog counts only when BOTH the conf entry exists and its
     implementation class loads (conf without the jar is a
-    misconfiguration, not a backend).
+    misconfiguration, not a backend). Checks the RUNTIME SQL conf
+    (``SET``) merged over the SparkConf snapshot: catalogs registered
+    after session creation (``spark.conf.set(...)``) live only in
+    SQLConf and are fully usable — reading just
+    ``sparkContext.getConf()`` would silently ignore them.
     """
     try:
         confs = dict(spark.sparkContext.getConf().getAll())
+        confs.update(
+            (r["key"], r["value"])
+            for r in spark.sql("SET").collect()
+            if r["key"].startswith("spark.sql.catalog.")
+        )
     except Exception:  # pragma: no cover - defensive: session torn down
         return None
     for k, v in confs.items():
@@ -96,10 +105,20 @@ class IcebergTable:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.ident)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        if version is None:
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Current table, or time travel to an Iceberg SNAPSHOT ID via
+        the documented ``snapshot-id`` read option. Note this is
+        Iceberg's generated long id, NOT the parquet layer's sequential
+        iteration number — map iterations to snapshot ids through the
+        ``TableCheckpointer`` manifests (which record what was current
+        at each checkpoint), the same indirection
+        ``crawler/timetravel.py`` uses over delta-parquet manifests."""
+        if snapshot_id is None:
             return self.spark.read.table(self.ident)
-        return self.spark.read.option("versionAsOf", version).table(self.ident)
+        return (
+            self.spark.read.option("snapshot-id", snapshot_id)
+            .table(self.ident)
+        )
 
     def _dedup(self, df: DataFrame, seq_col: str | None, last: bool) -> DataFrame:
         # identical batch-internal resolution to the parquet backend
@@ -225,20 +244,32 @@ def open_table(
     """Backend-selecting factory for keyed sink tables.
 
     ``backend='auto'``: Iceberg when a configured+loadable catalog
-    exists on the session, else delta-parquet. ``location`` is a
-    filesystem path for the parquet backend; for Iceberg it is either a
-    full ``catalog.db.table`` identifier or a bare name that is
-    qualified into ``<catalog>.default.<name>``.
+    exists on the session AND ``location`` is a table identifier, else
+    delta-parquet. ``location`` is either a filesystem path (contains a
+    path separator — always the parquet backend; a path is not a valid
+    SQL identifier, so 'auto' must not feed it to a catalog) or a table
+    identifier: a full ``catalog.db.table`` or a bare name qualified
+    into ``<catalog>.default.<name>``.
     """
     if backend not in ("auto", "iceberg", "parquet"):
         raise ValueError(f"unknown backend {backend!r}")
-    cat = iceberg_catalog(spark) if backend in ("auto", "iceberg") else None
-    if backend == "iceberg" and cat is None:
-        raise RuntimeError(
-            "Iceberg backend requested but no Iceberg catalog is "
-            "configured/loadable on this SparkSession"
-        )
-    if cat is not None:
+    is_path = "/" in location or "\\" in location
+    cat = (
+        iceberg_catalog(spark) if backend in ("auto", "iceberg") else None
+    )
+    if backend == "iceberg":
+        if cat is None:
+            raise RuntimeError(
+                "Iceberg backend requested but no Iceberg catalog is "
+                "configured/loadable on this SparkSession"
+            )
+        if is_path:
+            raise ValueError(
+                f"Iceberg backend needs a table identifier, got the "
+                f"filesystem path {location!r} — pass 'catalog.db.table' "
+                "or a bare table name"
+            )
+    if cat is not None and not is_path:
         ident = location if "." in location else f"{cat}.default.{location}"
         return IcebergTable(spark, ident, key_cols)
     return ParquetTable(spark, location, key_cols)

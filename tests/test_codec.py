@@ -211,3 +211,17 @@ def test_jpeg_interop_with_jvm_imageio(spark):
     dec = decode_jpeg(jdata)
     assert dec.shape == img.shape
     assert psnr(img, dec) >= 30  # their 4:2:0 quantization, our decode
+
+
+def test_jpeg_corrupt_header_crossrefs_raise_valueerror():
+    # review fix: a SOS component id matching no SOF component (and any
+    # other corrupt header cross-reference) must surface as ValueError —
+    # the validate UDFs' fail-closed catch — never KeyError
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(_smooth((16, 16, 3)), 90))
+    i = data.find(b"\xff\xda")
+    # SOS layout: FF DA len(2) ns cid1 tdta1 ... -> corrupt cid1
+    data[i + 5] = 0x77
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))

@@ -1110,8 +1110,16 @@ def test_urllib3_transport_against_local_socket(spark):
     thread.start()
     try:
         base = f"http://127.0.0.1:{port}"
-        # a port nothing listens on: connection refused -> 599
-        dead = f"http://127.0.0.1:1{port % 9999}/x"
+        # a port guaranteed free RIGHT NOW (bind ephemeral, read, close)
+        # so the connect is refused -> 599; arithmetic on the server
+        # port could collide with a live listener and flake
+        import socket as _socket
+
+        probe = _socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        dead_port = probe.getsockname()[1]
+        probe.close()
+        dead = f"http://127.0.0.1:{dead_port}/x"
         urls = [f"{base}/ok", f"{base}/redir", f"{base}/gz",
                 f"{base}/missing", dead]
         f = HttpFetcher(Urllib3Transport(), n_partitions=1, timeout_s=5)

@@ -146,3 +146,35 @@ def test_table_checkpointer_matches_file_checkpointer_semantics(
     # versioned history: every checkpointed iteration reconstructable
     assert tc.manifest_for(2)["n"] == 20
     assert tc.manifest_for(7) is None
+
+
+def test_open_table_routes_paths_to_parquet_even_in_auto(spark, tmp_path):
+    # review fix: a filesystem path is not a valid SQL identifier; on a
+    # catalog-equipped cluster 'auto' must still route paths to the
+    # parquet backend instead of building 'cat.default./tmp/...'
+    p = str(tmp_path / "run.1" / "t")  # dotted path — not an identifier
+    t = open_table(spark, p, ["k"], backend="auto")
+    assert isinstance(t, ParquetTable)
+
+
+def test_iceberg_read_uses_snapshot_id_option(spark, monkeypatch):
+    # pin the documented Iceberg read option name ('snapshot-id', not
+    # Delta's 'versionAsOf') without needing the runtime jar
+    it = IcebergTable(spark, "cat.db.t", ["k"])
+    calls = {}
+
+    class FakeReader:
+        def option(self, k, v):
+            calls[k] = v
+            return self
+
+        def table(self, ident):
+            calls["table"] = ident
+            return "df"
+
+    monkeypatch.setattr(
+        spark.__class__, "read", property(lambda self: FakeReader()),
+        raising=True,
+    )
+    assert it.read(snapshot_id=12345) == "df"
+    assert calls == {"snapshot-id": 12345, "table": "cat.db.t"}

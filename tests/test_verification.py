@@ -81,3 +81,27 @@ def test_html_report_renders_reference_shape(spark):
     assert "<strong>PASS</strong>" in html and "forestgreen" in html
     assert "<strong>FAILED</strong>" in html and "orangered" in html
     assert html.count("<tr>") == 3  # header + 2 rules
+
+
+def test_html_escapes_interpolated_fields(spark):
+    # review fix: '<value>' expressions and SQL '<' comparisons must be
+    # escaped or they parse as tags and corrupt the report table
+    v = (
+        Verifier(spark)
+        .add_value_equal("v", 1, 1)
+        .add_sql_equal("s", "SELECT 1 AS result WHERE 1 < 2", 1)
+    )
+    html = to_html(v.report())
+    assert "&lt;value&gt;" in html and "<value>" not in html
+    assert "1 &lt; 2" in html
+
+
+def test_passed_reuses_prebuilt_report(spark):
+    v = Verifier(spark).add_value_equal("a", 1, 1)
+    rep = v.report()
+    assert v.passed(rep) is True
+    assert v.passed() is True
+    v.add_value_equal("b", 1, 2)
+    assert v.passed() is False
+    # the stale prebuilt report still reflects its own evaluation
+    assert v.passed(rep) is True
