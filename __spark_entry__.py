@@ -3670,6 +3670,40 @@ def q_crawl_order_parity(spark, sf_dir):
     )
 
 
+def q_jpeg_quality_estimate(spark, sf_dir):
+    # encoder-quality estimation from stored DQT tables
+    # (images.jpeg_quality_screen over codec/jpeg.read_dqt +
+    # estimate_quality — the LAION-style recompression screen, header
+    # walk only). Each row synthesizes a REAL JPEG at quality
+    # 50+9*(doc_id%6) inside an Arrow batch; the estimator must invert
+    # the libjpeg quality_scaling bit-exactly; the oracle restates the
+    # quality from the id arithmetic. The entire encoder + header
+    # parser + inversion sits between the two sides.
+    from pyspark.sql.functions import pandas_udf
+
+    from dotnetspider_spark.operators.images import jpeg_quality_screen
+
+    def _enc(ids):
+        import numpy as np
+
+        from dotnetspider_spark.codec.jpeg import encode_jpeg
+
+        px = np.full((8, 8, 3), 128, np.uint8)
+        return ids.map(lambda i: encode_jpeg(px, 50 + 9 * (int(i) % 6)))
+
+    enc = pandas_udf(_enc, "binary")
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    rows = d.select("doc_id", enc(F.col("doc_id")).alias("bytes"),
+                    F.lit("jpeg").alias("fmt"))
+    out = jpeg_quality_screen(rows, min_quality=59)
+    return out.select(
+        "doc_id",
+        F.col("jpeg_quality").cast("int").alias("jpeg_quality"),
+        "jpeg_quality_exact",
+    )
+
+
 def q_verification_report(spark, sf_dir):
     # §2.9 verification-report family (operators/verification.py —
     # Verification.cs:160-198,252-375 SqlEqual/Large/Less/Range +
@@ -3776,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # docs_simhash64 (family held by docs_simhash16) and
         # xpath_value_options (held by entity_rows_xpath) rotated out.
         "page_policy": q_page_policy,
+        "jpeg_quality_estimate": q_jpeg_quality_estimate,
         "feed_parse": q_feed_parse,
         "warc_roundtrip": q_warc_roundtrip,
         "priority_order": q_priority_order,
@@ -4149,6 +4184,13 @@ _EPOCH_PLAN_CTES = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "jpeg_quality_estimate": """
+            SELECT doc_id,
+                   CAST(50 + 9 * (doc_id % 6) AS INTEGER) AS jpeg_quality,
+                   true AS jpeg_quality_exact
+            FROM documents
+            WHERE doc_id < 240 AND 50 + 9 * (doc_id % 6) >= 59
+        """,
         "crawl_order_parity": """
             WITH RECURSIVE t(id, path) AS (
                 SELECT 0, ''

@@ -570,3 +570,79 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- header-only analysis
+
+
+def read_dqt(data: bytes) -> dict[int, np.ndarray]:
+    """Quantization tables of a JPEG stream by header walk alone (no
+    entropy decode): {table id: 64 natural-order values}. Stops at SOS.
+    Raises ValueError on non-JPEG / corrupt headers."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    out: dict[int, np.ndarray] = {}
+    pos = 2
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            marker = data[pos + 1]
+            if marker in (0xD9, 0xDA):  # EOI / SOS: tables all seen
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    step = 128 if pq else 64
+                    raw = body[i + 1 : i + 1 + step]
+                    if len(raw) < step:
+                        raise ValueError("truncated DQT")
+                    zz = (
+                        np.frombuffer(raw, ">u2")
+                        if pq
+                        else np.frombuffer(raw, np.uint8)
+                    ).astype(np.int64)
+                    nat = np.zeros(64, np.int64)
+                    nat[ZIGZAG] = zz
+                    out[tq] = nat
+                    i += 1 + step
+            pos += 2 + seglen
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt JPEG header: {e!r}") from None
+    if not out:
+        raise ValueError("JPEG carries no DQT before the scan")
+    return out
+
+
+# every libjpeg-scaled Annex K luma table, quality 1..100 (precomputed
+# once; estimate_quality compares against all of them)
+_QUALITY_TABLES = np.stack(
+    [_quality_scale(_Q_LUMA, q) for q in range(1, 101)]
+)
+
+
+def estimate_quality(luma_table: np.ndarray) -> tuple[int, bool]:
+    """Estimate the encoder's quality setting from its stored luminance
+    quantization table (the standard libjpeg-compatible inversion:
+    cameras, browsers and PIL all emit Annex K scaled by
+    jpeg_quality_scaling). Returns ``(quality, exact)`` — ``exact``
+    when the table IS a scaled Annex K table (matched bit-for-bit;
+    the highest matching quality wins on degenerate all-clamped
+    tables), else a least-distortion approximation over the
+    non-clamped coefficients with ``exact=False``."""
+    t = np.asarray(luma_table, np.int64).reshape(64)
+    hits = np.nonzero((_QUALITY_TABLES == t[None, :]).all(axis=1))[0]
+    if len(hits):
+        return int(hits[-1]) + 1, True
+    free = (t > 1) & (t < 255) & (_Q_LUMA > 0)
+    if not free.any():
+        return 1, False  # fully clamped, arbitrarily destructive
+    scale = float(np.median(100.0 * t[free] / _Q_LUMA[free]))
+    q = 200.0 - scale if scale <= 100 else 5000.0 / scale
+    quality = int(np.clip(round(q / 2 if scale <= 100 else q), 1, 100))
+    return quality, False

@@ -611,3 +611,71 @@ def contrastive_batches(
         F.col(host_col),
         (F.row_number().over(w) - 1).cast("long").alias("batch"),
     )
+
+
+def jpeg_quality_screen(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    min_quality: int | None = None,
+) -> DataFrame:
+    """Estimate each JPEG payload's ENCODER quality setting from its
+    stored quantization tables and optionally gate on it — the
+    LAION-style curation screen that drops heavily re-compressed
+    images (a q<60 re-save destroys high-frequency detail no amount of
+    downstream filtering recovers; caption-image models train on it
+    anyway unless screened).
+
+    Header-walk only (codec/jpeg.read_dqt): no entropy decode, so the
+    screen costs ~microseconds per image regardless of resolution —
+    orders cheaper than decode-based quality metrics, which is what
+    makes it viable as a FIRST-pass gate at 10^10 images. Arrow-batched
+    pandas UDF; no per-row Python at the Spark API level.
+
+    Adds ``jpeg_quality int`` (NULL for non-JPEG rows and corrupt
+    streams — decode-validation owns those) and ``jpeg_quality_exact
+    boolean`` (the table IS a libjpeg-scaled Annex K table, i.e. the
+    inversion is bit-exact, not approximated). ``min_quality`` filters
+    jpeg rows below the bar while passing non-JPEG rows through
+    (fail-open here: corrupt bytes are validate_payloads' job to kill,
+    a screen must not silently eat them).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `pd` is function-local, so get_type_hints cannot
+    # resolve them under `from __future__ import annotations`; the
+    # explicit returnType carries the schema instead
+    def est(data, fmt):
+        from dotnetspider_spark.codec.jpeg import (
+            estimate_quality,
+            read_dqt,
+        )
+
+        qs, exact = [], []
+        for b, f in zip(data, fmt):
+            if f != "jpeg" or b is None or bytes(b[:2]) != b"\xff\xd8":
+                qs.append(None)
+                exact.append(None)
+                continue
+            try:
+                tables = read_dqt(bytes(b))
+                q, ex = estimate_quality(tables[min(tables)])
+                qs.append(q)
+                exact.append(ex)
+            except (ValueError, KeyError):
+                qs.append(None)
+                exact.append(None)
+        return pd.DataFrame({"q": qs, "ex": exact})
+
+    udf = pandas_udf(est, "q int, ex boolean")
+    out = df.withColumn("__jq", udf(F.col(bytes_col), F.col(fmt_col)))
+    out = out.withColumn("jpeg_quality", F.col("__jq.q")).withColumn(
+        "jpeg_quality_exact", F.col("__jq.ex")
+    ).drop("__jq")
+    if min_quality is not None:
+        out = out.filter(
+            F.col("jpeg_quality").isNull()
+            | (F.col("jpeg_quality") >= min_quality)
+        )
+    return out

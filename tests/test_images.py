@@ -396,3 +396,48 @@ def test_contrastive_batches_never_repeat_host_in_batch(spark):
     assert {(r["image_id"], r["batch"]) for r in rows} == {
         (r["image_id"], r["batch"]) for r in again
     }
+
+
+def test_jpeg_quality_screen_estimates_and_gates(spark):
+    """Encoder-quality screen (images.jpeg_quality_screen): bit-exact
+    libjpeg quality inversion from the stored DQT, non-JPEG and corrupt
+    rows pass through with NULL (fail-open — validate owns corrupt),
+    min_quality gates only the measured jpeg rows."""
+    from dotnetspider_spark.codec.jpeg import encode_jpeg
+    from dotnetspider_spark.operators.images import jpeg_quality_screen
+
+    px = np.full((8, 8, 3), 200, np.uint8)
+    rows = [
+        ("low", encode_jpeg(px, 35), "jpeg"),
+        ("mid", encode_jpeg(px, 75), "jpeg"),
+        ("high", encode_jpeg(px, 95), "jpeg"),
+        ("png", encode_png(px), "png"),
+        ("bad", b"\xff\xd8garbage", "jpeg"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: (r.jpeg_quality, r.jpeg_quality_exact)
+           for r in jpeg_quality_screen(df).collect()}
+    assert got["low"] == (35, True)
+    assert got["mid"] == (75, True)
+    assert got["high"] == (95, True)
+    assert got["png"] == (None, None)
+    assert got["bad"] == (None, None)
+
+    kept = {r.image_id for r in
+            jpeg_quality_screen(df, min_quality=60).collect()}
+    assert kept == {"mid", "high", "png", "bad"}
+
+
+def test_jpeg_quality_screen_on_datagen_corpus(spark):
+    """The synthetic corpus's lossy rows are real JPEGs at quality 92
+    since round 5 — the screen must recover exactly that on every one."""
+    from dotnetspider_spark.operators.images import jpeg_quality_screen
+    from dotnetspider_spark.testing.datagen import CorpusConfig, gen_corpus
+
+    corpus = gen_corpus(spark, CorpusConfig(n_pages=100, n_hosts=4),
+                        parallelism=2)
+    est = jpeg_quality_screen(corpus.filter(F.col("fmt") == "jpeg"))
+    rows = est.select("jpeg_quality", "jpeg_quality_exact").collect()
+    assert rows and all(
+        r.jpeg_quality == 92 and r.jpeg_quality_exact for r in rows
+    )
