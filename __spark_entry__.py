@@ -3704,6 +3704,55 @@ def q_jpeg_quality_estimate(spark, sf_dir):
     )
 
 
+def q_exif_extract(spark, sf_dir):
+    # EXIF metadata extraction (images.exif_extract over
+    # codec/jpeg.read_exif — APP1/TIFF IFD walk, the capture-time/
+    # camera keys an image training set stratifies and dedups on).
+    # Each row synthesizes a real JPEG whose APP1 carries
+    # arithmetic-derived orientation/datetime/make/model; every 7th id
+    # gets NO exif (all-NULL row). The oracle restates the fields from
+    # the same arithmetic — the whole writer + TIFF parser sits between
+    # the two sides.
+    from pyspark.sql.functions import pandas_udf
+
+    from dotnetspider_spark.operators.images import exif_extract
+
+    def _mk(ids):
+        import numpy as np
+
+        from dotnetspider_spark.codec.jpeg import build_exif, encode_jpeg
+
+        px = np.full((8, 8, 3), 96, np.uint8)
+        plain = encode_jpeg(px, 85)
+
+        def one(i):
+            i = int(i)
+            if i % 7 == 0:
+                return plain
+            dt = "2024:01:%02d %02d:%02d:%02d" % (
+                1 + i % 28, i % 24, (i * 7) % 60, (i * 13) % 60
+            )
+            return encode_jpeg(
+                px, 85,
+                exif=build_exif(
+                    orientation=1 + i % 8, datetime_str=dt,
+                    make=f"maker{i % 3}", model=f"m{i % 5}",
+                ),
+            )
+
+        return ids.map(one)
+
+    mk = pandas_udf(_mk, "binary")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    rows = d.select("doc_id", mk(F.col("doc_id")).alias("bytes"),
+                    F.lit("jpeg").alias("fmt"))
+    return exif_extract(rows).select(
+        "doc_id",
+        F.col("exif_orientation").cast("int").alias("exif_orientation"),
+        "exif_datetime", "exif_make", "exif_model",
+    )
+
+
 def q_verification_report(spark, sf_dir):
     # §2.9 verification-report family (operators/verification.py —
     # Verification.cs:160-198,252-375 SqlEqual/Large/Less/Range +
@@ -3811,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # xpath_value_options (held by entity_rows_xpath) rotated out.
         "page_policy": q_page_policy,
         "jpeg_quality_estimate": q_jpeg_quality_estimate,
+        "exif_extract": q_exif_extract,
         "feed_parse": q_feed_parse,
         "warc_roundtrip": q_warc_roundtrip,
         "priority_order": q_priority_order,
@@ -4184,6 +4234,24 @@ _EPOCH_PLAN_CTES = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "exif_extract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN CAST(1 + doc_id % 8 AS INTEGER) END
+                       AS exif_orientation,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN printf('2024:01:%02d %02d:%02d:%02d',
+                                    1 + doc_id % 28, doc_id % 24,
+                                    (doc_id * 7) % 60, (doc_id * 13) % 60)
+                   END AS exif_datetime,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'maker' || CAST(doc_id % 3 AS VARCHAR)
+                   END AS exif_make,
+                   CASE WHEN doc_id % 7 <> 0
+                        THEN 'm' || CAST(doc_id % 5 AS VARCHAR)
+                   END AS exif_model
+            FROM documents WHERE doc_id < 200
+        """,
         "jpeg_quality_estimate": """
             SELECT doc_id,
                    CAST(50 + 9 * (doc_id % 6) AS INTEGER) AS jpeg_quality,

@@ -242,12 +242,15 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    exif: bytes | None = None,
 ) -> bytes:
     """uint8 (h, w, 3) RGB -> baseline JFIF JPEG bytes.
 
     ``subsample=True`` emits 4:2:0 (2x2 luma sampling); default 4:4:4.
     ``restart_interval`` > 0 writes a DRI segment and RSTn markers
     every that many MCUs (exercises the decoder's resync path).
+    ``exif`` embeds an APP1 payload (see :func:`build_exif`) after the
+    JFIF APP0, where real cameras put it.
     """
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
@@ -296,6 +299,8 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)  # APP0, 1x1 density, no thumb
+    if exif is not None:
+        out += b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
     for tq, q in ((0, qy), (1, qc)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) \
             + bytes(int(q[ZIGZAG[k]]) for k in range(64))
@@ -646,3 +651,140 @@ def estimate_quality(luma_table: np.ndarray) -> tuple[int, bool]:
     q = 200.0 - scale if scale <= 100 else 5000.0 / scale
     quality = int(np.clip(round(q / 2 if scale <= 100 else q), 1, 100))
     return quality, False
+
+
+# --------------------------------------------------------- EXIF (APP1)
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0132: "datetime"}
+
+
+def build_exif(
+    orientation: int = 1,
+    datetime_str: str | None = None,
+    make: str | None = None,
+    model: str | None = None,
+) -> bytes:
+    """Minimal APP1 Exif payload (TIFF little-endian, IFD0 only) for
+    fixtures and tests: Orientation + optional DateTime/Make/Model per
+    the public TIFF 6.0 / Exif 2.3 layout."""
+    entries = []  # (tag, type, count, inline4 or data bytes)
+    data_area = bytearray()
+
+    def ascii_entry(tag, s):
+        raw = s.encode("ascii") + b"\x00"
+        if len(raw) <= 4:
+            entries.append((tag, 2, len(raw), raw.ljust(4, b"\x00")))
+        else:
+            entries.append((tag, 2, len(raw), raw))
+
+    if make is not None:
+        ascii_entry(0x010F, make)
+    if model is not None:
+        ascii_entry(0x0110, model)
+    entries.append(
+        (0x0112, 3, 1, struct.pack("<HH", orientation, 0))
+    )
+    if datetime_str is not None:
+        ascii_entry(0x0132, datetime_str)
+    entries.sort(key=lambda e: e[0])  # IFD entries must ascend by tag
+
+    ifd_offset = 8
+    data_offset = ifd_offset + 2 + 12 * len(entries) + 4
+    body = bytearray()
+    body += struct.pack("<H", len(entries))
+    for tag, typ, count, payload in entries:
+        body += struct.pack("<HHI", tag, typ, count)
+        if len(payload) <= 4:
+            body += payload.ljust(4, b"\x00")
+        else:
+            body += struct.pack("<I", data_offset + len(data_area))
+            data_area += payload
+    body += struct.pack("<I", 0)  # no next IFD
+    tiff = b"II" + struct.pack("<HI", 0x2A, ifd_offset) + bytes(body) \
+        + bytes(data_area)
+    return b"Exif\x00\x00" + tiff
+
+
+def read_exif(data: bytes) -> dict:
+    """Parse the first APP1 Exif segment of a JPEG: {orientation:int,
+    datetime/make/model:str} for the tags present; {} when the image
+    carries no EXIF. Corrupt TIFF structures raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    tiff = None
+    try:
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad JPEG marker alignment")
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
+            marker = data[pos + 1]
+            if marker in (0xD9, 0xDA):
+                break
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tiff = body[6:]
+                break
+            pos += 2 + seglen
+        if tiff is None:
+            return {}
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            raise ValueError("bad TIFF byte order")
+        magic, ifd_off = struct.unpack(e + "HI", tiff[2:8])
+        if magic != 0x2A:
+            raise ValueError("bad TIFF magic")
+        (n,) = struct.unpack(e + "H", tiff[ifd_off : ifd_off + 2])
+        out: dict = {}
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, count = struct.unpack(e + "HHI", tiff[off : off + 8])
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            inline = tiff[off + 8 : off + 12]
+            if typ == 2:  # ASCII
+                size = count
+                if size <= 4:
+                    raw = inline[:size]
+                else:
+                    (doff,) = struct.unpack(e + "I", inline)
+                    raw = tiff[doff : doff + size]
+                out[name] = raw.split(b"\x00")[0].decode(
+                    "ascii", "replace"
+                )
+            elif typ == 3:  # SHORT
+                out[name] = struct.unpack(e + "H", inline[:2])[0]
+            elif typ == 4:  # LONG
+                out[name] = struct.unpack(e + "I", inline)[0]
+        return out
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt EXIF: {exc!r}") from None
+
+
+def apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalize pixels to EXIF orientation 1 (the transform a correct
+    viewer applies; Exif 2.3 Table 5)."""
+    if orientation in (0, 1):
+        return px
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(px, 3)  # 90 deg clockwise
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(px, 1)  # 90 deg counter-clockwise
+    raise ValueError(f"bad EXIF orientation {orientation}")

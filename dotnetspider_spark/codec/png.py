@@ -54,34 +54,34 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Reverse PNG scanline filters 0-4 (bpp=3)."""
-    stride = w * 3 + 1
+def _unfilter(raw: np.ndarray, h: int, w: int, ch: int = 3) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (bpp = ``ch`` bytes/pixel)."""
+    stride = w * ch + 1
     rows = raw.reshape(h, stride)
-    out = np.zeros((h, w * 3), np.uint16)
-    bpp = 3
+    out = np.zeros((h, w * ch), np.uint16)
+    bpp = ch
     for y in range(h):
         ftype = rows[y, 0]
         line = rows[y, 1:].astype(np.uint16)
-        prev = out[y - 1] if y > 0 else np.zeros(w * 3, np.uint16)
+        prev = out[y - 1] if y > 0 else np.zeros(w * ch, np.uint16)
         if ftype == 0:
             out[y] = line
         elif ftype == 1:  # Sub
             acc = line.copy()
-            for x in range(bpp, w * 3):
+            for x in range(bpp, w * ch):
                 acc[x] = (acc[x] + acc[x - bpp]) & 0xFF
             out[y] = acc
         elif ftype == 2:  # Up
             out[y] = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             acc = line.copy()
-            for x in range(w * 3):
+            for x in range(w * ch):
                 left = acc[x - bpp] if x >= bpp else 0
                 acc[x] = (acc[x] + ((left + prev[x]) >> 1)) & 0xFF
             out[y] = acc
         elif ftype == 4:  # Paeth
             acc = line.copy()
-            for x in range(w * 3):
+            for x in range(w * ch):
                 a = int(acc[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 cc = int(out[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
@@ -92,11 +92,17 @@ def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
             out[y] = acc
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    return out.astype(np.uint8).reshape(h, w, ch)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (h, w, 3). 8-bit RGB non-interlaced only."""
+    """PNG bytes -> uint8 (h, w, 3).
+
+    8-bit non-interlaced grayscale (color type 0, replicated to RGB),
+    truecolor (2) and truecolor+alpha (6, alpha dropped — payload
+    validation compares color, compositing is a training-time choice).
+    Palette/16-bit/interlaced raise NotImplementedError loudly.
+    """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, w = 8, 0
@@ -113,10 +119,18 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or coltype != 2 or interlace != 0:
-        raise NotImplementedError("only 8-bit RGB non-interlaced PNG supported")
+    if bitdepth != 8 or interlace != 0 or coltype not in (0, 2, 6):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/RGBA PNG supported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[coltype]
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    return _unfilter(raw, h, w)
+    out = _unfilter(raw, h, w, ch)
+    if coltype == 0:
+        return np.repeat(out, 3, axis=2)
+    if coltype == 6:
+        return np.ascontiguousarray(out[:, :, :3])
+    return out
 
 
 def encode_fakejpeg(pixels: np.ndarray, quality: int = 90) -> bytes:

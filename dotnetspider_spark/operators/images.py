@@ -679,3 +679,93 @@ def jpeg_quality_screen(
             | (F.col("jpeg_quality") >= min_quality)
         )
     return out
+
+
+def exif_extract(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    normalize_orientation: bool = False,
+) -> DataFrame:
+    """EXIF metadata extraction from JPEG payloads (codec/jpeg.read_exif
+    — APP1/TIFF header walk, no pixel decode): ``exif_orientation``,
+    ``exif_datetime``, ``exif_make``, ``exif_model`` columns, NULL for
+    non-JPEG rows, EXIF-less images and corrupt streams. The capture
+    timestamp and camera model are standard stratification/dedup keys
+    for image training sets; orientation is required to decode
+    display-correct pixels.
+
+    ``normalize_orientation=True`` additionally rewrites ``bytes`` so
+    pixels are orientation-1 (decode -> apply_orientation -> re-encode
+    PNG) — opt-in because it trades a full transcode for viewer
+    correctness; the metadata pass alone stays header-only cheap.
+    Arrow-batched pandas UDFs; no per-row Python at the Spark API
+    level.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def meta(data, fmt):
+        from dotnetspider_spark.codec.jpeg import read_exif
+
+        ori, dt, mk, md = [], [], [], []
+        for b, f in zip(data, fmt):
+            rec = {}
+            if f == "jpeg" and b is not None and bytes(b[:2]) == b"\xff\xd8":
+                try:
+                    rec = read_exif(bytes(b))
+                except ValueError:
+                    rec = {}
+            ori.append(rec.get("orientation"))
+            dt.append(rec.get("datetime"))
+            mk.append(rec.get("make"))
+            md.append(rec.get("model"))
+        return pd.DataFrame(
+            {"o": ori, "dt": dt, "mk": mk, "md": md}
+        )
+
+    udf = pandas_udf(meta, "o int, dt string, mk string, md string")
+    out = (
+        df.withColumn("__ex", udf(F.col(bytes_col), F.col(fmt_col)))
+        .withColumn("exif_orientation", F.col("__ex.o"))
+        .withColumn("exif_datetime", F.col("__ex.dt"))
+        .withColumn("exif_make", F.col("__ex.mk"))
+        .withColumn("exif_model", F.col("__ex.md"))
+        .drop("__ex")
+    )
+    if not normalize_orientation:
+        return out
+
+    def fix(data, fmt, ori):
+        import numpy as np
+
+        from dotnetspider_spark.codec.jpeg import (
+            apply_orientation,
+            decode_jpeg,
+        )
+        from dotnetspider_spark.codec.png import encode_png
+
+        fixed = []
+        for b, f, o in zip(data, fmt, ori):
+            # NULL ints arrive as NaN in the Arrow->pandas series
+            if f != "jpeg" or b is None or pd.isna(o) or int(o) <= 1:
+                fixed.append(None if b is None else bytes(b))
+                continue
+            try:
+                px = apply_orientation(decode_jpeg(bytes(b)), int(o))
+                fixed.append(encode_png(np.ascontiguousarray(px)))
+            except (ValueError, NotImplementedError):
+                fixed.append(bytes(b))  # corrupt: validate owns it
+        return pd.Series(fixed, dtype=object)
+
+    fix_udf = pandas_udf(fix, "binary")
+    return out.withColumn(
+        "bytes",
+        fix_udf(F.col(bytes_col), F.col(fmt_col),
+                F.col("exif_orientation")),
+    ).withColumn(
+        "fmt",
+        F.when(
+            F.col("exif_orientation") > 1, F.lit("png")
+        ).otherwise(F.col(fmt_col)),
+    )

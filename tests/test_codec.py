@@ -225,3 +225,78 @@ def test_jpeg_corrupt_header_crossrefs_raise_valueerror():
     data[i + 5] = 0x77
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_png_gray_and_rgba_decode():
+    """Round-5: gray (type 0) replicates to RGB; RGBA (type 6) drops
+    alpha — the common crawl-payload variants beyond plain truecolor."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from dotnetspider_spark.codec.png import _PNG_SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(11)
+
+    def build(coltype, ch, h, w, px_bytes):
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, coltype, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + px_bytes[y * w * ch : (y + 1) * w * ch]
+            for y in range(h)
+        )
+        return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(raw))
+                + _chunk(b"IEND", b""))
+
+    g = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    got = decode_png(build(0, 1, 5, 7, g.tobytes()))
+    assert got.shape == (5, 7, 3)
+    assert (got == np.repeat(g[:, :, None], 3, axis=2)).all()
+
+    rgba = rng.integers(0, 256, (4, 6, 4), dtype=np.uint8)
+    got = decode_png(build(6, 4, 4, 6, rgba.tobytes()))
+    assert got.shape == (4, 6, 3)
+    assert (got == rgba[:, :, :3]).all()
+
+    with pytest.raises(NotImplementedError):  # palette stays loud
+        decode_png(build(3, 1, 2, 2, bytes(4)))
+
+
+def test_exif_roundtrip_and_orientation_transforms():
+    from dotnetspider_spark.codec.jpeg import (
+        apply_orientation,
+        build_exif,
+        encode_jpeg,
+        read_exif,
+    )
+
+    img = _smooth((16, 16, 3))
+    exif = build_exif(6, "2024:03:04 05:06:07", "acme", "cam-1")
+    jpg = encode_jpeg(img, 90, exif=exif)
+    got = read_exif(jpg)
+    assert got == {
+        "orientation": 6, "datetime": "2024:03:04 05:06:07",
+        "make": "acme", "model": "cam-1",
+    }
+    assert read_exif(encode_jpeg(img, 90)) == {}  # no APP1 -> empty
+    # exif segment must not disturb the pixel stream
+    from dotnetspider_spark.codec.jpeg import decode_jpeg
+
+    assert (decode_jpeg(jpg) == decode_jpeg(encode_jpeg(img, 90))).all()
+
+    # all 8 orientations: normalizing then comparing against direct
+    # numpy expectations on an asymmetric array
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    expect = {
+        1: px,
+        2: px[:, ::-1],
+        3: px[::-1, ::-1],
+        4: px[::-1, :],
+        5: px.transpose(1, 0, 2),
+        6: np.rot90(px, 3),
+        7: px.transpose(1, 0, 2)[::-1, ::-1],
+        8: np.rot90(px, 1),
+    }
+    for o, want in expect.items():
+        assert (apply_orientation(px, o) == want).all(), o
+    with pytest.raises(ValueError):
+        apply_orientation(px, 9)

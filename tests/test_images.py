@@ -441,3 +441,45 @@ def test_jpeg_quality_screen_on_datagen_corpus(spark):
     assert rows and all(
         r.jpeg_quality == 92 and r.jpeg_quality_exact for r in rows
     )
+
+
+def test_exif_extract_and_orientation_normalize(spark):
+    """images.exif_extract: metadata columns from APP1, NULLs for
+    exif-less/non-jpeg rows; normalize_orientation=True transcodes
+    rotated payloads to orientation-1 PNG with the pixels transformed."""
+    from dotnetspider_spark.codec.jpeg import (
+        apply_orientation,
+        build_exif,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dotnetspider_spark.codec.png import decode_png
+    from dotnetspider_spark.operators.images import exif_extract
+
+    base = np.zeros((8, 12, 3), np.uint8)
+    base[0, :4] = [255, 0, 0]  # asymmetric marker
+    rows = [
+        ("rot", encode_jpeg(base, 95, exif=build_exif(
+            6, "2024:05:06 07:08:09", "acme", "cam")), "jpeg"),
+        ("plain", encode_jpeg(base, 95), "jpeg"),
+        ("png", encode_png := None or b"", "png"),
+    ]
+    # a real png row
+    from dotnetspider_spark.codec.png import encode_png as _ep
+
+    rows[2] = ("png", _ep(base), "png")
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    meta = {r.image_id: r for r in exif_extract(df).collect()}
+    assert meta["rot"].exif_orientation == 6
+    assert meta["rot"].exif_make == "acme"
+    assert meta["plain"].exif_orientation is None
+    assert meta["png"].exif_orientation is None
+
+    fixed = {r.image_id: r for r in
+             exif_extract(df, normalize_orientation=True).collect()}
+    assert fixed["rot"].fmt == "png"
+    want = apply_orientation(decode_jpeg(rows[0][1]), 6)
+    assert (decode_png(bytes(fixed["rot"].bytes)) == want).all()
+    # untouched rows keep their bytes + fmt
+    assert fixed["plain"].fmt == "jpeg"
+    assert bytes(fixed["plain"].bytes) == rows[1][1]
