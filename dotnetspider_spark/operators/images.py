@@ -745,27 +745,33 @@ def exif_extract(
         )
         from dotnetspider_spark.codec.png import encode_png
 
-        fixed = []
+        fixed, fmts = [], []
         for b, f, o in zip(data, fmt, ori):
             # NULL ints arrive as NaN in the Arrow->pandas series
             if f != "jpeg" or b is None or pd.isna(o) or int(o) <= 1:
                 fixed.append(None if b is None else bytes(b))
+                fmts.append(f)
                 continue
             try:
                 px = apply_orientation(decode_jpeg(bytes(b)), int(o))
                 fixed.append(encode_png(np.ascontiguousarray(px)))
+                fmts.append("png")
             except (ValueError, NotImplementedError):
-                fixed.append(bytes(b))  # corrupt: validate owns it
-        return pd.Series(fixed, dtype=object)
+                # corrupt/unsupported: keep ORIGINAL bytes AND fmt —
+                # the fmt flip must track transcode success, a 'png'
+                # label over jpeg bytes would poison decode dispatch
+                fixed.append(bytes(b))
+                fmts.append(f)
+        return pd.DataFrame({"b": fixed, "f": fmts})
 
-    fix_udf = pandas_udf(fix, "binary")
-    return out.withColumn(
-        "bytes",
-        fix_udf(F.col(bytes_col), F.col(fmt_col),
-                F.col("exif_orientation")),
-    ).withColumn(
-        "fmt",
-        F.when(
-            F.col("exif_orientation") > 1, F.lit("png")
-        ).otherwise(F.col(fmt_col)),
+    fix_udf = pandas_udf(fix, "b binary, f string")
+    return (
+        out.withColumn(
+            "__fx",
+            fix_udf(F.col(bytes_col), F.col(fmt_col),
+                    F.col("exif_orientation")),
+        )
+        .withColumn(bytes_col, F.col("__fx.b"))
+        .withColumn(fmt_col, F.col("__fx.f"))
+        .drop("__fx")
     )

@@ -483,3 +483,21 @@ def test_exif_extract_and_orientation_normalize(spark):
     # untouched rows keep their bytes + fmt
     assert fixed["plain"].fmt == "jpeg"
     assert bytes(fixed["plain"].bytes) == rows[1][1]
+
+
+def test_exif_normalize_keeps_fmt_when_transcode_fails(spark):
+    # a corrupt jpeg claiming orientation 6: the fmt flip must track
+    # transcode SUCCESS — labeling jpeg bytes 'png' would poison the
+    # decode dispatch downstream
+    from dotnetspider_spark.codec.jpeg import build_exif, encode_jpeg
+    from dotnetspider_spark.operators.images import exif_extract
+
+    good = encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90,
+                       exif=build_exif(6))
+    corrupt = good[:60]  # headers with EXIF intact, scan truncated
+    df = spark.createDataFrame(
+        [("c", corrupt, "jpeg")], "image_id string, bytes binary, fmt string"
+    )
+    row = exif_extract(df, normalize_orientation=True).collect()[0]
+    assert row.exif_orientation == 6  # metadata still parsed
+    assert row.fmt == "jpeg" and bytes(row.bytes) == corrupt
