@@ -300,3 +300,31 @@ def test_exif_roundtrip_and_orientation_transforms():
         assert (apply_orientation(px, o) == want).all(), o
     with pytest.raises(ValueError):
         apply_orientation(px, 9)
+
+
+def test_jpeg_decoder_fuzz_fails_closed():
+    """Seeded corruption fuzz: whatever bytes arrive, decode_jpeg may
+    only succeed or raise ValueError/NotImplementedError — any other
+    exception would escape the validate UDFs' fail-closed catch and
+    kill the executor task (the round-5 review found a KeyError this
+    way; this pins the whole contract)."""
+    from dotnetspider_spark.codec.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(1234)
+    base = bytearray(encode_jpeg(_smooth((16, 16, 3)), 85,
+                                 restart_interval=2))
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 4)):
+            data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        try:
+            out = decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass  # the two documented fail-closed signals
+    # truncation sweep at every 37th prefix length
+    for cut in range(2, len(base), 37):
+        try:
+            decode_jpeg(bytes(base[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
